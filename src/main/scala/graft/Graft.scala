@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table plumbing shared by the engine entry points.
+  *
+  * The engine is DataFrame-first (see SURVEY.md §1.3): explicit schemas at the
+  * rim, Catalyst-planned declarative transforms everywhere else. Config below
+  * is sized for the driver's `local[32]` single-JVM harness but the knobs
+  * (AQE, shuffle partitions, broadcast threshold) are exactly the ones that
+  * matter on a 1000-executor cluster — nothing here is local-mode-only.
+  */
+object Graft {
+
+  /** Build (or reuse) a session with engine defaults. */
+  def session(appName: String = "graft", master: String = "local[*]"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", master))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 rejects that
+      // parquet type unless it is read back as a nanosecond long.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the driver-generated testdata tables (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Runtime-settable so it also covers sessions we did not build (Verify,
+    // Bench, tests): parquet TIMESTAMP(NANOS) → LongType nanos instead of
+    // an ILLEGAL_PARQUET_TYPE error.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ns → µs truncation, matching DuckDB's CAST(ts_ns AS TIMESTAMP):
+      // the oracle side must cast identically (FIXTURES.md §4).
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
+
+/** Convenience accessors for the star-schema tables a query touches.
+  * Each accessor is a fresh scan so Catalyst prunes columns/filters per query.
+  */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  def region: DataFrame     = Graft.table(spark, sfDir, "region")
+  def nation: DataFrame     = Graft.table(spark, sfDir, "nation")
+  def customer: DataFrame   = Graft.table(spark, sfDir, "customer")
+  def supplier: DataFrame   = Graft.table(spark, sfDir, "supplier")
+  def part: DataFrame       = Graft.table(spark, sfDir, "part")
+  def orders: DataFrame     = Graft.table(spark, sfDir, "orders")
+  def lineitem: DataFrame   = Graft.table(spark, sfDir, "lineitem")
+  def events: DataFrame     = Graft.table(spark, sfDir, "events")
+  def documents: DataFrame  = Graft.table(spark, sfDir, "documents")
+  def embeddings: DataFrame = Graft.table(spark, sfDir, "embeddings")
+}
