@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Local pre-check of the DuckDB oracle contract (mimics the driver's t2 gate).
+
+Usage:
+  sbt -batch "runMain graft.Verify <sfDir> <outDir>"
+  python3 scripts/oracle_check.py <sfDir> <outDir>
+
+For each <outDir>/<name>/ parquet dump with an entry in oracle_sql.json:
+run the SQL in DuckDB against views over <sfDir>/*.parquet, sort columns by
+name, sort rows, and compare cell-by-cell (exact for ints/strings, 1e-9 rel
+tolerance report for floats — the driver hashes exactly, so any float diff
+is listed loudly).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple((v is not None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def cells_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        dump = Path(out_dir) / name
+        if not dump.exists():
+            print(f"MISSING  {name}: no spark dump")
+            n_fail += 1
+            failures.append(name)
+            continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{dump}/*.parquet')")
+            spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.sql(oracle[name])
+            duck_cols = [c.lower() for c in duck_rel.columns]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"ERROR    {name}: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sc, sr = canon(spark_rows, spark_cols)
+        dc, dr = canon(duck_rows, duck_cols)
+        if sc != dc:
+            print(f"SCHEMA   {name}: spark={sc} duck={dc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        bad = None
+        exact = True
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            for j, (x, y) in enumerate(zip(a, b)):
+                if not cells_equal(x, y):
+                    bad = (i, sc[j], x, y)
+                    break
+                if isinstance(x, float) and isinstance(y, float) and x != y:
+                    exact = False
+            if bad:
+                break
+        if bad:
+            i, c, x, y = bad
+            print(f"VALUE    {name}: row {i} col {c}: spark={x!r} duck={y!r}")
+            n_fail += 1
+            failures.append(name)
+        else:
+            flag = "" if exact else "  (float within tol, NOT bit-exact)"
+            print(f"OK       {name}: {len(sr)} rows{flag}")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} failed" + (f": {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2C joins row): inner/left/right/full equi-joins,
+  * semi, anti, cross, broadcast hint, non-equi theta, and the composed as-of
+  * join. Dimension tables (region/nation/supplier/part) are broadcast-sized
+  * at any scale factor; fact-fact joins shuffle on their equi-keys.
+  */
+object Joins extends Catalog {
+
+  def queries: Map[String, Q] = Map(
+    "q_join_inner" -> Q(
+      t => t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     COUNT(*) AS n_lines
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY c_mktsegment
+              ORDER BY c_mktsegment NULLS FIRST""")),
+
+    "q_join_left" -> Q(
+      t => t.customer
+        .join(t.orders.filter(col("o_totalprice") > 4000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),   // skips nulls
+          count(lit(1)).as("n_rows"),                // counts unmatched too
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows,
+                     COUNT(DISTINCT c_custkey) AS n_cust
+              FROM customer
+              LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 4000) o
+                ON c_custkey = o_custkey
+              GROUP BY c_mktsegment
+              ORDER BY c_mktsegment NULLS FIRST""")),
+
+    "q_join_right" -> Q(
+      t => t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_brand"))
+        .agg(
+          count(col("l_orderkey")).as("n_lines"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, COUNT(l_orderkey) AS n_lines, COUNT(*) AS n_rows,
+                     ROUND(SUM(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              RIGHT JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand
+              ORDER BY p_brand NULLS FIRST""")),
+
+    "q_join_full" -> Q(
+      t => t.customer.filter(col("c_acctbal") < 0)
+        .join(t.orders.filter(col("o_totalprice") > 4500),
+          col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_orderkey").isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("side")),
+      Some("""SELECT side, COUNT(*) AS n FROM (
+                SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                            WHEN o_orderkey IS NULL THEN 'customer_only'
+                            ELSE 'both' END AS side
+                FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+                FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 4500) o
+                  ON c_custkey = o_custkey)
+              GROUP BY side
+              ORDER BY side NULLS FIRST""")),
+
+    "q_join_semi" -> Q(
+      t => t.customer
+        .join(t.orders.filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+              FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              GROUP BY c_mktsegment
+              ORDER BY c_mktsegment NULLS FIRST""")),
+
+    "q_join_anti" -> Q(
+      t => t.customer
+        .join(t.orders.filter(col("o_totalprice") > 4800),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"), col("n_cust")),
+      Some("""SELECT n_name, COUNT(*) AS n_cust
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_totalprice > 4800)
+              GROUP BY n_name
+              ORDER BY n_name NULLS FIRST, n_cust NULLS FIRST""")),
+
+    "q_join_cross" -> Q(
+      t => t.region.select(col("r_name").as("r1"))
+        .crossJoin(t.region.select(col("r_name").as("r2")))
+        .orderBy(col("r1"), col("r2")),
+      Some("""SELECT a.r_name AS r1, b.r_name AS r2
+              FROM region a CROSS JOIN region b
+              ORDER BY r1 NULLS FIRST, r2 NULLS FIRST""")),
+
+    "q_join_theta" -> Q(
+      t => {
+        val n1 = t.nation.select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk1"))
+        val n2 = t.nation.select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+        n1.join(n2, col("rk1") < col("rk2"))
+          .groupBy(col("rk1"), col("rk2"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("rk1"), col("rk2"))
+      },
+      Some("""SELECT a.n_regionkey AS rk1, b.n_regionkey AS rk2, COUNT(*) AS n_pairs
+              FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+              GROUP BY a.n_regionkey, b.n_regionkey
+              ORDER BY rk1 NULLS FIRST, rk2 NULLS FIRST""")),
+
+    "q_join_broadcast" -> Q(
+      t => t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_supp"), round(avg(col("s_acctbal")), 2).as("avg_bal"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, COUNT(*) AS n_supp, ROUND(AVG(s_acctbal), 2) AS avg_bal
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name
+              ORDER BY r_name NULLS FIRST""")),
+
+    "q_join_asof" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOf.nearestEarlier(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("prev_purchase_id"))
+          .orderBy(col("event_id"), col("prev_purchase_id"))
+      },
+      Some("""SELECT e.event_id, p.event_id AS prev_purchase_id
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+              ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                              FROM events WHERE event_type = 'purchase') p
+                ON e.user_id = p.user_id AND e.ts > p.ts
+              ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")))
+}
