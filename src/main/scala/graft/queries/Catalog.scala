@@ -16,11 +16,26 @@ final case class Q(run: Tables => DataFrame, oracle: Option[String])
 
 trait Catalog {
   def queries: Map[String, Q]
+
+  /** Oracle-parity rounding. Spark's `functions.round` rounds the EXACT
+    * decimal expansion of the double (BigDecimal HALF_UP: 2.675d → 2.67,
+    * because 2.675d = 2.67499…), while DuckDB computes
+    * round(x·10^s)/10^s (2.675d → 2.68). On boundary values the two differ
+    * by one ulp-of-cents and break hash equality, so every catalog query
+    * rounds the DuckDB way. This method is INHERITED by catalog objects and
+    * therefore shadows the wildcard-imported `functions.round` (inherited
+    * bindings outrank wildcard imports in Scala).
+    */
+  protected def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, scale)
+    org.apache.spark.sql.functions.round(c * p) / p
+  }
 }
 
 /** Union of all capability catalogs — what SparkEntry exposes to the driver. */
 object AllQueries {
-  private def catalogs: Seq[Catalog] = Seq(Relational, Joins)
+  private def catalogs: Seq[Catalog] =
+    Seq(Relational, Joins, Windows, SetOps, ScalarFns, PipelineQueries)
 
   def all: Map[String, Q] = catalogs.flatMap(_.queries).toMap
 }

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, sort/limit, per-group top-k (SURVEY.md §2C windows/sort
+  * rows). Determinism: ranking functions whose value depends on total order
+  * (row_number, ntile) always order over a unique key suffix; tie-tolerant
+  * functions (rank, dense_rank, percent_rank) may order over the tied bucket
+  * alone.
+  */
+object Windows extends Catalog {
+
+  def queries: Map[String, Q] = Map(
+    "q_win_rank" -> Q(
+      t => {
+        val df = t.customer
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long"))
+        val unique = Window.partitionBy(col("c_nationkey")).orderBy(col("bal_bucket"), col("c_custkey"))
+        val tied = Window.partitionBy(col("c_nationkey")).orderBy(col("bal_bucket"))
+        df.select(
+          col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+          row_number().over(unique).as("rn"),
+          rank().over(tied).as("rnk"),
+          dense_rank().over(tied).as("drnk"),
+          ntile(4).over(unique).as("quartile"),
+          round(percent_rank().over(tied), 4).as("pct_rank"))
+          .orderBy(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+            col("rn"), col("rnk"), col("drnk"), col("quartile"), col("pct_rank"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+                     CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT), c_custkey) AS rn,
+                     rank() OVER (PARTITION BY c_nationkey
+                                  ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS rnk,
+                     dense_rank() OVER (PARTITION BY c_nationkey
+                                        ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS drnk,
+                     ntile(4) OVER (PARTITION BY c_nationkey
+                                    ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT), c_custkey) AS quartile,
+                     ROUND(percent_rank() OVER (PARTITION BY c_nationkey
+                                                ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT)), 4) AS pct_rank
+              FROM customer
+              ORDER BY c_custkey NULLS FIRST, c_nationkey NULLS FIRST, bal_bucket NULLS FIRST,
+                       rn NULLS FIRST, rnk NULLS FIRST, drnk NULLS FIRST,
+                       quartile NULLS FIRST, pct_rank NULLS FIRST""")),
+
+    "q_win_lag_lead" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t.events.select(
+          col("event_id"),
+          col("user_id"),
+          round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+          round(lead(col("value"), 1).over(w), 2).as("next_value"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+          .orderBy(col("event_id"), col("user_id"), col("prev_value"),
+            col("next_value"), col("delta"))
+      },
+      Some("""SELECT event_id, user_id,
+                     ROUND(lag(value, 1) OVER w, 2) AS prev_value,
+                     ROUND(lead(value, 1) OVER w, 2) AS next_value,
+                     ROUND(value - lag(value, 1) OVER w, 2) AS delta
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, prev_value NULLS FIRST,
+                       next_value NULLS FIRST, delta NULLS FIRST""")),
+
+    "q_win_running_frames" -> Q(
+      t => {
+        val df = t.orders.withColumn("dayn",
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sliding = w.rowsBetween(-2, Window.currentRow)
+        val dayRange = Window.partitionBy(col("o_custkey")).orderBy(col("dayn")).rangeBetween(-30, 0)
+        df.select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(running), 2).as("run_sum"),
+          round(avg(col("o_totalprice")).over(running), 2).as("run_avg"),
+          round(min(col("o_totalprice")).over(running), 2).as("run_min"),
+          round(max(col("o_totalprice")).over(running), 2).as("run_max"),
+          round(avg(col("o_totalprice")).over(sliding), 2).as("slide3_avg"),
+          round(sum(col("o_totalprice")).over(dayRange), 2).as("sum_30d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"), col("run_sum"), col("run_avg"),
+            col("run_min"), col("run_max"), col("slide3_avg"), col("sum_30d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     ROUND(sum(o_totalprice) OVER w_run, 2) AS run_sum,
+                     ROUND(avg(o_totalprice) OVER w_run, 2) AS run_avg,
+                     ROUND(min(o_totalprice) OVER w_run, 2) AS run_min,
+                     ROUND(max(o_totalprice) OVER w_run, 2) AS run_max,
+                     ROUND(avg(o_totalprice) OVER w_slide, 2) AS slide3_avg,
+                     ROUND(sum(o_totalprice) OVER w_range, 2) AS sum_30d
+              FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dayn
+                    FROM orders)
+              WINDOW
+                w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_slide AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                w_range AS (PARTITION BY o_custkey ORDER BY dayn
+                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+              ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST, run_sum NULLS FIRST,
+                       run_avg NULLS FIRST, run_min NULLS FIRST, run_max NULLS FIRST,
+                       slide3_avg NULLS FIRST, sum_30d NULLS FIRST""")),
+
+    "q_win_topk_per_group" -> Q(
+      t => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t.orders
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("total"))
+      },
+      Some("""SELECT c_mktsegment, rn, o_orderkey, total FROM (
+                SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS total,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+              WHERE rn <= 3
+              ORDER BY c_mktsegment NULLS FIRST, rn NULLS FIRST,
+                       o_orderkey NULLS FIRST, total NULLS FIRST""")),
+
+    "q_sort_limit" -> Q(
+      t => t.orders
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("total").desc_nulls_last, col("o_orderkey"))
+        .limit(15),
+      Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+              FROM orders
+              ORDER BY total DESC NULLS LAST, o_orderkey
+              LIMIT 15""")))
+}
