@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora, Spark-first.
+  *
+  * Scale design (100 TB): the production path is MinHash + LSH banding —
+  * per-document signature computation is map-side and embarrassingly
+  * parallel; candidate generation is ONE shuffle join on (band index, band
+  * signature); exact-Jaccard verification touches only candidate pairs.
+  * No all-pairs product ever materializes. The quadratic forms (ngram
+  * Jaccard within a blocking key) exist as exact baselines for modest
+  * blocks, never for whole corpora.
+  *
+  * All hashes are the cross-engine polynomial fingerprint
+  * ([[TextAnalysis.fingerprint]] semantics), so signatures are reproducible
+  * outside Spark (DuckDB oracle, or any other system a pipeline hands off
+  * to).
+  */
+object Dedup {
+
+  import TextAnalysis.HashPrime
+
+  /** Word k-shingles: ["a b c", "b c d", ...]; a doc shorter than k tokens
+    * yields its whole token string as the single shingle.
+    */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val n = size(toks)
+    transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** Distinct shingle hash set — the MinHash input. */
+  def shingleHashes(c: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(c, k), polyHash(_)))
+
+  /** Polynomial hash of one string (same fold as TextAnalysis.fingerprint). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % HashPrime)
+
+  /** Deterministic universal-hash parameters for the signature rows. */
+  val NumHashes = 16
+  val HashA: Seq[Long] = Seq.tabulate(NumHashes)(j => (2L * j + 1) * 1000003L % HashPrime)
+  val HashB: Seq[Long] = Seq.tabulate(NumHashes)(j => (j.toLong * 777767777L + 12345L) % HashPrime)
+
+  /** MinHash signature: sig[j] = min over shingle hashes x of (a_j·x+b_j) mod P. */
+  def minhashSignature(shingleHashSet: Column): Column = {
+    val aArr = array(HashA.map(lit): _*)
+    val bArr = array(HashB.map(lit): _*)
+    transform(
+      sequence(lit(0), lit(NumHashes - 1)),
+      j =>
+        array_min(transform(shingleHashSet,
+          x => (element_at(aArr, j + 1) * x + element_at(bArr, j + 1)) % HashPrime)))
+  }
+
+  /** LSH band keys: `bands` strings "b_sig0,sig1,..." — equal band key ⇒
+    * candidate pair. 4 bands × 4 rows over a 16-row signature targets the
+    * s-curve threshold around J ≈ 0.55.
+    */
+  val NumBands = 4
+  val RowsPerBand = NumHashes / NumBands
+  def lshBandKeys(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(NumBands - 1)),
+      b => concat_ws("_", b.cast("string"),
+        concat_ws(",", transform(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)), _.cast("string")))))
+
+  /** Exact Jaccard over two pre-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 30-bit SimHash over token hashes: bit i = sign of Σ_tokens (±1 by the
+    * token hash's i-th bit). Near-dups have small Hamming distance.
+    */
+  val SimHashBits = 30
+  def simhash(c: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(c), polyHash(_))
+    aggregate(
+      transform(
+        sequence(lit(0), lit(SimHashBits - 1)),
+        i => {
+          val pow2 = floor(pow(lit(2.0), i)).cast("long")
+          val bitSum = aggregate(hs, lit(0L),
+            (acc, x) => acc + (floor(x.cast("double") / pow2).cast("long") % 2) * 2 - 1)
+          when(bitSum > 0, pow2).otherwise(lit(0L))
+        }),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs over `docs(idCol, textCol)`:
+    * signatures → band explode → self-join on band key → distinct pairs →
+    * exact-Jaccard verify at `threshold`. The join key space (band sigs) is
+    * high-cardinality, so the shuffle is well-spread at any corpus size.
+    */
+  def lshNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    val prepared = docs.select(
+      col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), k).as("shd"))
+      .withColumn("sig", minhashSignature(col("shd")))
+    val bands = prepared.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"))).as("band_key"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    candidates
+      .join(prepared.select(col("doc_id").as("a"), col("shd").as("shd_a")), "a")
+      .join(prepared.select(col("doc_id").as("b"), col("shd").as("shd_b")), "b")
+      .withColumn("j", jaccard(col("shd_a"), col("shd_b")))
+      .filter(col("j") >= threshold)
+      .select(col("a"), col("b"), col("j"))
+  }
+}

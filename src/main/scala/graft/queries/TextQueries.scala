@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (SURVEY.md §2C
+  * LLM-pipeline row): quality stats, language ID, fingerprinting, exact and
+  * near-duplicate detection (MinHash+LSH, SimHash, blocked n-gram Jaccard).
+  * Every query's oracle replays the SAME hash/signature arithmetic in
+  * DuckDB, so signatures — not just aggregates — are verified.
+  */
+object TextQueries extends Catalog {
+
+  private val P = TextAnalysis.HashPrime
+  private def aList = Dedup.HashA.mkString("[", ", ", "]")
+  private def bList = Dedup.HashB.mkString("[", ", ", "]")
+
+  /** Shared DuckDB CTEs: tokens → shingle-hash sets → minhash signatures. */
+  private val duckShingleCtes =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, source,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |                     i -> array_to_string(toks[i:i+2], ' ')),
+       |      s -> list_reduce(
+       |             list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |             (acc, x) -> (acc * 31 + x) % $P))) AS shd
+       |  FROM tok
+       |), sig AS (
+       |  SELECT doc_id, shd,
+       |    list_transform(range(0, 16), j ->
+       |      list_min(list_transform(shd, x -> ($aList[j+1] * x + $bList[j+1]) % $P))) AS sig
+       |  FROM sh
+       |)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_text_stats" -> Q(
+      t => t.documents.select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        round(TextAnalysis.avgWordLen(col("text")), 2).as("avg_word_len"))
+        .orderBy(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+          col("n_punct"), col("n_stopwords"), col("avg_word_len")),
+      Some(s"""SELECT doc_id, lang,
+                      CAST(length(text) AS INTEGER) AS n_chars,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS n_punct,
+                      CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) AS INTEGER) AS n_stopwords,
+                      ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                            / len(string_split_regex(trim(text), '\\s+')), 2) AS avg_word_len
+               FROM documents
+               ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chars NULLS FIRST,
+                        n_tokens NULLS FIRST, n_punct NULLS FIRST, n_stopwords NULLS FIRST,
+                        avg_word_len NULLS FIRST""")),
+
+    "q_text_langid" -> Q(
+      t => t.documents
+        .groupBy(TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicted_lang"), col("n")),
+      Some {
+        val scoreStructs = TextAnalysis.LangMarkers.map { case (code, pattern) =>
+          s"{'neg_score': -CAST(len(regexp_extract_all(lower(text), '${pattern}')) AS BIGINT), 'lang': '$code'}"
+        }.mkString("[", ", ", "]")
+        s"""SELECT list_min($scoreStructs).lang AS predicted_lang, COUNT(*) AS n
+           |FROM documents
+           |GROUP BY 1
+           |ORDER BY predicted_lang NULLS FIRST, n NULLS FIRST""".stripMargin
+      }),
+
+    "q_text_fingerprint" -> Q(
+      t => t.documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        sha2(col("text"), 256).as("sha"))
+        .orderBy(col("doc_id"), col("fp"), col("sha")),
+      Some(s"""SELECT doc_id,
+                      list_reduce(list_transform(string_split(text, ''),
+                                                 ch -> CAST(ascii(ch) AS BIGINT)),
+                                  (acc, x) -> (acc * 31 + x) % $P) AS fp,
+                      sha256(text) AS sha
+               FROM documents
+               ORDER BY doc_id NULLS FIRST, fp NULLS FIRST, sha NULLS FIRST""")),
+
+    "q_dedup_exact" -> Q(
+      t => t.documents
+        .groupBy(sha2(substring(col("text"), 1, 100), 256).as("prefix_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+        .filter(col("n_dupes") >= 2)
+        .orderBy(col("prefix_sha"), col("keep_id"), col("n_dupes")),
+      Some("""SELECT sha256(substring(text, 1, 100)) AS prefix_sha,
+                     MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+              FROM documents
+              GROUP BY 1 HAVING COUNT(*) >= 2
+              ORDER BY prefix_sha NULLS FIRST, keep_id NULLS FIRST, n_dupes NULLS FIRST""")),
+
+    "q_dedup_minhash_sig" -> Q(
+      t => t.documents.select(
+        col("doc_id"),
+        concat_ws(",",
+          transform(
+            Dedup.minhashSignature(Dedup.shingleHashes(col("text"))),
+            _.cast("string"))).as("sig"))
+        .orderBy(col("doc_id"), col("sig")),
+      Some(s"""$duckShingleCtes
+               |SELECT doc_id,
+               |       array_to_string(list_transform(sig, s -> CAST(s AS VARCHAR)), ',') AS sig
+               |FROM sig
+               |ORDER BY doc_id NULLS FIRST, sig NULLS FIRST""".stripMargin)),
+
+    "q_dedup_lsh_pairs" -> Q(
+      t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy(col("a"), col("b"), col("j")),
+      Some(s"""$duckShingleCtes, bands AS (
+               |  SELECT doc_id,
+               |    unnest(list_transform(range(0, 4), b ->
+               |      CAST(b AS VARCHAR) || '_' ||
+               |      array_to_string(list_transform(sig[b*4+1 : b*4+4],
+               |                                     s -> CAST(s AS VARCHAR)), ','))) AS band_key
+               |  FROM sig
+               |), cand AS (
+               |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               |  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+               |)
+               |SELECT a, b,
+               |       ROUND(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+               |             / len(list_distinct(sa.shd || sb.shd)), 4) AS j
+               |FROM cand
+               |JOIN sh sa ON cand.a = sa.doc_id
+               |JOIN sh sb ON cand.b = sb.doc_id
+               |WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+               |      / len(list_distinct(sa.shd || sb.shd)) >= 0.5
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
+
+    "q_dedup_simhash" -> Q(
+      t => t.documents.select(
+        col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"), col("simhash")),
+      Some(s"""SELECT doc_id,
+               |       CAST(list_sum(list_transform(range(0, 30), i ->
+               |         CASE WHEN list_sum(list_transform(hs, x ->
+               |                (x // CAST(pow(2, i) AS BIGINT) % 2) * 2 - 1)) > 0
+               |              THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+               |FROM (SELECT doc_id,
+               |             list_transform(string_split_regex(trim(text), '\\s+'), s ->
+               |               list_reduce(list_transform(string_split(s, ''),
+               |                                          ch -> CAST(ascii(ch) AS BIGINT)),
+               |                           (acc, x) -> (acc * 31 + x) % $P)) AS hs
+               |      FROM documents)
+               |ORDER BY doc_id NULLS FIRST, simhash NULLS FIRST""".stripMargin)),
+
+    "q_dedup_simhash_pairs" -> Q(
+      t => {
+        val sims = t.documents.select(
+          col("doc_id"), col("source"), Dedup.simhash(col("text")).as("sim"))
+        sims.as("x").join(sims.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            expr("bit_count(x.sim ^ y.sim)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy(col("a"), col("b"), col("hamming"))
+      },
+      Some(s"""WITH sims AS (
+               |  SELECT doc_id, source,
+               |         CAST(list_sum(list_transform(range(0, 30), i ->
+               |           CASE WHEN list_sum(list_transform(hs, x ->
+               |                  (x // CAST(pow(2, i) AS BIGINT) % 2) * 2 - 1)) > 0
+               |                THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sim
+               |  FROM (SELECT doc_id, source,
+               |               list_transform(string_split_regex(trim(text), '\\s+'), s ->
+               |                 list_reduce(list_transform(string_split(s, ''),
+               |                                            ch -> CAST(ascii(ch) AS BIGINT)),
+               |                             (acc, x) -> (acc * 31 + x) % $P)) AS hs
+               |        FROM documents)
+               |)
+               |SELECT x.doc_id AS a, y.doc_id AS b,
+               |       CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+               |FROM sims x JOIN sims y ON x.source = y.source AND x.doc_id < y.doc_id
+               |WHERE bit_count(xor(x.sim, y.sim)) <= 2
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, hamming NULLS FIRST""".stripMargin)),
+
+    "q_dedup_ngram_jaccard" -> Q(
+      t => {
+        val sh = t.documents.select(
+          col("doc_id"), col("lang"), Dedup.shingleHashes(col("text")).as("shd"))
+        sh.as("x").join(sh.as("y"),
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+          .withColumn("j", Dedup.jaccard(col("x.shd"), col("y.shd")))
+          .filter(col("j") >= 0.5)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            round(col("j"), 4).as("j"))
+          .orderBy(col("a"), col("b"), col("j"))
+      },
+      Some(s"""$duckShingleCtes
+               |SELECT x.doc_id AS a, y.doc_id AS b,
+               |       ROUND(CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+               |             / len(list_distinct(x.shd || y.shd)), 4) AS j
+               |FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
+               |WHERE CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+               |      / len(list_distinct(x.shd || y.shd)) >= 0.5
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)))
+}

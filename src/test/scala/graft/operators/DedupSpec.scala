@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polynomial fingerprint golden: 'abc' → 96354 (matches DuckDB list_reduce)") {
+    val got = Seq("abc").toDF("t").select(TextAnalysis.fingerprint($"t")).as[Long].head()
+    assert(got == 96354L)
+  }
+
+  test("shingles: k=3 word windows; short docs yield one shingle") {
+    val got = Seq("a b c d e", "a b").toDF("t")
+      .select(Dedup.shingles($"t").as("sh")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("MinHash-LSH finds planted near-dups, not distinct docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs hash equal; near-dups within small hamming") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup)).toDF("id", "t")
+      .select($"id", Dedup.simhash($"t").as("s"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 4)
+  }
+
+  test("jaccard: exact set semantics") {
+    val got = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
+      .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("langId picks the max-marker language deterministically") {
+    val got = Seq("der hund und die katze ist da", "the cat and the dog is here")
+      .toDF("t").select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("de", "en"))
+  }
+}
