@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings` with exact DuckDB twins.
+  * The dot products are left-to-right double folds on both engines
+  * (Spark aggregate ≡ DuckDB list_reduce), so similarities are compared
+  * bit-exactly before rounding.
+  */
+object SimilarityQueries extends Catalog {
+
+  /** DuckDB: float[] list → double list, and the exact fold for dot/norm. */
+  private def duckVecCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |  FROM e
+      |)""".stripMargin
+
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), k -> $a[k] * $b[k]), (acc, x) -> acc + x)"
+
+  def queries: Map[String, Q] = Map(
+    "q_sim_bruteforce_topk" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, k = 3)
+          .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
+      },
+      Some(s"""$duckVecCte, scored AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, sim,
+               |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
+               |FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
+
+    "q_sim_ivf_topk" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.bucketedTopK(emb.filter(col("id") < 20), emb, k = 3, nbits = 4)
+          .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
+      },
+      Some(s"""$duckVecCte, b AS (
+               |  SELECT vec_id, v, nrm,
+               |         CAST(list_sum(list_transform(range(0, 4), i ->
+               |           CASE WHEN v[i + 1] >= 0 THEN CAST(pow(2, i) AS BIGINT)
+               |                ELSE 0 END)) AS BIGINT) AS bucket
+               |  FROM n
+               |), scored AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM b q JOIN b c ON q.bucket = c.bucket
+               |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, sim,
+               |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
+               |FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
+
+    // Multi-table LSH: the production ANN path. Candidate generation is
+    // probabilistic-by-construction but fully deterministic here (fixed LCG
+    // hyperplanes); still rows-only because replaying 32 64-dim hyperplane
+    // folds in DuckDB SQL is impractically slow — quality is spec-tested
+    // against brute force instead (SimilaritySpec).
+    "q_sim_lsh_topk" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.lshTopK(emb.filter(col("id") < 20), emb, k = 3, dims = 64)
+          .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
+      },
+      None),
+
+    "q_sim_near_dup" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+        emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+          .withColumn("sim", Similarity.cosine(col("x.v"), col("y.v")))
+          .filter(col("sim") >= 0.4)
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy(col("a"), col("b"), col("sim"))
+      },
+      Some(s"""$duckVecCte
+               |SELECT x.vec_id AS a, y.vec_id AS b,
+               |       ROUND(${duckDot("x.v", "y.v")} / (x.nrm * y.nrm), 4) AS sim
+               |FROM n x JOIN n y ON x.vec_id < y.vec_id
+               |WHERE ${duckDot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.4
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, sim NULLS FIRST""".stripMargin)),
+
+    "q_sim_label_centroid" -> Q(
+      t => t.embeddings
+        .select(col("label"), posexplode(Similarity.toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("dim"),
+          sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(
+          col("label"), col("dim"),
+          round(sqrt(aggregate(col("ms"), lit(0.0),
+            (acc, s) => acc + s.getField("m") * s.getField("m"))), 4).as("centroid_norm"))
+        .orderBy(col("label"), col("dim"), col("centroid_norm")),
+      Some("""WITH dims AS (
+              |  SELECT label,
+              |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+              |         CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings
+              |), cent AS (
+              |  SELECT label, pos, AVG(x) AS m FROM dims GROUP BY label, pos
+              |), packed AS (
+              |  SELECT label, COUNT(*) AS dim, list(m ORDER BY pos) AS ms FROM cent GROUP BY label
+              |)
+              |SELECT label, dim,
+              |       ROUND(sqrt(list_reduce(list_transform(ms, m -> m * m), (acc, x) -> acc + x)), 4) AS centroid_norm
+              |FROM packed
+              |ORDER BY label NULLS FIRST, dim NULLS FIRST, centroid_norm NULLS FIRST""".stripMargin)))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, Seq(0.9, 0.1, 0.0, 0.0)),  // near 1
+    (3L, Seq(0.0, 1.0, 0.0, 0.0)),  // orthogonal to 1
+    (4L, Seq(-1.0, 0.0, 0.0, 0.0))  // opposite of 1
+  ).toDF("id", "vec")
+
+  test("cosine: identity, orthogonality, opposition") {
+    val df = vecs.as("x").join(vecs.as("y"), col("x.id") <= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.vec"), col("y.vec")).as("c"))
+    val m = df.as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(m((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(m((1L, 3L))) < 1e-12)
+    assert(math.abs(m((1L, 4L)) + 1.0) < 1e-12)
+    assert(m((1L, 2L)) > 0.99)
+  }
+
+  test("brute-force top-k ranks the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(vecs.filter($"id" === 1), vecs, k = 2)
+      .select($"rank", $"cid").as[(Int, Long)].collect().toSeq.sorted
+    assert(top == Seq((1, 2L), (2, 3L)))
+  }
+
+  test("sign bucket groups sign-identical vectors; bucketed top-k finds same-bucket neighbor") {
+    val b = vecs.select($"id", Similarity.signBucket($"vec", 4).as("b")).as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))   // same sign pattern
+    assert(b(1L) != b(4L))   // sign flip on dim 1
+    val top = Similarity.bucketedTopK(vecs.filter($"id" === 1), vecs, k = 1, nbits = 4)
+      .select($"cid").as[Long].collect().toSeq
+    assert(top == Seq(2L))
+  }
+
+  test("multi-table LSH recall beats single-table bucketing on real embeddings") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
+    val q = emb.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, emb, 3, dims = 64)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val single = Similarity.bucketedTopK(q, emb, 3, nbits = 4)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val lshRecall = (bf & lsh).size.toDouble / bf.size
+    val singleRecall = (bf & single).size.toDouble / bf.size
+    info(f"LSH(8x4) recall=$lshRecall%.2f vs single-table=$singleRecall%.2f")
+    assert(lshRecall >= singleRecall)
+    assert(lshRecall >= 0.4) // theory ~0.75 at cos≈0.4; generous floor
+  }
+
+  test("bucketed recall vs brute force on real embeddings (top-1, 20 queries)") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
+    val q = emb.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 1).select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val iv = Similarity.bucketedTopK(q, emb, 1, nbits = 4).select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val agree = bf.count { case (k, v) => iv.get(k).contains(v) }
+    // Random 64-dim embeddings: 4 sign bits keep ~1/16 of the corpus per
+    // bucket; exact-match recall is data-dependent — just require the
+    // approximate path returns something for every query and overlaps at all.
+    assert(iv.size == 20)
+    assert(agree >= 1)
+  }
+}
