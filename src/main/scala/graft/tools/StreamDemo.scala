@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.{Graft, Tables}
+import graft.pipeline.SensorSchemas
+import graft.streaming.{KafkaSink, StreamOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Runnable streaming driver: a real file-source stream of the testdata
+  * events through the watermarked tumbling-window operator, then the full
+  * Snort pipeline through the foreachBatch sink with a stdout writer.
+  *
+  * Usage: sbt "runMain graft.tools.StreamDemo [sfDir]"
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Graft.session("graft-stream-demo")
+
+    // 1. file-source stream: stage the events table as json, stream it back
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables(spark, sfDir).events
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .coalesce(4).write.mode("overwrite").json(stage)
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string, user_id bigint")
+      .json(stage)
+    val counts = StreamOps.tumblingCounts(stream, "ts", "6 hours", "1 hour", "event_type")
+    StreamOps.runToMemory(counts, "stream_counts", OutputMode.Append)
+    val out = spark.table("stream_counts")
+    println(s"[stream] windows=${out.count()}")
+    out.orderBy(col("window_start"), col("event_type")).show(8, truncate = false)
+
+    // 2. Snort pipeline → foreachBatch sink with a stdout writer
+    val fixture =
+      """{"metrics":[{"snort_timestamp":"25/01/31-04:15:06.927463"},
+        |{"snort_timestamp":"25/01/31-04:15:07.100000"}],
+        |"event_hash_sha256":"demo-hash","event_metrics_count":2,
+        |"event_seconds":1738296906,"sensor_id":"sensor-demo","sensor_version":"1",
+        |"event_read_at":1738296906927463,"event_sent_at":1738296906900000,
+        |"event_received_at":1738296906000000,"snort_interface":"eth0",
+        |"snort_message":"demo","snort_priority":1,"snort_protocol":"TCP",
+        |"snort_rule_gid":1,"snort_rule_rev":1,"snort_rule_sid":1,
+        |"snort_rule":"1:1","snort_seconds":1738296906}""".stripMargin.replaceAll("\n", "")
+    import spark.implicits._
+    val events = Seq(fixture).toDF("value")
+      .select(from_json(col("value"), SensorSchemas.sensorEventSchema).as("e"))
+      .select("e.*")
+    val envelope = graft.pipeline.SnortPipeline.withEnvelope(
+      graft.pipeline.SnortPipeline.alerts(events))
+    KafkaSink.emit(
+      KafkaSink.prepareRecords(envelope, "alerts-out", schemaId = 3),
+      () => new StdoutWriter)
+    spark.stop()
+  }
+}
+
+class StdoutWriter extends KafkaSink.RecordWriter {
+  def send(r: KafkaSink.PreparedRecord): Unit =
+    println(s"[sink] topic=${r.topic} key=${new String(r.key, "UTF-8")} " +
+      s"ts=${r.timestampMs} valueBytes=${r.value.length} headers=${r.headers.toSeq.sorted}")
+}
