@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1.toByte, 2.toByte)),
+    (2L, Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+    (3L, Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte, 9.toByte)),
+    (4L, "plain text".getBytes("UTF-8"))
+  ).toDF("id", "media")
+
+  test("format sniffing from magic bytes") {
+    val got = Multimodal.withMetadata(media, "media")
+      .select($"id", $"media_meta.format").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "unknown"))
+  }
+
+  test("metadata carries byte length and content hash") {
+    val row = Multimodal.withMetadata(media, "media").filter($"id" === 4)
+      .select($"media_meta.n_bytes", $"media_meta.sha256").head()
+    assert(row.getLong(0) == 10L)
+    assert(row.getString(1).length == 64)
+  }
+
+  test("byte sampling: n evenly spaced values, endpoints included") {
+    val got = media.filter($"id" === 1)
+      .select(Multimodal.sampleBytes($"media", 3)).as[Seq[Int]].head()
+    assert(got.length == 3)
+    assert(got.head == 0x89 && got.last == 2)
+  }
+
+  test("batch-shaped feature extraction: deterministic, normalized, keyed") {
+    val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    val f2 = Multimodal.extractFeatures(media, "id", "media", batchSize = 64)
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    assert(f1 == f2) // batch size must not change results
+    assert(f1(4L).length == Multimodal.FakeDecode.FeatureDim)
+    assert(math.abs(f1(4L).sum - 1.0f) < 1e-5) // normalized histogram
+  }
+}
