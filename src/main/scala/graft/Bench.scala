@@ -1,23 +1,61 @@
 package graft
+
+import graft.queries.AllQueries
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs the headline queries at
+  * SPARK_GRAFT_SF_DIR, fully evaluating each plan through the noop sink
+  * (every operator executes; nothing is optimized away by a count-only
+  * terminal), and prints ONE JSON line.
+  */
 object Bench {
+
+  /** Representative cross-section: scan+filter, hash agg, 3-table join,
+    * as-of join, window top-k + frames, set op, LSH dedup, ANN top-k,
+    * scalar-heavy projection, batch kernel.
+    */
+  val headline: Seq[String] = Seq(
+    "q_scan_project",
+    "q_agg_pricing_summary",
+    "q_join_inner",
+    "q_join_asof",
+    "q_win_topk_per_group",
+    "q_win_running_frames",
+    "q_set_union_distinct",
+    "q_dedup_lsh_pairs",
+    "q_sim_bruteforce_topk",
+    "q_pipe_iso_trim")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val tables = Tables(spark, sfDir)
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      AllQueries.all(name).run(tables).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // warm codegen + parquet footers once with the cheapest query
+    try runOnce("q_scan_project") catch { case _: Throwable => () }
+
+    val results = headline.map { name =>
+      val sec = try runOnce(name) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

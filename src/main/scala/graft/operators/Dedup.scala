@@ -49,16 +49,16 @@ object Dedup {
   val HashA: Seq[Long] = Seq.tabulate(NumHashes)(j => (2L * j + 1) * 1000003L % HashPrime)
   val HashB: Seq[Long] = Seq.tabulate(NumHashes)(j => (j.toLong * 777767777L + 12345L) % HashPrime)
 
-  /** MinHash signature: sig[j] = min over shingle hashes x of (a_j·x+b_j) mod P. */
-  def minhashSignature(shingleHashSet: Column): Column = {
-    val aArr = array(HashA.map(lit): _*)
-    val bArr = array(HashB.map(lit): _*)
-    transform(
-      sequence(lit(0), lit(NumHashes - 1)),
-      j =>
-        array_min(transform(shingleHashSet,
-          x => (element_at(aArr, j + 1) * x + element_at(bArr, j + 1)) % HashPrime)))
-  }
+  /** MinHash signature: sig[j] = min over shingle hashes x of (a_j·x+b_j)
+    * mod P. Statically unrolled over j so each row of the signature is one
+    * array_min over constant-folded per-hash literals (no per-element
+    * constant-array rebuild).
+    */
+  def minhashSignature(shingleHashSet: Column): Column =
+    array(Seq.tabulate(NumHashes) { j =>
+      array_min(transform(shingleHashSet,
+        x => (lit(HashA(j)) * x + lit(HashB(j))) % HashPrime))
+    }: _*)
 
   /** LSH band keys: `bands` strings "b_sig0,sig1,..." — equal band key ⇒
     * candidate pair. 4 bands × 4 rows over a 16-row signature targets the
@@ -106,10 +106,15 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
+    // Materialize signatures ONCE: they feed three plan branches (band
+    // explode + both sides of the candidate verify), and recomputing the
+    // per-char shingle fold is the dominant cost. At corpus scale this is
+    // a signature table written to storage; locally, a cached projection.
     val prepared = docs.select(
       col(idCol).as("doc_id"),
       shingleHashes(col(textCol), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
+      .cache()
     val bands = prepared.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("band_key"))
     val candidates = bands.as("x")
