@@ -31,7 +31,7 @@ object Joins extends Catalog {
 
     "q_join_left" -> Q(
       t => t.customer
-        .join(t.orders.filter(col("o_totalprice") > 4000),
+        .join(t.orders.filter(col("o_totalprice") > 250000),
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -42,7 +42,7 @@ object Joins extends Catalog {
       Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows,
                      COUNT(DISTINCT c_custkey) AS n_cust
               FROM customer
-              LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 4000) o
+              LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
                 ON c_custkey = o_custkey
               GROUP BY c_mktsegment
               ORDER BY c_mktsegment NULLS FIRST""")),
@@ -65,7 +65,7 @@ object Joins extends Catalog {
 
     "q_join_full" -> Q(
       t => t.customer.filter(col("c_acctbal") < 0)
-        .join(t.orders.filter(col("o_totalprice") > 4500),
+        .join(t.orders.filter(col("o_totalprice") > 450000),
           col("c_custkey") === col("o_custkey"), "full")
         .select(
           when(col("c_custkey").isNull, "order_only")
@@ -79,7 +79,7 @@ object Joins extends Catalog {
                             WHEN o_orderkey IS NULL THEN 'customer_only'
                             ELSE 'both' END AS side
                 FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
-                FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 4500) o
+                FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
                   ON c_custkey = o_custkey)
               GROUP BY side
               ORDER BY side NULLS FIRST""")),
@@ -100,7 +100,7 @@ object Joins extends Catalog {
 
     "q_join_anti" -> Q(
       t => t.customer
-        .join(t.orders.filter(col("o_totalprice") > 4800),
+        .join(t.orders.filter(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(t.nation, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -110,7 +110,7 @@ object Joins extends Catalog {
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               WHERE NOT EXISTS (SELECT 1 FROM orders
-                                WHERE o_custkey = c_custkey AND o_totalprice > 4800)
+                                WHERE o_custkey = c_custkey AND o_totalprice > 400000)
               GROUP BY n_name
               ORDER BY n_name NULLS FIRST, n_cust NULLS FIRST""")),
 

@@ -11,22 +11,22 @@ object SetOps extends Catalog {
 
   def queries: Map[String, Q] = Map(
     "q_set_union_all" -> Q(
-      t => t.orders.filter(col("o_totalprice") > 4900)
+      t => t.orders.filter(col("o_totalprice") > 350000)
         .select(col("o_orderkey").as("k"), lit("orders").as("src"))
         .unionAll(t.lineitem.filter(col("l_quantity") > 49)
           .select(col("l_orderkey").as("k"), lit("lineitem").as("src")))
         .orderBy(col("k"), col("src")),
-      Some("""SELECT o_orderkey AS k, 'orders' AS src FROM orders WHERE o_totalprice > 4900
+      Some("""SELECT o_orderkey AS k, 'orders' AS src FROM orders WHERE o_totalprice > 350000
               UNION ALL
               SELECT l_orderkey AS k, 'lineitem' AS src FROM lineitem WHERE l_quantity > 49
               ORDER BY k NULLS FIRST, src NULLS FIRST""")),
 
     "q_set_union_distinct" -> Q(
-      t => t.orders.filter(col("o_totalprice") > 4900).select(col("o_orderkey").as("k"))
+      t => t.orders.filter(col("o_totalprice") > 350000).select(col("o_orderkey").as("k"))
         .union(t.lineitem.filter(col("l_quantity") > 49).select(col("l_orderkey").as("k")))
         .distinct()
         .orderBy(col("k")),
-      Some("""SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 4900
+      Some("""SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 350000
               UNION
               SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 49
               ORDER BY k NULLS FIRST""")),
