@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (SURVEY.md §2C UDF-surface row): per-group top-k accumulator.
+  *
+  * Scale rationale: the window formulation (`row_number ≤ k`) shuffles and
+  * sorts EVERY row of a group; this Aggregator keeps a k-element buffer per
+  * group and combines partial buffers map-side, so the shuffle carries at
+  * most k values per group per partition — the right shape when groups are
+  * huge and k is small. (Spark 4's WindowGroupLimit narrows the gap for the
+  * window form; the Aggregator remains the explicit, bounded-state variant.)
+  *
+  * Keeps the k largest (score, tag) pairs, ordered desc by score then asc
+  * by tag for determinism under ties.
+  */
+final case class ScoredTag(score: Double, tag: Long)
+
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredTag, Seq[ScoredTag], Seq[ScoredTag]] {
+
+  private def keep(xs: Seq[ScoredTag]): Seq[ScoredTag] =
+    xs.sortBy(s => (-s.score, s.tag)).take(k)
+
+  override def zero: Seq[ScoredTag] = Seq.empty
+  override def reduce(b: Seq[ScoredTag], a: ScoredTag): Seq[ScoredTag] = keep(b :+ a)
+  override def merge(b1: Seq[ScoredTag], b2: Seq[ScoredTag]): Seq[ScoredTag] = keep(b1 ++ b2)
+  override def finish(r: Seq[ScoredTag]): Seq[ScoredTag] = r
+  override def bufferEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()
+  override def outputEncoder: Encoder[Seq[ScoredTag]] = bufferEncoder
+}
