@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PartitioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = {
+    // 90% of rows share one hot key
+    val hot = Seq.fill(900)("hot")
+    val cold = (1 to 100).map(i => s"k$i")
+    (hot ++ cold).zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+  }
+
+  test("salted aggregate equals plain aggregate on skewed keys") {
+    val plain = skewed.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy($"k").collect().toSeq
+    val salted = Partitioning.saltedAggregate(skewed, "k", "v")
+      .withColumnRenamed("sum_v", "sum_v")
+      .orderBy($"k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val plain = skewed.join(dim, "k").orderBy($"k", $"v").collect().toSeq
+    val salted = Partitioning.saltedJoin(skewed, dim, "k")
+      .select(skewed.columns.map(col) :+ col("label"): _*)
+      .orderBy($"k", $"v").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed-bucketed join plans without a shuffle exchange") {
+    val li = graft.Graft.table(spark, sf(), "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val o = graft.Graft.table(spark, sf(), "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    // disable auto-broadcast so the join would NEED a shuffle if the
+    // bucketing were not honored
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}

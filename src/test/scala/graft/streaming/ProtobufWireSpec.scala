@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.{SensorSchemas, SnortPipeline}
+import org.apache.spark.sql.Row
+import scala.jdk.CollectionConverters._
+
+class ProtobufWireSpec extends SparkSpec {
+
+  private def metric(ts: String): Row =
+    Row.fromSeq((ts +: Array.fill[Any](37)(null)).toIndexedSeq)
+
+  private def event(hash: String, metrics: Seq[Row]): Row =
+    Row(metrics, hash, metrics.size.toLong, 1738296906L, "s1", "v1",
+      1738296906927463L, 1738296906900000L, 1738296906000000L,
+      "allow", null, "C2S", "eth0", "msg", 1L, "TCP", 1L, 2L, 3L,
+      "1:1", 1738296906L, "http", null)
+
+  test("golden wire bytes for minimal messages (hand-computed from the spec)") {
+    val m = metric("A")
+    // Metric{snort_timestamp:"A"} → tag(1,len)=0x0A, len=1, 'A'
+    val mBytes = ProtobufWire.encodeSensorEvent(event("", Seq(m)))
+    // event: field1(len-delim)=0x0A, len=3, then nested [0x0A,0x01,0x41];
+    // then field2 ""(len 0)=0x12,0x00; field3 varint 1=0x18,0x01 ...
+    assert(mBytes.take(7).toSeq ==
+      Seq(0x0a, 0x03, 0x0a, 0x01, 0x41, 0x12, 0x00).map(_.toByte))
+  }
+
+  test("roundtrip: encode → Confluent frame → strip → decode equals input") {
+    val original = event("hash-x", Seq(metric("25/01/31-04:15:06.927463"), metric("t2")))
+    val encoded = ProtobufWire.encodeSensorEvent(original)
+    val decoded = ProtobufWire.decodeSensorEvent(encoded)
+    assert(decoded == original)
+  }
+
+  test("unknown fields are skipped, defaults fill absent scalars") {
+    // append an unknown varint field (number 99): tag = 99<<3|0 = 792
+    val base = ProtobufWire.encodeSensorEvent(event("h", Seq.empty))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base); out.write(0x98.toByte); out.write(0x06); out.write(0x2a)
+    val decoded = ProtobufWire.decodeSensorEvent(out.toByteArray)
+    val schema = SensorSchemas.sensorEventSchema
+    assert(decoded.getString(schema.fieldIndex("event_hash_sha256")) == "h")
+    assert(decoded.isNullAt(schema.fieldIndex("snort_classification")))
+  }
+
+  test("end-to-end: framed bytes → strip → decode → explode → SnortAlert") {
+    import org.apache.spark.sql.functions._
+    val framedRows = Seq(
+      Row(javaBytes(withFrame(ProtobufWire.encodeSensorEvent(
+        event("hash-1", Seq(metric("25/01/31-04:15:06.927463"), metric("x"))))))))
+    val df = spark.createDataFrame(framedRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType))))
+    val stripped = df.select(ConfluentFraming.strip(col("value")).as("payload"),
+      ConfluentFraming.schemaId(col("value")).as("sid"))
+    assert(stripped.select("sid").head().getInt(0) == 17)
+    val events = ProtobufWire.decode(stripped, "payload")
+    val alerts = SnortPipeline.alerts(events)
+    assert(alerts.count() == 2)
+    val row = alerts.orderBy(col("timestamp")).head()
+    assert(row.getStruct(row.fieldIndex("metadata")).getAs[String]("hash_sha256") == "hash-1")
+    assert(row.getAs[String]("priority_str") == "High")
+  }
+
+  private def withFrame(payload: Array[Byte]): Array[Byte] =
+    Array[Byte](0, 0, 0, 0, 17) ++ payload
+  private def javaBytes(a: Array[Byte]): Array[Byte] = a
+}
