@@ -90,6 +90,28 @@ object StreamOps {
       }
   }
 
+  /** The reference's full latent AlertSummary intent (AlertSummary proto +
+    * B1 time bucketing): running totals keyed by (sensor, time bucket).
+    * Input rows: (sensorId, epochSeconds, count).
+    */
+  final case class AlertSummaryRow(sensorId: String, bucketStart: Long, totalAlerts: Long)
+
+  def alertSummaryBucketed(
+      alerts: Dataset[(String, Long, Long)],
+      bucketSeconds: Long): Dataset[AlertSummaryRow] = {
+    import alerts.sparkSession.implicits._
+    alerts
+      .groupByKey { case (sensor, epochS, _) =>
+        (sensor, epochS - Math.floorMod(epochS, bucketSeconds))
+      }
+      .mapGroupsWithState[Long, AlertSummaryRow](GroupStateTimeout.NoTimeout) {
+        case ((sensor, bucket), rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._3).sum
+          state.update(total)
+          AlertSummaryRow(sensor, bucket, total)
+      }
+  }
+
   /** Stream-static enrichment, B3 shape: the stream side keeps its
     * cardinality; the static dim is broadcast so no stream shuffle happens.
     * (The reference dedups the key set before fan-out to an HTTP service —

@@ -17,6 +17,9 @@ object StreamDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Graft.session("graft-stream-demo")
 
+    // interval stats (reference A12) ride along on every streaming query
+    spark.streams.addListener(new graft.streaming.StatsListener)
+
     // 1. file-source stream: stage the events table as json, stream it back
     val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Tables(spark, sfDir).events
