@@ -37,12 +37,12 @@ object Dedup {
   def shingleHashes(c: Column, k: Int = 3): Column =
     array_distinct(transform(shingles(c, k), polyHash(_)))
 
-  /** Polynomial hash of one string (same fold as TextAnalysis.fingerprint). */
+  /** Polynomial hash of one string (same fold as TextAnalysis.fingerprint),
+    * evaluated by the native codegen kernel — this runs once per shingle
+    * per document, so the HOF formulation was the dedup family's hotspot.
+    */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % HashPrime)
+    graft.functions.PolyHashExpression.column(s)
 
   /** Deterministic universal-hash parameters for the signature rows. */
   val NumHashes = 16

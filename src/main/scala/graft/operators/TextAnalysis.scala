@@ -49,13 +49,11 @@ object TextAnalysis {
   }
 
   /** Deterministic rolling polynomial hash over the document's characters:
-    * fold (acc * 31 + ascii(ch)) mod 1e9+7. Identical to DuckDB's
+    * fold (acc * 31 + codepoint) mod 1e9+7, evaluated by the native codegen
+    * kernel ([[graft.functions.PolyHashKernel]]). Identical to DuckDB's
     * list_reduce over string_split(text, '') — golden: "abc" → 96354.
     */
   val HashPrime = 1000000007L
   def fingerprint(c: Column): Column =
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % HashPrime)
+    graft.functions.PolyHashExpression.column(c)
 }
