@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second wave of scalar-function coverage: the remaining commonly-used
+  * string and date built-ins, plus outer explode semantics (null row kept
+  * for empty arrays — the dual of A3's inner explode).
+  */
+object ScalarFns2 extends Catalog {
+
+  def queries: Map[String, Q] = Map(
+    "q_str_funcs2" -> Q(
+      t => t.part
+        .select(
+          col("p_partkey"),
+          initcap(col("p_name")).as("title"),
+          translate(col("p_type"), "AEO", "aeo").as("translated"),
+          instr(col("p_name"), "widget").as("widget_at"),
+          repeat(col("p_brand"), 2).as("doubled"),
+          reverse(col("p_name")).as("reversed"),
+          rpad(col("p_brand"), 12, ".").as("padded"),
+          left(col("p_name"), lit(4)).as("l4"),
+          right(col("p_name"), lit(4)).as("r4"),
+          contains(col("p_name"), lit("bolt")).as("has_bolt"),
+          startswith(col("p_type"), lit("PRO")).as("is_promo"),
+          endswith(col("p_name"), lit("t")).as("ends_t"))
+        .orderBy(col("p_partkey"), col("title"), col("translated"), col("widget_at"),
+          col("doubled"), col("reversed"), col("padded"), col("l4"), col("r4"),
+          col("has_bolt"), col("is_promo"), col("ends_t")),
+      Some("""SELECT p_partkey,
+                     -- Spark initcap capitalizes every whitespace-separated word
+                     array_to_string(list_transform(string_split(p_name, ' '),
+                       w -> upper(w[1]) || lower(w[2:])), ' ') AS title,
+                     translate(p_type, 'AEO', 'aeo') AS translated,
+                     CAST(instr(p_name, 'widget') AS INTEGER) AS widget_at,
+                     repeat(p_brand, 2) AS doubled,
+                     reverse(p_name) AS reversed,
+                     rpad(p_brand, 12, '.') AS padded,
+                     left(p_name, 4) AS l4,
+                     right(p_name, 4) AS r4,
+                     contains(p_name, 'bolt') AS has_bolt,
+                     starts_with(p_type, 'PRO') AS is_promo,
+                     ends_with(p_name, 't') AS ends_t
+              FROM part
+              ORDER BY p_partkey NULLS FIRST, title NULLS FIRST, translated NULLS FIRST,
+                       widget_at NULLS FIRST, doubled NULLS FIRST, reversed NULLS FIRST,
+                       padded NULLS FIRST, l4 NULLS FIRST, r4 NULLS FIRST,
+                       has_bolt NULLS FIRST, is_promo NULLS FIRST, ends_t NULLS FIRST""")),
+
+    "q_date_funcs2" -> Q(
+      t => t.orders
+        .filter(col("o_orderkey") < 300)
+        .select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("month_end"),
+          date_format(trunc(col("o_orderdate").cast("date"), "year"), "yyyy-MM-dd").as("year_start"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"))
+        .orderBy(col("o_orderkey"), col("plus3m"), col("month_end"),
+          col("year_start"), col("doy"), col("woy")),
+      Some("""SELECT o_orderkey,
+                     strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+                     strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                     strftime(date_trunc('year', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS year_start,
+                     CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+                     CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+              FROM orders WHERE o_orderkey < 300
+              ORDER BY o_orderkey NULLS FIRST, plus3m NULLS FIRST, month_end NULLS FIRST,
+                       year_start NULLS FIRST, doy NULLS FIRST, woy NULLS FIRST""")),
+
+    "q_array_explode_outer" -> Q(
+      t => t.documents
+        .withColumn("maybe_tokens",
+          when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+            .otherwise(slice(split(col("text"), "\\s+"), 1, 2)))
+        .select(col("doc_id"), explode_outer(col("maybe_tokens")).as("tok"))
+        .orderBy(col("doc_id"), col("tok")),
+      Some("""WITH m AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 10 = 0 THEN []::VARCHAR[]
+              |              ELSE string_split_regex(text, '\s+')[1:2] END AS maybe_tokens
+              |  FROM documents)
+              |SELECT m.doc_id, u.tok
+              |FROM m LEFT JOIN LATERAL (SELECT unnest(m.maybe_tokens) AS tok) u ON true
+              |ORDER BY doc_id NULLS FIRST, tok NULLS FIRST""".stripMargin)))
+}
