@@ -22,20 +22,31 @@ object Dedup {
 
   import TextAnalysis.HashPrime
 
-  /** Word k-shingles: ["a b c", "b c d", ...]; a doc shorter than k tokens
-    * yields its whole token string as the single shingle.
+  /** Word k-shingles over a PRE-MATERIALIZED token array column. Callers
+    * should project `TextAnalysis.tokens(text)` into its own column first:
+    * a HOF lambda re-evaluates embedded expressions per element, so passing
+    * the raw split expression here would tokenize once per shingle instead
+    * of once per row (~100× redundant work on typical docs).
     */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(c)
-    val n = size(toks)
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-  }
+
+  /** Word k-shingles from raw text; a doc shorter than k tokens yields its
+    * whole token string as the single shingle. Convenience form — prefer
+    * [[shinglesFromTokens]] over a materialized tokens column in hot paths.
+    */
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(c), k)
 
   /** Distinct shingle hash set — the MinHash input. */
   def shingleHashes(c: Column, k: Int = 3): Column =
     array_distinct(transform(shingles(c, k), polyHash(_)))
+
+  /** Distinct shingle hash set from a materialized tokens column. */
+  def shingleHashesFromTokens(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(shinglesFromTokens(toks, k), polyHash(_)))
 
   /** Polynomial hash of one string (same fold as TextAnalysis.fingerprint),
     * evaluated by the native codegen kernel — this runs once per shingle
@@ -110,9 +121,10 @@ object Dedup {
     // explode + both sides of the candidate verify), and recomputing the
     // per-char shingle fold is the dominant cost. At corpus scale this is
     // a signature table written to storage; locally, a cached projection.
-    val prepared = docs.select(
-      col(idCol).as("doc_id"),
-      shingleHashes(col(textCol), k).as("shd"))
+    val prepared = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shingleHashesFromTokens(col("__toks"), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
       .cache()
     val bands = prepared.select(col("doc_id"),
