@@ -30,6 +30,17 @@ object TextAnalysis {
   def avgWordLen(c: Column): Column =
     length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
 
+  /** BPE-style pre-tokenizer piece count (the GPT-2 pre-tokenization regex
+    * family, public knowledge): contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs, residual whitespace. A fast proxy for
+    * "LLM token count" that needs no vocabulary — each piece maps to ≥1 BPE
+    * token, so this lower-bounds real tokenizer output and tracks it
+    * closely on natural text.
+    */
+  val BpePiecePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+  def bpePieceCount(c: Column): Column = regexp_count(c, lit(BpePiecePattern))
+
   /** Marker-regex language scores; predicted language = max score, ties
     * broken toward the alphabetically-first code (min over (-score, code)).
     */

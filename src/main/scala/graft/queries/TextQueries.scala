@@ -45,20 +45,22 @@ object TextQueries extends Catalog {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.punctCount(col("text")).as("n_punct"),
         TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.bpePieceCount(col("text")).as("n_bpe_pieces"),
         round(TextAnalysis.avgWordLen(col("text")), 2).as("avg_word_len"))
         .orderBy(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
-          col("n_punct"), col("n_stopwords"), col("avg_word_len")),
+          col("n_punct"), col("n_stopwords"), col("n_bpe_pieces"), col("avg_word_len")),
       Some(s"""SELECT doc_id, lang,
                       CAST(length(text) AS INTEGER) AS n_chars,
                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
                       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INTEGER) AS n_punct,
                       CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) AS INTEGER) AS n_stopwords,
+                      CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePiecePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_pieces,
                       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                             / len(string_split_regex(trim(text), '\\s+')), 2) AS avg_word_len
                FROM documents
                ORDER BY doc_id NULLS FIRST, lang NULLS FIRST, n_chars NULLS FIRST,
                         n_tokens NULLS FIRST, n_punct NULLS FIRST, n_stopwords NULLS FIRST,
-                        avg_word_len NULLS FIRST""")),
+                        n_bpe_pieces NULLS FIRST, avg_word_len NULLS FIRST""")),
 
     "q_text_langid" -> Q(
       t => t.documents
