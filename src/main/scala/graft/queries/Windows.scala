@@ -126,6 +126,48 @@ object Windows extends Catalog {
               ORDER BY c_mktsegment NULLS FIRST, rn NULLS FIRST,
                        o_orderkey NULLS FIRST, total NULLS FIRST""")),
 
+    // Batch sessionization: the window-function formulation of
+    // session_window (gap > 30 min starts a new session), expressible on
+    // both engines — session id = running count of gap-breaks per user.
+    "q_win_sessionize" -> Q(
+      t => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t.events
+          .withColumn("gap_s",
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+          .withColumn("new_session",
+            when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            round(sum(col("value")), 2).as("session_value"))
+          .orderBy(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start"), col("session_value"))
+      },
+      Some("""WITH g AS (
+              |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+              |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              |           - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP), 1)
+              |               OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+              |  FROM events
+              |), s AS (
+              |  SELECT user_id, ts, value,
+              |         SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM g
+              |)
+              |SELECT user_id, session_id, COUNT(*) AS n_events,
+              |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              |       ROUND(SUM(value), 2) AS session_value
+              |FROM s
+              |GROUP BY user_id, session_id
+              |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST,
+              |         session_start NULLS FIRST, session_value NULLS FIRST""".stripMargin)),
+
     "q_sort_limit" -> Q(
       t => t.orders
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))

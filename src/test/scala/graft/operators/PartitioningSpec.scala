@@ -32,6 +32,22 @@ class PartitioningSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hive-partitioned write prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.Graft.table(spark, sf(), "events")
+      .withColumn("event_type", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"event_type" === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must be applied at file-index level, not post-scan
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"))
+    val total = spark.read.parquet(dir).count()
+    val prunedCount = pruned.count()
+    assert(prunedCount > 0 && prunedCount < total)
+  }
+
   test("bucketed-bucketed join plans without a shuffle exchange") {
     val li = graft.Graft.table(spark, sf(), "lineitem")
       .select($"l_orderkey", $"l_quantity")
