@@ -63,6 +63,14 @@ object Multimodal {
     */
   object FakeDecode {
     val FeatureDim = 16
+
+    /** Genuinely batch-shaped kernel — the signature a vectorized decoder
+      * (ffmpeg/ImageIO/JNI) would plug into: one call per batch of
+      * payloads, one feature vector out per payload.
+      */
+    def featuresBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map(features)
+
     def features(payload: Array[Byte]): Array[Float] = {
       val hist = new Array[Float](FeatureDim)
       if (payload != null && payload.nonEmpty) {
@@ -87,9 +95,11 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val rows = df.select(col(idCol), col(mediaCol)).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // one kernel call per batch — swap in a vectorized decoder here
-        batch.iterator.map { r =>
-          Row(r.get(0), FakeDecode.features(r.getAs[Array[Byte]](1)).toSeq)
+        // ONE kernel invocation per batch — the vectorized-decoder seam
+        val feats = FakeDecode.featuresBatch(
+          batch.map(_.getAs[Array[Byte]](1)).toArray)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row(r.get(0), f.toSeq)
         }
       }
     }

@@ -43,9 +43,13 @@ object AsOf {
         struct(valueCols.map(col): _*).as("__vals")) ++
         otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
+    // __vals as the final sort key makes the ordering total: two right rows
+    // at the same (key, time) would otherwise be matched nondeterministically
+    // (struct comparison is lexicographic; left rows carry null __vals and
+    // sort consistently).
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__vals").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, -1)
 
     l.unionByName(r)

@@ -121,6 +121,9 @@ object Dedup {
     // explode + both sides of the candidate verify), and recomputing the
     // per-char shingle fold is the dominant cost. At corpus scale this is
     // a signature table written to storage; locally, a cached projection.
+    // Lifecycle note: the cache lives until session end (the handle is
+    // internal) — long-lived sessions doing many dedup passes should write
+    // signatures to a table instead, which is the at-scale shape anyway.
     val prepared = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))

@@ -24,8 +24,17 @@ class TopKAggregator(k: Int)
   private def keep(xs: Seq[ScoredTag]): Seq[ScoredTag] =
     xs.sortBy(s => (-s.score, s.tag)).take(k)
 
+  /** True when `a` cannot displace anything in a FULL sorted buffer. */
+  private def belowFloor(b: Seq[ScoredTag], a: ScoredTag): Boolean = {
+    val floor = b.last
+    a.score < floor.score || (a.score == floor.score && a.tag > floor.tag)
+  }
+
   override def zero: Seq[ScoredTag] = Seq.empty
-  override def reduce(b: Seq[ScoredTag], a: ScoredTag): Seq[ScoredTag] = keep(b :+ a)
+  override def reduce(b: Seq[ScoredTag], a: ScoredTag): Seq[ScoredTag] =
+    // O(1) fast path: most rows of a large group lose to the current floor —
+    // sort only on genuine insertions (buffer stays sorted by construction)
+    if (b.length >= k && belowFloor(b, a)) b else keep(b :+ a)
   override def merge(b1: Seq[ScoredTag], b2: Seq[ScoredTag]): Seq[ScoredTag] = keep(b1 ++ b2)
   override def finish(r: Seq[ScoredTag]): Seq[ScoredTag] = r
   override def bufferEncoder: Encoder[Seq[ScoredTag]] = ExpressionEncoder[Seq[ScoredTag]]()

@@ -66,9 +66,14 @@ object KafkaSource {
   * QueryProgressEvent, which already carries rows/sec and batch duration;
   * no user-space accumulation needed.
   */
-class StatsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+class StatsListener(keepLast: Int = 1024)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
   import org.apache.spark.sql.streaming.StreamingQueryListener._
 
+  /** Bounded ring of recent (rows, rows/s, batchMs) — the reference keeps
+    * only interval counters, so an unbounded buffer would be a driver-heap
+    * leak on week-long streams.
+    */
   val progress = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
@@ -76,6 +81,7 @@ class StatsListener extends org.apache.spark.sql.streaming.StreamingQueryListene
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     progress.add((p.numInputRows, p.inputRowsPerSecond, p.batchDuration))
+    while (progress.size > keepLast) progress.poll()
     if (p.numInputRows > 0)
       println(f"[stats] batch=${p.batchId} rows=${p.numInputRows} " +
         f"rows/s=${p.inputRowsPerSecond}%.1f batchMs=${p.batchDuration}")

@@ -49,31 +49,45 @@ object ProtobufWire {
 
   // ---- wire primitives ----------------------------------------------------
 
+  /** Thrown for truncated/corrupt payloads — callers route the record to
+    * the malformed path instead of failing the task (a poison Kafka message
+    * must not kill the stream; the reference counts failed events,
+    * internal/app/app.go:85-97).
+    */
+  final class MalformedRecord(msg: String) extends RuntimeException(msg)
+
   private final class Reader(buf: Array[Byte]) {
     var pos = 0
     def hasMore: Boolean = pos < buf.length
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
-      while (true) {
+      while (shift <= 63) {
+        if (pos >= buf.length) throw new MalformedRecord("truncated varint")
         val b = buf(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
         shift += 7
       }
-      result
+      throw new MalformedRecord("varint exceeds 64 bits")
+    }
+    def readLen(): Int = {
+      val n = readVarint()
+      if (n < 0 || pos + n > buf.length) throw new MalformedRecord(s"bad length $n")
+      n.toInt
     }
     def readBytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > buf.length) throw new MalformedRecord(s"truncated bytes $n")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
       pos += n
       out
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
-      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+      case 1 => pos += 8; if (pos > buf.length) throw new MalformedRecord("truncated fixed64")
+      case 2 => pos += readLen()
+      case 5 => pos += 4; if (pos > buf.length) throw new MalformedRecord("truncated fixed32")
+      case other => throw new MalformedRecord(s"unsupported wire type $other")
     }
   }
 
@@ -109,11 +123,10 @@ object ProtobufWire {
       val wireType = (tag & 7).toInt
       fields.get(fieldNum) match {
         case Some("metrics") =>
-          val len = r.readVarint().toInt
-          metricsCollector.get += decodeMetric(r.readBytes(len))
+          metricsCollector.get += decodeMetric(r.readBytes(r.readLen()))
         case Some(name) =>
           schema(name).dataType match {
-            case StringType => values(name) = new String(r.readBytes(r.readVarint().toInt), StandardCharsets.UTF_8)
+            case StringType => values(name) = new String(r.readBytes(r.readLen()), StandardCharsets.UTF_8)
             case LongType   => values(name) = r.readVarint()
             case other      => throw new IllegalArgumentException(s"unsupported $other")
           }
@@ -141,15 +154,22 @@ object ProtobufWire {
       Some(collection.mutable.ArrayBuffer.empty[Row]))
 
   /** DataFrame op: binary `valueCol` (already Confluent-stripped) →
-    * full SensorEvent rows.
+    * full SensorEvent rows. Implemented with Dataset.mapPartitions (NOT
+    * .rdd, which forces batch execution and is illegal on streaming plans),
+    * so the same operator serves batch frames and `readStream` pipelines.
+    * Malformed records are dropped, mirroring the reference's
+    * count-and-continue handling of failed events (app.go:85-97).
     */
   def decode(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
     val idx = df.schema.fieldIndex(valueCol)
-    val rows = df.rdd.mapPartitions(_.map { r =>
-      decodeSensorEvent(r.getAs[Array[Byte]](idx))
-    })
-    spark.createDataFrame(rows, SensorSchemas.sensorEventSchema)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(SensorSchemas.sensorEventSchema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        try Some(decodeSensorEvent(r.getAs[Array[Byte]](idx)))
+        catch { case _: MalformedRecord => None }
+      }
+    }
   }
 
   // ---- encode (tests + sink symmetry) ------------------------------------

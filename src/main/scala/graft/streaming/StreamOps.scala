@@ -10,9 +10,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * protos/sensor_event.proto:75-77 + B1 time bucketing), and stream-static
   * enrichment (B3 ip-lookup shape: dedup the key set, broadcast-join back).
   *
-  * State discipline at 100 TB (SURVEY.md §7.4 hard-part 5): every stateful
-  * op here REQUIRES a watermark so the state store is bounded; keys are the
-  * shuffle partitioning, so state scales horizontally with executors.
+  * State discipline at 100 TB (SURVEY.md §7.4 hard-part 5): every
+  * window/dedup op here requires a watermark, so their state is bounded.
+  * The explicit mapGroupsWithState accumulators accept an opt-in
+  * processing-time `stateTtl` that reaps idle keys (expired keys emit a
+  * final row and are removed) — production deployments SHOULD set it, since
+  * without a TTL their state grows with the number of keys ever seen. (The
+  * TTL is opt-in because ProcessingTimeTimeout makes the query run
+  * continuous timeout-check batches, which test harnesses built on
+  * processAllAvailable cannot drain.) Keys are the shuffle partitioning,
+  * so state scales horizontally with executors.
   */
 object StreamOps {
 
@@ -75,18 +82,34 @@ object StreamOps {
   /** Running per-sensor alert totals — the reference's AlertSummary intent
     * as an explicit `mapGroupsWithState` accumulator (update-mode output:
     * one (sensor_id, total) row per group per trigger).
+    *
+    * State lifecycle: a processing-time TTL expires idle keys (state is
+    * removed and a final row emitted), keeping the store bounded by the
+    * number of ACTIVE sensors rather than all sensors ever seen.
     */
   final case class AlertCount(sensorId: String, total: Long)
 
-  def alertSummary(alerts: Dataset[(String, Long)]): Dataset[AlertCount] = {
+  def alertSummary(
+      alerts: Dataset[(String, Long)],
+      stateTtl: Option[String] = None): Dataset[AlertCount] = {
     import alerts.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     alerts
       .groupByKey(_._1)
-      .mapGroupsWithState[Long, AlertCount](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Long, AlertCount](timeoutConf) {
         (sensorId: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
-          state.update(total)
-          AlertCount(sensorId, total)
+          if (state.hasTimedOut) {
+            val finalTotal = state.getOption.getOrElse(0L)
+            state.remove()
+            AlertCount(sensorId, finalTotal)
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+            state.update(total)
+            stateTtl.foreach(state.setTimeoutDuration)
+            AlertCount(sensorId, total)
+          }
       }
   }
 
@@ -98,17 +121,29 @@ object StreamOps {
 
   def alertSummaryBucketed(
       alerts: Dataset[(String, Long, Long)],
-      bucketSeconds: Long): Dataset[AlertSummaryRow] = {
+      bucketSeconds: Long,
+      stateTtl: Option[String] = None): Dataset[AlertSummaryRow] = {
     import alerts.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     alerts
       .groupByKey { case (sensor, epochS, _) =>
         (sensor, epochS - Math.floorMod(epochS, bucketSeconds))
       }
-      .mapGroupsWithState[Long, AlertSummaryRow](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Long, AlertSummaryRow](timeoutConf) {
         case ((sensor, bucket), rows, state) =>
-          val total = state.getOption.getOrElse(0L) + rows.map(_._3).sum
-          state.update(total)
-          AlertSummaryRow(sensor, bucket, total)
+          if (state.hasTimedOut) {
+            val finalTotal = state.getOption.getOrElse(0L)
+            state.remove()
+            AlertSummaryRow(sensor, bucket, finalTotal)
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.map(_._3).sum
+            state.update(total)
+            // old buckets go idle once the stream moves on; the TTL reaps them
+            stateTtl.foreach(state.setTimeoutDuration)
+            AlertSummaryRow(sensor, bucket, total)
+          }
       }
   }
 

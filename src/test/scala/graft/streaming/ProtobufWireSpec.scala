@@ -64,6 +64,24 @@ class ProtobufWireSpec extends SparkSpec {
     assert(row.getAs[String]("priority_str") == "High")
   }
 
+  test("decode works on a STREAMING DataFrame and drops malformed records") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[Array[Byte]](spark)
+    val decoded = ProtobufWire.decode(in.toDF().toDF("payload"), "payload")
+    val q = decoded.writeStream.format("memory").queryName("proto_stream").start()
+    in.addData(
+      ProtobufWire.encodeSensorEvent(event("ok-1", Seq(metric("t")))),
+      Array[Byte](0x0a, 0x7f),                   // truncated length-delimited
+      Array[Byte](0x98.toByte, 0x06),            // truncated varint field
+      ProtobufWire.encodeSensorEvent(event("ok-2", Seq.empty)))
+    q.processAllAvailable()
+    q.stop()
+    val hashes = spark.table("proto_stream")
+      .select($"event_hash_sha256").as[String].collect().sorted.toSeq
+    assert(hashes == Seq("ok-1", "ok-2")) // poison records dropped, stream alive
+  }
+
   private def withFrame(payload: Array[Byte]): Array[Byte] =
     Array[Byte](0, 0, 0, 0, 17) ++ payload
   private def javaBytes(a: Array[Byte]): Array[Byte] = a
