@@ -48,13 +48,17 @@ object Multimodal {
     * the real operator would seek key frames; the slicing/columnar shape is
     * identical.
     */
-  def sampleBytes(media: Column, n: Int): Column =
+  def sampleBytes(media: Column, n: Int): Column = {
+    require(n >= 1, s"sample count must be >= 1, got $n")
+    // divisor floor of 1: n == 1 would otherwise divide by zero and yield
+    // an array of nulls instead of the single first byte
     transform(
       sequence(lit(0), lit(n - 1)),
       i => {
-        val pos = floor(i * (octet_length(media) - 1) / lit(n - 1)).cast("int") + 1
+        val pos = floor(i * (octet_length(media) - 1) / lit(math.max(n - 1, 1))).cast("int") + 1
         conv(hex(substring(media, pos, lit(1))), 16, 10).cast("int")
       })
+  }
 
   /** STUB decode kernel — deterministic fake standing in for the absent
     * codec libs: a 16-bin normalized byte histogram as the "embedding".

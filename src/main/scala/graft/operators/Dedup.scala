@@ -116,14 +116,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    lshNearDupPairsWithRelease(docs, idCol, textCol, threshold, k)._1
+
+  /** [[lshNearDupPairs]] plus an explicit release handle: invoke it after
+    * the result has been consumed to unpersist the internal signature
+    * cache. Long-lived sessions running many dedup passes must release (or
+    * use [[lshNearDupPairsScoped]]) or executor storage memory accretes one
+    * cached signature projection per pass. At corpus scale, write the
+    * signature table to storage instead — that is the 100 TB shape anyway.
+    */
+  def lshNearDupPairsWithRelease(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      k: Int = 3): (DataFrame, () => Unit) = {
     // Materialize signatures ONCE: they feed three plan branches (band
     // explode + both sides of the candidate verify), and recomputing the
     // per-char shingle fold is the dominant cost. At corpus scale this is
     // a signature table written to storage; locally, a cached projection.
-    // Lifecycle note: the cache lives until session end (the handle is
-    // internal) — long-lived sessions doing many dedup passes should write
-    // signatures to a table instead, which is the at-scale shape anyway.
     val prepared = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -137,11 +149,26 @@ object Dedup {
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    candidates
+    val pairs = candidates
       .join(prepared.select(col("doc_id").as("a"), col("shd").as("shd_a")), "a")
       .join(prepared.select(col("doc_id").as("b"), col("shd").as("shd_b")), "b")
       .withColumn("j", jaccard(col("shd_a"), col("shd_b")))
       .filter(col("j") >= threshold)
       .select(col("a"), col("b"), col("j"))
+    (pairs, () => { prepared.unpersist(); () })
+  }
+
+  /** Scoped form: runs `use` over the near-dup pairs, then unpersists the
+    * signature cache before returning — the safe default for repeated
+    * dedup passes in one session.
+    */
+  def lshNearDupPairsScoped[T](
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      k: Int = 3)(use: DataFrame => T): T = {
+    val (pairs, release) = lshNearDupPairsWithRelease(docs, idCol, textCol, threshold, k)
+    try use(pairs) finally release()
   }
 }

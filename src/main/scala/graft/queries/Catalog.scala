@@ -30,6 +30,37 @@ trait Catalog {
     val p = math.pow(10, scale)
     org.apache.spark.sql.functions.round(c * p) / p
   }
+
+  /** Order-independent exact sum of a 2-dp "money" double (all testdata
+    * money columns are exact 2-decimal values): cast to DECIMAL(18,2)
+    * (lossless here), sum in decimal (exact, associative), cast back.
+    * GroupBy partial-aggregate merge order is nondeterministic on BOTH
+    * engines (task/thread completion order), so a plain double sum can flip
+    * its last bit between runs and break exact hash comparison — the
+    * q_win_sessionize round-1 driver mismatch. Window running sums don't
+    * need this: their summation order is defined by ORDER BY.
+    * Oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  protected def msum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Deterministic mean of a money double: exact decimal sum, then a single
+    * double division — bit-identical across engines, runs, and
+    * parallelism. Oracle: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+    * / COUNT(x)`.
+    */
+  protected def mavg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    msum(c) / org.apache.spark.sql.functions.count(c)
+
+  /** Order-independent sum of a double EXPRESSION whose exact value has ≤6
+    * decimals (e.g. products of 2-dp money columns: price·(1−disc) is
+    * exactly 4-dp). The double result sits within ~1e-9 of the exact
+    * decimal, so the cast to DECIMAL(22,6) rounds identically on both
+    * engines, and the decimal sum is exact.
+    * Oracle: `CAST(SUM(CAST(expr AS DECIMAL(22,6))) AS DOUBLE)`.
+    */
+  protected def psum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(c.cast("decimal(22,6)")).cast("double")
 }
 
 /** Union of all capability catalogs — what SparkEntry exposes to the driver. */

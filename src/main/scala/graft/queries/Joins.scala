@@ -17,11 +17,11 @@ object Joins extends Catalog {
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("c_mktsegment")),
       Some("""SELECT c_mktsegment,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS revenue,
                      COUNT(*) AS n_lines
               FROM customer
               JOIN orders ON c_custkey = o_custkey
@@ -89,9 +89,10 @@ object Joins extends Catalog {
         .join(t.orders.filter(col("o_orderstatus") === "F"),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), round(msum(col("c_acctbal")), 2).as("sum_bal"))
         .orderBy(col("c_mktsegment")),
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust,
+                     ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
               FROM customer
               WHERE EXISTS (SELECT 1 FROM orders
                             WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -141,9 +142,10 @@ object Joins extends Catalog {
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_supp"), round(avg(col("s_acctbal")), 2).as("avg_bal"))
+        .agg(count(lit(1)).as("n_supp"), round(mavg(col("s_acctbal")), 2).as("avg_bal"))
         .orderBy(col("r_name")),
-      Some("""SELECT r_name, COUNT(*) AS n_supp, ROUND(AVG(s_acctbal), 2) AS avg_bal
+      Some("""SELECT r_name, COUNT(*) AS n_supp,
+                     ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(s_acctbal), 2) AS avg_bal
               FROM supplier
               JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey

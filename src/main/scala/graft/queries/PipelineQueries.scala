@@ -42,13 +42,14 @@ object PipelineQueries extends Catalog {
         .withColumn("bucket",
           Scalars.timeBucket(unix_timestamp(col("ts")), 900L))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(msum(col("value")), 2).as("sum_value"))
         .select(
           date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
           col("n"), col("sum_value"))
         .orderBy(col("bucket_ts"), col("n"), col("sum_value")),
       Some("""SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-                     COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+                     COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
               FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 * 900 AS bucket,
                            value
                     FROM events)

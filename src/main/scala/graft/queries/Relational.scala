@@ -62,23 +62,26 @@ object Relational extends Catalog {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(avg(col("l_discount")), 2).as("avg_disc"),
+          // msum/mavg/psum: decimal-exact, order-independent aggregation —
+          // see Catalog; plain double sums flip last bits with partial-merge
+          // order and can break exact oracle hashing.
+          round(msum(col("l_quantity")), 2).as("sum_qty"),
+          round(msum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(psum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(mavg(col("l_quantity")), 2).as("avg_qty"),
+          round(mavg(col("l_extendedprice")), 2).as("avg_price"),
+          round(mavg(col("l_discount")), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-                     ROUND(SUM(l_quantity), 2) AS sum_qty,
-                     ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                     ROUND(AVG(l_quantity), 2) AS avg_qty,
-                     ROUND(AVG(l_extendedprice), 2) AS avg_price,
-                     ROUND(AVG(l_discount), 2) AS avg_disc,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS sum_disc_price,
+                     ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE), 2) AS sum_charge,
+                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 2) AS avg_qty,
+                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
+                     ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount), 2) AS avg_disc,
                      COUNT(*) AS count_order
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               GROUP BY l_returnflag, l_linestatus
@@ -106,7 +109,7 @@ object Relational extends Catalog {
           count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("min_price"),
           round(max(col("o_totalprice")), 2).as("max_price"),
-          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          round(mavg(col("o_totalprice")), 2).as("avg_price"),
           countDistinct(col("o_custkey")).as("n_customers"),
           date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
           date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
@@ -114,7 +117,7 @@ object Relational extends Catalog {
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
                      ROUND(MIN(o_totalprice), 2) AS min_price,
                      ROUND(MAX(o_totalprice), 2) AS max_price,
-                     ROUND(AVG(o_totalprice), 2) AS avg_price,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_price,
                      COUNT(DISTINCT o_custkey) AS n_customers,
                      strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
                      strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
@@ -139,14 +142,15 @@ object Relational extends Catalog {
         .join(t.nation, col("c_nationkey") === col("n_nationkey"))
         .join(t.region, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), round(msum(col("c_acctbal")), 2).as("sum_bal"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_cust"), col("sum_bal"))
         .orderBy(col("region"), col("nation"), col("n_cust"), col("sum_bal")),
       Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
-                     COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+                     COUNT(*) AS n_cust,
+                     ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
@@ -157,7 +161,7 @@ object Relational extends Catalog {
     "q_agg_cube" -> Q(
       t => t.orders
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_total"))
+        .agg(count(lit(1)).as("n"), round(msum(col("o_totalprice")), 2).as("sum_total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -165,7 +169,8 @@ object Relational extends Catalog {
         .orderBy(col("status"), col("priority"), col("n"), col("sum_total")),
       Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                      COALESCE(o_orderpriority, 'ALL') AS priority,
-                     COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_total
+                     COUNT(*) AS n,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_total
               FROM orders
               GROUP BY CUBE(o_orderstatus, o_orderpriority)
               ORDER BY status NULLS FIRST, priority NULLS FIRST,

@@ -111,7 +111,10 @@ object SimilarityQueries extends Catalog {
       t => t.embeddings
         .select(col("label"), posexplode(Similarity.toDouble(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        // decimal-exact mean: a double avg's partial-merge order is
+        // nondeterministic; DECIMAL(38,20) holds the per-dimension sums of
+        // float-valued terms with margin, making the mean bit-stable.
+        .agg((sum(col("x").cast("decimal(38,20)")).cast("double") / count(col("x"))).as("m"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("dim"),
@@ -127,7 +130,9 @@ object SimilarityQueries extends Catalog {
               |         CAST(unnest(embedding) AS DOUBLE) AS x
               |  FROM embeddings
               |), cent AS (
-              |  SELECT label, pos, AVG(x) AS m FROM dims GROUP BY label, pos
+              |  SELECT label, pos,
+              |         CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(x) AS m
+              |  FROM dims GROUP BY label, pos
               |), packed AS (
               |  SELECT label, COUNT(*) AS dim, list(m ORDER BY pos) AS ms FROM cent GROUP BY label
               |)

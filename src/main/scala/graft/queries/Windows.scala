@@ -143,7 +143,13 @@ object Windows extends Catalog {
           .agg(
             count(lit(1)).as("n_events"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            round(sum(col("value")), 2).as("session_value"))
+            // Sum in DECIMAL, not DOUBLE: groupBy partial-aggregate merge
+            // order is nondeterministic (task completion order), so a
+            // double sum can differ in the last bit run-to-run and break
+            // exact hash comparison; decimal addition is exact and
+            // order-independent. (Window running sums elsewhere are fine —
+            // their summation order is defined by ORDER BY.)
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
           .orderBy(col("user_id"), col("session_id"), col("n_events"),
             col("session_start"), col("session_value"))
       },
@@ -162,7 +168,7 @@ object Windows extends Catalog {
               |)
               |SELECT user_id, session_id, COUNT(*) AS n_events,
               |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-              |       ROUND(SUM(value), 2) AS session_value
+              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
               |FROM s
               |GROUP BY user_id, session_id
               |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST,

@@ -33,9 +33,15 @@ object KafkaSource {
     val withRate = maxOffsetsPerTrigger.fold(reader)(n =>
       reader.option("maxOffsetsPerTrigger", n.toString))
     val framed = withRate.load()
-    ProtobufWire.decode(
-      framed.select(ConfluentFraming.strip(col("value")).as("payload")),
-      "payload")
+    // Full Confluent-protobuf unframing (magic + schema id + zigzag-varint
+    // message-indexes block) happens inside the decode kernel — the indexes
+    // block is variable-length, so a static substring would corrupt every
+    // record whose producer wrote more than the single-0x00 shorthand.
+    // Bad frames / poison messages are counted, not fatal (reference
+    // failed-event accounting, app.go:85-97).
+    ProtobufWire.decodeFramed(
+      framed.select(col("value")), "value",
+      Some(ProtobufWire.malformedCounter(spark)))
   }
 
   /** Spark-native Kafka sink plan for key+value+headers (everything except

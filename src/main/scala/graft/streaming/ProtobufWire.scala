@@ -85,7 +85,10 @@ object ProtobufWire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => pos += 8; if (pos > buf.length) throw new MalformedRecord("truncated fixed64")
-      case 2 => pos += readLen()
+      case 2 =>
+        // NOT `pos += readLen()`: that reads the old pos before readLen()
+        // advances past the length varint, silently rewinding the cursor.
+        val n = readLen(); pos += n
       case 5 => pos += 4; if (pos > buf.length) throw new MalformedRecord("truncated fixed32")
       case other => throw new MalformedRecord(s"unsupported wire type $other")
     }
@@ -121,16 +124,25 @@ object ProtobufWire {
       val tag = r.readVarint()
       val fieldNum = (tag >>> 3).toInt
       val wireType = (tag & 7).toInt
+      // Known fields are read ONLY when the record's wire type matches the
+      // expected one (2 for strings/messages, 0 for varint longs); a
+      // mismatch is treated as an unknown field and skipped — proto3
+      // conformance semantics, and it prevents a drifted producer schema
+      // from silently misreading a varint as a length (yielding wrong
+      // column values instead of a skip).
       fields.get(fieldNum) match {
-        case Some("metrics") =>
+        case Some("metrics") if wireType == 2 =>
           metricsCollector.get += decodeMetric(r.readBytes(r.readLen()))
-        case Some(name) =>
+        case Some(name) if name != "metrics" =>
           schema(name).dataType match {
-            case StringType => values(name) = new String(r.readBytes(r.readLen()), StandardCharsets.UTF_8)
-            case LongType   => values(name) = r.readVarint()
-            case other      => throw new IllegalArgumentException(s"unsupported $other")
+            case StringType if wireType == 2 =>
+              values(name) = new String(r.readBytes(r.readLen()), StandardCharsets.UTF_8)
+            case LongType if wireType == 0 =>
+              values(name) = r.readVarint()
+            case StringType | LongType => r.skip(wireType) // wrong wire type → unknown
+            case other => throw new IllegalArgumentException(s"unsupported $other")
           }
-        case None => r.skip(wireType)
+        case _ => r.skip(wireType)
       }
     }
     Row.fromSeq(schema.fields.map { f =>
@@ -153,21 +165,56 @@ object ProtobufWire {
     decodeMessage(bytes, SensorSchemas.sensorEventSchema, eventFields,
       Some(collection.mutable.ArrayBuffer.empty[Row]))
 
+  /** Named failed-event counter, visible in the Spark UI / status API —
+    * the engine's form of the reference's count-and-continue failed-event
+    * accounting (app.go:85-97). Create once per pipeline and pass to
+    * [[decode]]/[[decodeFramed]].
+    */
+  def malformedCounter(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.protobuf.malformed_records")
+
   /** DataFrame op: binary `valueCol` (already Confluent-stripped) →
     * full SensorEvent rows. Implemented with Dataset.mapPartitions (NOT
     * .rdd, which forces batch execution and is illegal on streaming plans),
     * so the same operator serves batch frames and `readStream` pipelines.
-    * Malformed records are dropped, mirroring the reference's
-    * count-and-continue handling of failed events (app.go:85-97).
+    * Malformed records are counted on `malformed` (when given) and dropped,
+    * mirroring the reference's count-and-continue handling of failed
+    * events (app.go:85-97) — poison Kafka messages must not kill the
+    * stream, but their rate must stay observable.
     */
-  def decode(df: DataFrame, valueCol: String): DataFrame = {
+  def decode(
+      df: DataFrame,
+      valueCol: String,
+      malformed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    decodeWith(df, valueCol, malformed)(identity)
+
+  /** Like [[decode]] but takes the raw Confluent-framed Kafka value and
+    * parses magic + schema id + message-indexes inside the same kernel
+    * (the indexes block is variable-length, so framing cannot be a static
+    * `substring`). Bad frames count as malformed too.
+    */
+  def decodeFramed(
+      df: DataFrame,
+      valueCol: String,
+      malformed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    decodeWith(df, valueCol, malformed)(ConfluentFraming.stripBytes)
+
+  private def decodeWith(
+      df: DataFrame,
+      valueCol: String,
+      malformed: Option[org.apache.spark.util.LongAccumulator])(
+      unframe: Array[Byte] => Array[Byte]): DataFrame = {
     val idx = df.schema.fieldIndex(valueCol)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(SensorSchemas.sensorEventSchema)
     df.mapPartitions { it =>
       it.flatMap { r =>
-        try Some(decodeSensorEvent(r.getAs[Array[Byte]](idx)))
-        catch { case _: MalformedRecord => None }
+        try Some(decodeSensorEvent(unframe(r.getAs[Array[Byte]](idx))))
+        catch {
+          case _: MalformedRecord | _: ConfluentFraming.BadFrame =>
+            malformed.foreach(_.add(1L))
+            None
+        }
       }
     }
   }

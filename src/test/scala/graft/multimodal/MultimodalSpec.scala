@@ -33,6 +33,13 @@ class MultimodalSpec extends SparkSpec {
     assert(got.head == 0x89 && got.last == 2)
   }
 
+  test("byte sampling: n=1 yields the first byte, not nulls") {
+    val got = media.filter($"id" === 1)
+      .select(Multimodal.sampleBytes($"media", 1)).as[Seq[Int]].head()
+    assert(got == Seq(0x89))
+    intercept[IllegalArgumentException](Multimodal.sampleBytes($"media", 0))
+  }
+
   test("batch-shaped feature extraction: deterministic, normalized, keyed") {
     val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
       .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap

@@ -28,6 +28,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("scoped LSH pass releases the signature cache after use") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = Dedup.lshNearDupPairsScoped(docs, "doc_id", "text", threshold = 0.1)(_.count())
+    assert(n >= 1L)
+    assert(spark.sparkContext.getPersistentRDDs.size == before) // no leak
+  }
+
   test("simhash: identical docs hash equal; near-dups within small hamming") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")

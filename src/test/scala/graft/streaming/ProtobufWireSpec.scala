@@ -82,7 +82,58 @@ class ProtobufWireSpec extends SparkSpec {
     assert(hashes == Seq("ok-1", "ok-2")) // poison records dropped, stream alive
   }
 
+  test("Confluent protobuf framing: header parse, [0] shorthand, explicit indexes") {
+    val payload = Array[Byte](0x0a, 0x01, 0x41)
+    // shorthand frame: magic, 4-byte id, single 0x00 for message-indexes [0]
+    val shorthand = ConfluentFraming.header(17) ++ payload
+    assert(shorthand.toSeq == Seq[Byte](0, 0, 0, 0, 17, 0) ++ payload.toSeq)
+    assert(ConfluentFraming.parseHeader(shorthand) == ((17, Seq(0), 6)))
+    assert(ConfluentFraming.stripBytes(shorthand).toSeq == payload.toSeq)
+    // explicit indexes block: zigzag count + zigzag indexes
+    val nested = ConfluentFraming.header(300, Seq(1, 2)) ++ payload
+    assert(nested.toSeq ==
+      Seq[Byte](0, 0, 0, 1, 44, 4, 2, 4) ++ payload.toSeq) // zigzag: 2→4, 1→2, 2→4
+    assert(ConfluentFraming.parseHeader(nested) == ((300, Seq(1, 2), 8)))
+    assert(ConfluentFraming.stripBytes(nested).toSeq == payload.toSeq)
+    // garbage rejected, not misparsed
+    intercept[ConfluentFraming.BadFrame](
+      ConfluentFraming.parseHeader(Array[Byte](1, 0, 0, 0, 17, 0)))
+    intercept[ConfluentFraming.BadFrame](
+      ConfluentFraming.parseHeader(Array[Byte](0, 0, 0)))
+  }
+
+  test("decodeFramed: Confluent-framed fixture decodes; bad frames counted not fatal") {
+    import spark.implicits._
+    val good = withFrame(ProtobufWire.encodeSensorEvent(event("ok-f", Seq(metric("t")))))
+    // header claims message-indexes count 3 but the block is truncated
+    val badFrame = Array[Byte](0, 0, 0, 0, 17, 6)
+    val noMagic = Array[Byte](9, 9, 9)
+    val counter = ProtobufWire.malformedCounter(spark)
+    val df = Seq(good, badFrame, noMagic).toDF("value")
+    val out = ProtobufWire.decodeFramed(df, "value", Some(counter))
+    assert(out.select($"event_hash_sha256").as[String].collect().toSeq == Seq("ok-f"))
+    assert(counter.value == 2L)
+  }
+
+  test("wire-type mismatch on a known field is skipped, not misread") {
+    // event_seconds (field 4) is a varint long; encode it length-delimited
+    // (wire type 2) instead — a conformant parser treats it as unknown.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((4 << 3) | 2); out.write(0x02); out.write(0x41); out.write(0x42)
+    // then a correct string field 5 (sensor_id)
+    out.write((5 << 3) | 2); out.write(0x02); out.write('s'); out.write('1')
+    val decoded = ProtobufWire.decodeSensorEvent(out.toByteArray)
+    val schema = SensorSchemas.sensorEventSchema
+    assert(decoded.getLong(schema.fieldIndex("event_seconds")) == 0L) // default, not 0x41
+    assert(decoded.getString(schema.fieldIndex("sensor_id")) == "s1") // parse continued
+    // string field with varint wire type likewise skipped
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write((5 << 3) | 0); out2.write(0x07)
+    val decoded2 = ProtobufWire.decodeSensorEvent(out2.toByteArray)
+    assert(decoded2.getString(schema.fieldIndex("sensor_id")) == "")
+  }
+
   private def withFrame(payload: Array[Byte]): Array[Byte] =
-    Array[Byte](0, 0, 0, 0, 17) ++ payload
+    ConfluentFraming.header(17) ++ payload
   private def javaBytes(a: Array[Byte]): Array[Byte] = a
 }

@@ -108,7 +108,8 @@ class StreamingSpec extends SparkSpec {
       .withColumn("stripped", ConfluentFraming.strip($"framed"))
       .withColumn("sid", ConfluentFraming.schemaId($"framed"))
     val row = df.select($"framed", $"stripped", $"sid").head()
-    assert(row.getAs[Array[Byte]]("framed").length == payload.length + 5)
+    // 6-byte header: magic + schema id + the 0x00 message-indexes shorthand
+    assert(row.getAs[Array[Byte]]("framed").length == payload.length + 6)
     assert(row.getAs[Array[Byte]]("stripped").toSeq == payload.toSeq)
     assert(row.getAs[Int]("sid") == 42)
   }
