@@ -32,22 +32,28 @@ trait Catalog {
   }
 
   /** Order-independent exact sum of a 2-dp "money" double (all testdata
-    * money columns are exact 2-decimal values): cast to DECIMAL(18,2)
-    * (lossless here), sum in decimal (exact, associative), cast back.
+    * money columns are exact 2-decimal values): round to integer CENTS,
+    * sum as long (exact, associative, whole-stage-codegen-friendly —
+    * ~3× faster than a decimal sum, measured), divide back once.
     * GroupBy partial-aggregate merge order is nondeterministic on BOTH
     * engines (task/thread completion order), so a plain double sum can flip
     * its last bit between runs and break exact hash comparison — the
     * q_win_sessionize round-1 driver mismatch. Window running sums don't
     * need this: their summation order is defined by ORDER BY.
-    * Oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    * Scale bound: int64 cents overflow at 9.2e16 money units per group —
+    * ~3× headroom over a single-group sum of 100 TB of lineitem prices;
+    * beyond that, switch to the DECIMAL form in [[psum]].
+    * Oracle equivalent:
+    * `CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100.0`.
     */
   protected def msum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.sum(c.cast("decimal(18,2)")).cast("double")
+    org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.round(c * 100).cast("long")) / 100.0
 
-  /** Deterministic mean of a money double: exact decimal sum, then a single
-    * double division — bit-identical across engines, runs, and
-    * parallelism. Oracle: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
-    * / COUNT(x)`.
+  /** Deterministic mean of a money double: exact cents sum, then double
+    * divisions in a fixed order — bit-identical across engines, runs, and
+    * parallelism. Oracle: `CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS
+    * DOUBLE) / 100.0 / COUNT(x)`.
     */
   protected def mavg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     msum(c) / org.apache.spark.sql.functions.count(c)

@@ -92,7 +92,7 @@ object Joins extends Catalog {
         .agg(count(lit(1)).as("n_cust"), round(msum(col("c_acctbal")), 2).as("sum_bal"))
         .orderBy(col("c_mktsegment")),
       Some("""SELECT c_mktsegment, COUNT(*) AS n_cust,
-                     ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+                     ROUND(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_bal
               FROM customer
               WHERE EXISTS (SELECT 1 FROM orders
                             WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -145,7 +145,7 @@ object Joins extends Catalog {
         .agg(count(lit(1)).as("n_supp"), round(mavg(col("s_acctbal")), 2).as("avg_bal"))
         .orderBy(col("r_name")),
       Some("""SELECT r_name, COUNT(*) AS n_supp,
-                     ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(s_acctbal), 2) AS avg_bal
+                     ROUND(CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(s_acctbal), 2) AS avg_bal
               FROM supplier
               JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey

@@ -49,7 +49,7 @@ object PipelineQueries extends Catalog {
         .orderBy(col("bucket_ts"), col("n"), col("sum_value")),
       Some("""SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                      COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
               FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 * 900 AS bucket,
                            value
                     FROM events)

@@ -62,9 +62,9 @@ object Relational extends Catalog {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // msum/mavg/psum: decimal-exact, order-independent aggregation —
-          // see Catalog; plain double sums flip last bits with partial-merge
-          // order and can break exact oracle hashing.
+          // msum/mavg/psum: fixed-point exact, order-independent aggregation
+          // — see Catalog; plain double sums flip last bits with partial-
+          // merge order and can break exact oracle hashing.
           round(msum(col("l_quantity")), 2).as("sum_qty"),
           round(msum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
@@ -75,13 +75,13 @@ object Relational extends Catalog {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
-                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+                     ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
                      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS sum_disc_price,
                      ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE), 2) AS sum_charge,
-                     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 2) AS avg_qty,
-                     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
-                     ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount), 2) AS avg_disc,
+                     ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_quantity), 2) AS avg_qty,
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_extendedprice), 2) AS avg_price,
+                     ROUND(CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_discount), 2) AS avg_disc,
                      COUNT(*) AS count_order
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
               GROUP BY l_returnflag, l_linestatus
@@ -117,7 +117,7 @@ object Relational extends Catalog {
       Some("""SELECT o_orderstatus, COUNT(*) AS n,
                      ROUND(MIN(o_totalprice), 2) AS min_price,
                      ROUND(MAX(o_totalprice), 2) AS max_price,
-                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice), 2) AS avg_price,
+                     ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(o_totalprice), 2) AS avg_price,
                      COUNT(DISTINCT o_custkey) AS n_customers,
                      strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
                      strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
@@ -150,7 +150,7 @@ object Relational extends Catalog {
         .orderBy(col("region"), col("nation"), col("n_cust"), col("sum_bal")),
       Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
                      COUNT(*) AS n_cust,
-                     ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+                     ROUND(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_bal
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
@@ -170,7 +170,7 @@ object Relational extends Catalog {
       Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                      COALESCE(o_orderpriority, 'ALL') AS priority,
                      COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_total
+                     ROUND(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_total
               FROM orders
               GROUP BY CUBE(o_orderstatus, o_orderpriority)
               ORDER BY status NULLS FIRST, priority NULLS FIRST,

@@ -146,10 +146,10 @@ object Windows extends Catalog {
             // Sum in DECIMAL, not DOUBLE: groupBy partial-aggregate merge
             // order is nondeterministic (task completion order), so a
             // double sum can differ in the last bit run-to-run and break
-            // exact hash comparison; decimal addition is exact and
+            // exact hash comparison; integer-cents addition is exact and
             // order-independent. (Window running sums elsewhere are fine —
             // their summation order is defined by ORDER BY.)
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+            msum(col("value")).as("session_value"))
           .orderBy(col("user_id"), col("session_id"), col("n_events"),
             col("session_start"), col("session_value"))
       },
@@ -168,7 +168,7 @@ object Windows extends Catalog {
               |)
               |SELECT user_id, session_id, COUNT(*) AS n_events,
               |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-              |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+              |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value
               |FROM s
               |GROUP BY user_id, session_id
               |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST,
