@@ -7,9 +7,11 @@ Usage:
 
 For each <outDir>/<name>/ parquet dump with an entry in oracle_sql.json:
 run the SQL in DuckDB against views over <sfDir>/*.parquet, sort columns by
-name, sort rows, and compare cell-by-cell (exact for ints/strings, 1e-9 rel
-tolerance report for floats — the driver hashes exactly, so any float diff
-is listed loudly).
+name, sort rows, and compare cell-by-cell. EXACT by default — the driver
+hashes values exactly, so a float that differs in the last bit is a driver
+FAIL and must be one here too (round-2 lesson: the old 1e-9 tolerance let
+"69/69 locally" ship a driver-red query). Pass --tol for a diagnostic run
+that reports near-misses instead (never before a snapshot).
 """
 import json
 import math
@@ -19,6 +21,8 @@ from pathlib import Path
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+EXACT = True
 
 
 def canon(rows, cols):
@@ -40,6 +44,8 @@ def cells_equal(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if EXACT:
+            return fa == fb
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
@@ -103,9 +109,12 @@ def main(sf_dir, out_dir):
             flag = "" if exact else "  (float within tol, NOT bit-exact)"
             print(f"OK       {name}: {len(sr)} rows{flag}")
             n_pass += 1
-    print(f"\n{n_pass} ok, {n_fail} failed" + (f": {failures}" if failures else ""))
+    mode = "exact" if EXACT else "1e-9 tolerance (DIAGNOSTIC ONLY — driver hashes exactly)"
+    print(f"\n[{mode}] {n_pass} ok, {n_fail} failed" + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--tol"]
+    EXACT = "--tol" not in sys.argv
+    sys.exit(main(argv[0], argv[1]))

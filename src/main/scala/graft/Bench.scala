@@ -50,9 +50,14 @@ object Bench {
     // warm codegen + parquet footers once with the cheapest query
     try runOnce("q_scan_project") catch { case _: Throwable => () }
 
+    // Median of 3 runs per query: a single local[32] JVM run carries
+    // multi-hundred-ms codegen/GC noise, which round-over-round reads as a
+    // phantom regression (round-2 lesson). The median is robust to one
+    // outlier run; n=3 keeps the whole bench under a few minutes at sf0.1.
     val results = headline.map { name =>
-      val sec = try runOnce(name) catch { case _: Throwable => -1.0 }
-      name -> sec
+      val times = Seq.fill(3)(try runOnce(name) catch { case _: Throwable => -1.0 })
+        .filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -88,16 +88,23 @@ object Multimodal {
 
   /** Batch-shaped feature extraction: one partition → batches of
     * `batchSize` rows → per-batch kernel invocation (mapInPandas shape).
-    * Output: (id, features float[], media_meta passthrough).
+    * Output: (id, features float[]).
+    *
+    * Implemented with Dataset.mapPartitions + Encoders.row (NOT `.rdd`,
+    * which forces batch execution — illegal on streaming plans — and
+    * severs Catalyst lineage), mirroring ProtobufWire.decodeWith: the same
+    * operator serves parquet batch frames and `readStream` pipelines
+    * (MultimodalStreamingSpec runs it over a MemoryStream).
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
       batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.select(col(idCol), col(mediaCol)).schema
     val outSchema = StructType(Seq(
       inSchema.head,
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rows = df.select(col(idCol), col(mediaCol)).rdd.mapPartitions { it =>
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol), col(mediaCol)).mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // ONE kernel invocation per batch — the vectorized-decoder seam
         val feats = FakeDecode.featuresBatch(
@@ -107,6 +114,5 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(rows, outSchema)
   }
 }

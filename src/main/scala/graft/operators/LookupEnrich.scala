@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** External-service enrichment — the reference's actual IP-lookup shape
+  * (internal/iplookup/iplookup.go:28-43): it dedups the key set FIRST, calls
+  * the lookup service once per DISTINCT key, then attaches results back to
+  * every event. `StreamOps.enrichWithStatic` covers the broadcast-dim-table
+  * form; this operator covers enriching against a SERVICE:
+  *
+  *   distinct(keys) → mapPartitions(client calls, one per key, connection
+  *   reused per partition) → broadcast join-back onto the events.
+  *
+  * Scale shape (100 TB): the fan-out cost is |distinct keys| service calls,
+  * not |events| — the whole point of the reference's dedup — and the result
+  * relation is small enough to broadcast, so the events never shuffle.
+  * Client lifecycle is per-partition (open once, look up each key, close),
+  * the seam where a real HTTP/gRPC connection pool plugs in; no HTTP client
+  * exists in this image, so specs use an in-process fake
+  * (LookupEnrichSpec asserts exactly one lookup per distinct key).
+  */
+object LookupEnrich {
+
+  /** Per-partition client: `open()` once per partition, `lookup` once per
+    * distinct key, `close()` before the partition ends. Implementations
+    * must be serializable (constructed driver-side, invoked on executors).
+    */
+  trait LookupClient extends Serializable {
+    def open(): Unit = ()
+    def lookup(key: String): String
+    def close(): Unit = ()
+  }
+
+  /** Enrich `df` with `resultCol = client.lookup(keyCol)`, calling the
+    * service once per distinct key. Null keys pass through un-enriched
+    * (left join), mirroring the reference's skip of empty addresses.
+    */
+  def enrich(df: DataFrame, keyCol: String, resultCol: String,
+      client: LookupClient): DataFrame = {
+    val keyed = df.withColumn("__lookup_key", col(keyCol).cast("string"))
+    val outSchema = StructType(Seq(
+      StructField("__lookup_key", StringType, nullable = false),
+      StructField(resultCol, StringType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val looked = keyed.select(col("__lookup_key"))
+      .filter(col("__lookup_key").isNotNull)
+      .distinct()
+      .mapPartitions { it =>
+        client.open()
+        try {
+          // materialize before close(): the returned iterator must not
+          // touch a closed client
+          val out = it.map { r =>
+            val k = r.getString(0)
+            Row(k, client.lookup(k))
+          }.toVector
+          out.iterator
+        } finally client.close()
+      }
+    keyed.join(broadcast(looked), Seq("__lookup_key"), "left")
+      .drop("__lookup_key")
+  }
+}

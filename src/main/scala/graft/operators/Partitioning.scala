@@ -46,7 +46,13 @@ object Partitioning {
   }
 
   /** Skew-safe equi-join: salt the skewed left, replicate the right across
-    * all salt values, join on (key, salt).
+    * all salt values, join on (key, salt). The salt derives from stable row
+    * CONTENT (hash of every left column), never from
+    * monotonically_increasing_id(): that id changes under task retry /
+    * recomputation, so a re-executed partition would send the same row to a
+    * different salt — results stay correct but plans and partition
+    * placement stop being reproducible, which poisons debugging and any
+    * downstream that assumes deterministic lineage.
     */
   def saltedJoin(
       skewedLeft: DataFrame,
@@ -54,7 +60,7 @@ object Partitioning {
       key: String,
       saltBuckets: Int = 16): DataFrame = {
     val saltedL = skewedLeft.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+      salt(saltBuckets, skewedLeft.columns.map(col).toIndexedSeq: _*))
     val replicatedR = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedL.join(replicatedR, Seq(key, "__salt")).drop("__salt")

@@ -23,31 +23,75 @@ object Analytics extends Catalog {
               GROUP BY l_returnflag
               ORDER BY l_returnflag NULLS FIRST, qty_f NULLS FIRST, qty_o NULLS FIRST""")),
 
+    // Statistical aggregates from EXACT integer moments, not the built-in
+    // double aggregates: stddev/var/corr/covar partial-merge order is
+    // nondeterministic (task completion order), so their double partials can
+    // flip the last bit run-to-run — the same failure class as the
+    // q_win_sessionize hash bug. Here both engines sum exact integer cents
+    // moments (decimal/HUGEINT: associative, order-independent, no overflow
+    // at any SF) and then evaluate the SAME fixed sequence of IEEE 754
+    // double ops — bit-identical across runs, engines, and parallelism.
     "q_agg_statistical" -> Q(
-      t => t.lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-          round(stddev_pop(col("l_extendedprice")), 2).as("sdp_price"),
-          round(var_samp(col("l_quantity")), 2).as("var_qty"),
-          round(var_pop(col("l_quantity")), 2).as("varp_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
-          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2)
-            .as("median_price"))
-        .orderBy(col("l_returnflag"), col("sd_price"), col("sdp_price"), col("var_qty"),
-          col("varp_qty"), col("corr_qp"), col("cov_qp"), col("median_price")),
-      Some("""SELECT l_returnflag,
-                     ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
-                     ROUND(stddev_pop(l_extendedprice), 2) AS sdp_price,
-                     ROUND(var_samp(l_quantity), 2) AS var_qty,
-                     ROUND(var_pop(l_quantity), 2) AS varp_qty,
-                     ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-                     ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
-                     ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
-              FROM lineitem
-              GROUP BY l_returnflag
-              ORDER BY l_returnflag NULLS FIRST, sd_price NULLS FIRST, sdp_price NULLS FIRST,
-                       var_qty NULLS FIRST, varp_qty NULLS FIRST, corr_qp NULLS FIRST,
-                       cov_qp NULLS FIRST, median_price NULLS FIRST""")))
+      t => {
+        val qc = cents(col("l_quantity"))       // BIGINT cents, exact
+        val pc = cents(col("l_extendedprice"))
+        val m = t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(qc.cast("decimal(38,0)")).as("sq"),
+            sum(pc.cast("decimal(38,0)")).as("sp"),
+            sum((qc * qc).cast("decimal(38,0)")).as("sqq"),
+            sum((pc * pc).cast("decimal(38,0)")).as("spp"),
+            sum((qc * pc).cast("decimal(38,0)")).as("sqp"),
+            expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("med"))
+        val n = col("cnt").cast("double")
+        val sq = col("sq").cast("double"); val sp = col("sp").cast("double")
+        val sqq = col("sqq").cast("double"); val spp = col("spp").cast("double")
+        val sqp = col("sqp").cast("double")
+        // n·variance numerators in cents² — written once, reused verbatim
+        // in the SQL twin so the IEEE op sequence matches exactly
+        val mqq = sqq - sq * sq / n
+        val mpp = spp - sp * sp / n
+        val mqp = sqp - sq * sp / n
+        m.select(
+          col("l_returnflag"),
+          round(sqrt(mpp / (n - 1)) / 100.0, 2).as("sd_price"),
+          round(sqrt(mpp / n) / 100.0, 2).as("sdp_price"),
+          round(mqq / (n - 1) / 10000.0, 2).as("var_qty"),
+          round(mqq / n / 10000.0, 2).as("varp_qty"),
+          round(mqp / sqrt(mqq * mpp), 4).as("corr_qp"),
+          round(mqp / (n - 1) / 10000.0, 2).as("cov_qp"),
+          round(col("med"), 2).as("median_price"))
+          .orderBy(col("l_returnflag"), col("sd_price"), col("sdp_price"), col("var_qty"),
+            col("varp_qty"), col("corr_qp"), col("cov_qp"), col("median_price"))
+      },
+      Some("""WITH c AS (
+              |  SELECT l_returnflag, l_extendedprice,
+              |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+              |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+              |  FROM lineitem
+              |), m AS (
+              |  SELECT l_returnflag,
+              |         CAST(COUNT(*) AS DOUBLE) AS n,
+              |         CAST(SUM(qc) AS DOUBLE) AS sq,
+              |         CAST(SUM(pc) AS DOUBLE) AS sp,
+              |         CAST(SUM(qc * qc) AS DOUBLE) AS sqq,
+              |         CAST(SUM(pc * pc) AS DOUBLE) AS spp,
+              |         CAST(SUM(qc * pc) AS DOUBLE) AS sqp,
+              |         quantile_cont(l_extendedprice, 0.5) AS med
+              |  FROM c GROUP BY l_returnflag
+              |)
+              |SELECT l_returnflag,
+              |       ROUND(sqrt((spp - sp * sp / n) / (n - 1)) / 100.0, 2) AS sd_price,
+              |       ROUND(sqrt((spp - sp * sp / n) / n) / 100.0, 2) AS sdp_price,
+              |       ROUND((sqq - sq * sq / n) / (n - 1) / 10000.0, 2) AS var_qty,
+              |       ROUND((sqq - sq * sq / n) / n / 10000.0, 2) AS varp_qty,
+              |       ROUND((sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 4) AS corr_qp,
+              |       ROUND((sqp - sq * sp / n) / (n - 1) / 10000.0, 2) AS cov_qp,
+              |       ROUND(med, 2) AS median_price
+              |FROM m
+              |ORDER BY l_returnflag NULLS FIRST, sd_price NULLS FIRST, sdp_price NULLS FIRST,
+              |         var_qty NULLS FIRST, varp_qty NULLS FIRST, corr_qp NULLS FIRST,
+              |         cov_qp NULLS FIRST, median_price NULLS FIRST""".stripMargin)))
 }

@@ -67,6 +67,23 @@ trait Catalog {
     */
   protected def psum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.sum(c.cast("decimal(22,6)")).cast("double")
+
+  /** Exact integer cents of a FULL-PRECISION double (events.value — NOT a
+    * 2-dp money column): floor(x·100 + 0.5), a fixed sequence of
+    * exactly-specified IEEE 754 ops (multiply, add, floor), so Spark and
+    * ANY DuckDB version agree bit-for-bit — including when x·100 lands
+    * exactly on a .5 boundary (x = k + 1/8, …), where HALF_UP and
+    * half-even round() implementations disagree (the q_win_sessionize
+    * round-1/2 driver hash mismatch: local DuckDB agreed, the driver's
+    * version didn't). Queries over full-precision doubles keep the result
+    * as BIGINT end-to-end — integers hash identically under any engine.
+    * (msum's round() stays correct for the 2-dp money columns: their
+    * cents-scaled values sit within ~1e-11 of an integer and can never
+    * reach a .5 boundary.)
+    * Oracle equivalent: `CAST(floor(x * 100 + 0.5) AS BIGINT)`.
+    */
+  protected def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.floor(c * 100 + 0.5)
 }
 
 /** Union of all capability catalogs — what SparkEntry exposes to the driver. */

@@ -42,19 +42,21 @@ object PipelineQueries extends Catalog {
         .withColumn("bucket",
           Scalars.timeBucket(unix_timestamp(col("ts")), 900L))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), round(msum(col("value")), 2).as("sum_value"))
+        // BIGINT cents (Catalog.cents): events.value is full-precision, so
+        // the sum stays integer end-to-end — engine-round-proof.
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
         .select(
           date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
-          col("n"), col("sum_value"))
-        .orderBy(col("bucket_ts"), col("n"), col("sum_value")),
+          col("n"), col("sum_cents"))
+        .orderBy(col("bucket_ts"), col("n"), col("sum_cents")),
       Some("""SELECT strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                      COUNT(*) AS n,
-                     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
+                     CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
               FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 * 900 AS bucket,
                            value
                     FROM events)
               GROUP BY bucket
-              ORDER BY bucket_ts NULLS FIRST, n NULLS FIRST, sum_value NULLS FIRST""")),
+              ORDER BY bucket_ts NULLS FIRST, n NULLS FIRST, sum_cents NULLS FIRST""")),
 
     "q_pipe_sha256" -> Q(
       t => t.events
@@ -66,6 +68,27 @@ object PipelineQueries extends Catalog {
       Some("""SELECT event_id, sha256(event_type || ':' || CAST(user_id AS VARCHAR)) AS h
               FROM events WHERE event_id < 200
               ORDER BY event_id NULLS FIRST, h NULLS FIRST""")),
+
+    // Reference B3's real enrichment shape (iplookup.go:28-43): distinct
+    // keys → one client lookup per key → broadcast join-back. The fake
+    // client is deterministic ('svc:' + key), so the END-TO-END result —
+    // dedup, fan-out, and join-back included — sits under the DuckDB gate;
+    // one-lookup-per-distinct-key is asserted in LookupEnrichSpec.
+    "q_pipe_lookup_enrich" -> Q(
+      t => {
+        val client = new graft.operators.LookupEnrich.LookupClient {
+          def lookup(key: String): String = "svc:" + key
+        }
+        graft.operators.LookupEnrich
+          .enrich(t.events.select(col("event_id"), col("user_id")),
+            "user_id", "svc", client)
+          .select(col("event_id"), col("user_id"), col("svc"))
+          .orderBy(col("event_id"), col("user_id"), col("svc"))
+      },
+      Some("""SELECT event_id, user_id,
+                     'svc:' || CAST(user_id AS VARCHAR) AS svc
+              FROM events
+              ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, svc NULLS FIRST""")),
 
     "q_pipe_event_time_fallback" -> Q(
       t => t.events

@@ -89,6 +89,9 @@ object SimilarityQueries extends Catalog {
       },
       None),
 
+    // All-pairs exact near-dup — the ORACLE BASELINE ONLY: O(n²) pairs is a
+    // scale-killer at 100 TB; the production formulation is
+    // q_sim_near_dup_lsh below (same result, candidate-bounded shuffle).
     "q_sim_near_dup" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id"),
@@ -98,6 +101,26 @@ object SimilarityQueries extends Catalog {
           .filter(col("sim") >= 0.4)
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
             round(col("sim"), 4).as("sim"))
+          .orderBy(col("a"), col("b"), col("sim"))
+      },
+      Some(s"""$duckVecCte
+               |SELECT x.vec_id AS a, y.vec_id AS b,
+               |       ROUND(${duckDot("x.v", "y.v")} / (x.nrm * y.nrm), 4) AS sim
+               |FROM n x JOIN n y ON x.vec_id < y.vec_id
+               |WHERE ${duckDot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.4
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, sim NULLS FIRST""".stripMargin)),
+
+    // The scale-safe formulation: LSH candidate pairs + exact verify. The
+    // oracle is the ALL-PAIRS query — equality holds because recall is 1.0
+    // on the testdata at threshold 0.4 with nbits=2 × 20 tables (expected
+    // misses ≈ 60·1e-4; also spec-asserted vs the in-engine all-pairs form
+    // in SimilaritySpec, so a regression fails locally before the driver).
+    "q_sim_near_dup_lsh" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("v"))
+        Similarity.lshNearDupPairs(emb, threshold = 0.4, dims = 64)
+          .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
           .orderBy(col("a"), col("b"), col("sim"))
       },
       Some(s"""$duckVecCte

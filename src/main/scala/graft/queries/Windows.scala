@@ -45,26 +45,33 @@ object Windows extends Catalog {
                        rn NULLS FIRST, rnk NULLS FIRST, drnk NULLS FIRST,
                        quartile NULLS FIRST, pct_rank NULLS FIRST""")),
 
+    // Full-precision events.value leaves the plan as BIGINT cents (see
+    // Catalog.cents): lag/lead/delta over integers are immune to the
+    // engine-round .5 divergence that bit q_win_sessionize.
     "q_win_lag_lead" -> Q(
       t => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        t.events.select(
-          col("event_id"),
-          col("user_id"),
-          round(lag(col("value"), 1).over(w), 2).as("prev_value"),
-          round(lead(col("value"), 1).over(w), 2).as("next_value"),
-          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
-          .orderBy(col("event_id"), col("user_id"), col("prev_value"),
-            col("next_value"), col("delta"))
+        t.events
+          .withColumn("c", cents(col("value")))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            lag(col("c"), 1).over(w).as("prev_cents"),
+            lead(col("c"), 1).over(w).as("next_cents"),
+            (col("c") - lag(col("c"), 1).over(w)).as("delta_cents"))
+          .orderBy(col("event_id"), col("user_id"), col("prev_cents"),
+            col("next_cents"), col("delta_cents"))
       },
       Some("""SELECT event_id, user_id,
-                     ROUND(lag(value, 1) OVER w, 2) AS prev_value,
-                     ROUND(lead(value, 1) OVER w, 2) AS next_value,
-                     ROUND(value - lag(value, 1) OVER w, 2) AS delta
-              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+                     lag(c, 1) OVER w AS prev_cents,
+                     lead(c, 1) OVER w AS next_cents,
+                     c - lag(c, 1) OVER w AS delta_cents
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                    FROM events)
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-              ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, prev_value NULLS FIRST,
-                       next_value NULLS FIRST, delta NULLS FIRST""")),
+              ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, prev_cents NULLS FIRST,
+                       next_cents NULLS FIRST, delta_cents NULLS FIRST""")),
 
     "q_win_running_frames" -> Q(
       t => {
@@ -143,15 +150,14 @@ object Windows extends Catalog {
           .agg(
             count(lit(1)).as("n_events"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            // Sum in DECIMAL, not DOUBLE: groupBy partial-aggregate merge
-            // order is nondeterministic (task completion order), so a
-            // double sum can differ in the last bit run-to-run and break
-            // exact hash comparison; integer-cents addition is exact and
-            // order-independent. (Window running sums elsewhere are fine —
-            // their summation order is defined by ORDER BY.)
-            msum(col("value")).as("session_value"))
+            // BIGINT cents end-to-end (see Catalog.cents): events.value is a
+            // full-precision double, so any engine round() can disagree at
+            // exact-.5 boundaries; floor(x·100+0.5) + integer sum is
+            // order-independent AND engine-version-independent. No double
+            // ever leaves this plan.
+            sum(cents(col("value"))).as("session_cents"))
           .orderBy(col("user_id"), col("session_id"), col("n_events"),
-            col("session_start"), col("session_value"))
+            col("session_start"), col("session_cents"))
       },
       Some("""WITH g AS (
               |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
@@ -168,11 +174,11 @@ object Windows extends Catalog {
               |)
               |SELECT user_id, session_id, COUNT(*) AS n_events,
               |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-              |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value
+              |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS session_cents
               |FROM s
               |GROUP BY user_id, session_id
               |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST, n_events NULLS FIRST,
-              |         session_start NULLS FIRST, session_value NULLS FIRST""".stripMargin)),
+              |         session_start NULLS FIRST, session_cents NULLS FIRST""".stripMargin)),
 
     "q_sort_limit" -> Q(
       t => t.orders

@@ -63,6 +63,11 @@ object ConfluentFraming {
       var i = 0
       while (i < n) {
         val (v, p) = readZigzag(framed, pos)
+        // A message index is a non-negative position in the .proto's nested
+        // message tree — negative or >Int.MaxValue values are a corrupt
+        // frame, not data (truncating with toInt would silently alias them).
+        if (v < 0 || v > Int.MaxValue)
+          throw new BadFrame(s"message index out of range: $v")
         idx(i) = v.toInt; pos = p; i += 1
       }
       (schemaId, idx.toIndexedSeq, pos)
@@ -83,9 +88,15 @@ object ConfluentFraming {
   /** Column form of [[stripBytes]] (UDF — fine off the hot path; the
     * streaming decode path parses the header inside its own
     * mapPartitions kernel instead, see [[ProtobufWire.decodeFramed]]).
+    * TOTAL over dirty input: null or unframeable bytes yield SQL NULL
+    * (filterable/countable at plan level) instead of failing the whole
+    * query — a Column op has no access to the malformed counter, so NULL
+    * is its count-and-continue equivalent.
     */
   def strip(value: Column): Column =
-    udf((b: Array[Byte]) => stripBytes(b)).apply(value)
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else try stripBytes(b) catch { case _: BadFrame => null }).apply(value)
 
   /** Frame a payload for a fixed schema id + message indexes (static per
     * target topic/message type; [0] — the wire shorthand 0x00 — by default).

@@ -24,7 +24,8 @@ object KafkaSource {
       spark: SparkSession,
       bootstrapServers: String,
       topic: String,
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+      maxOffsetsPerTrigger: Option[Long] = None,
+      malformed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val reader = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -38,10 +39,13 @@ object KafkaSource {
     // block is variable-length, so a static substring would corrupt every
     // record whose producer wrote more than the single-0x00 shorthand.
     // Bad frames / poison messages are counted, not fatal (reference
-    // failed-event accounting, app.go:85-97).
+    // failed-event accounting, app.go:85-97). Pass your own accumulator to
+    // observe the count programmatically — creating one per call would pile
+    // up duplicate same-named accumulators on the driver and leave callers
+    // without the handle.
     ProtobufWire.decodeFramed(
       framed.select(col("value")), "value",
-      Some(ProtobufWire.malformedCounter(spark)))
+      malformed.orElse(Some(ProtobufWire.malformedCounter(spark))))
   }
 
   /** Spark-native Kafka sink plan for key+value+headers (everything except

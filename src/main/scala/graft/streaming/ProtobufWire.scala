@@ -209,12 +209,20 @@ object ProtobufWire {
       org.apache.spark.sql.Encoders.row(SensorSchemas.sensorEventSchema)
     df.mapPartitions { it =>
       it.flatMap { r =>
-        try Some(decodeSensorEvent(unframe(r.getAs[Array[Byte]](idx))))
-        catch {
-          case _: MalformedRecord | _: ConfluentFraming.BadFrame =>
-            malformed.foreach(_.add(1L))
-            None
-        }
+        // Null value = Kafka tombstone (compacted-topic delete marker):
+        // count-and-drop like any other undecodable record — one tombstone
+        // must not kill the stream (poison-message contract, app.go:85-97).
+        val bytes = r.getAs[Array[Byte]](idx)
+        if (bytes == null) {
+          malformed.foreach(_.add(1L))
+          None
+        } else
+          try Some(decodeSensorEvent(unframe(bytes)))
+          catch {
+            case _: MalformedRecord | _: ConfluentFraming.BadFrame =>
+              malformed.foreach(_.add(1L))
+              None
+          }
       }
     }
   }

@@ -40,6 +40,26 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.sampleBytes($"media", 0))
   }
 
+  test("feature extraction runs on a STREAMING plan (MemoryStream)") {
+    // .rdd would throw here (forces batch execution); Dataset.mapPartitions
+    // + Encoders.row serves batch and streaming from the same operator
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val feats = Multimodal.extractFeatures(
+      in.toDF().toDF("id", "media"), "id", "media", batchSize = 2)
+    val q = feats.writeStream.outputMode("append").format("memory")
+      .queryName("mm_stream_feats").start()
+    val payloads = media.as[(Long, Array[Byte])].collect()
+    in.addData(payloads.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mm_stream_feats")
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    val batch = Multimodal.extractFeatures(media, "id", "media")
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("batch-shaped feature extraction: deterministic, normalized, keyed") {
     val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
       .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap

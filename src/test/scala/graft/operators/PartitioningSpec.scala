@@ -32,6 +32,19 @@ class PartitioningSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join salt is deterministic across runs (content-derived)") {
+    // monotonically_increasing_id would change under retry/recomputation;
+    // content-hash salt must reproduce bit-identically run-to-run
+    val saltCol = Partitioning.salt(16, skewed.columns.map(col).toIndexedSeq: _*)
+    val run1 = skewed.withColumn("s", saltCol).orderBy($"k", $"v").collect().toSeq
+    val run2 = skewed.withColumn("s", saltCol).orderBy($"k", $"v").collect().toSeq
+    assert(run1 == run2)
+    val dim = Seq(("hot", "H"), ("k1", "A")).toDF("k", "label")
+    val j1 = Partitioning.saltedJoin(skewed, dim, "k").orderBy($"k", $"v").collect().toSeq
+    val j2 = Partitioning.saltedJoin(skewed, dim, "k").orderBy($"k", $"v").collect().toSeq
+    assert(j1 == j2)
+  }
+
   test("hive-partitioned write prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.Graft.table(spark, sf(), "events")

@@ -56,6 +56,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lshRecall >= 0.4) // theory ~0.75 at cos≈0.4; generous floor
   }
 
+  test("LSH near-dup pairs EQUAL the exact all-pairs result (recall 1.0 gate)") {
+    // q_sim_near_dup_lsh ships the all-pairs SQL as its oracle, so this
+    // equality must hold exactly — any missed pair here means a driver-red
+    // row; fix by raising nTables / lowering nbits before shipping.
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select($"vec_id", Similarity.toDouble($"embedding").as("v"))
+    val allPairs = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", Similarity.cosine(col("x.v"), col("y.v")))
+      .filter($"sim" >= 0.4)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, threshold = 0.4, dims = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == allPairs,
+      s"missed=${(allPairs -- lsh).map(p => (p._1, p._2))} extra=${(lsh -- allPairs).map(p => (p._1, p._2))}")
+    assert(allPairs.nonEmpty)
+  }
+
   test("bucketed recall vs brute force on real embeddings (top-1, 20 queries)") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
       .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
