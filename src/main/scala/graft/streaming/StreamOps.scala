@@ -147,6 +147,44 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream equi-join with an event-time interval bound
+    * — the one Structured-Streaming join shape the rest of this file doesn't
+    * cover (enrichWithStatic is stream-STATIC). Correlates two live streams
+    * (e.g. alert events with their later acknowledgements) where the right
+    * row must land within [left.ts, left.ts + maxLag].
+    *
+    * State discipline at 100 TB: both watermarks plus the time-range
+    * predicate are what make the join's buffered state BOUNDED — Spark
+    * evicts a buffered row once the other side's watermark passes its
+    * join-window end. An equi-key alone would buffer both streams forever.
+    * Outer joins additionally REQUIRE the range bound: the null-padded
+    * result for an unmatched row can only be emitted once the engine can
+    * prove no future match exists. Both sides shuffle on the key — the same
+    * partitioning a keyed state store needs, so it scales with executors.
+    *
+    * Output columns: all left columns, then right columns renamed with
+    * `rightPrefix` (callers of a self-shaped join would otherwise collide).
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      leftTs: String,
+      leftWatermark: String,
+      right: DataFrame,
+      rightTs: String,
+      rightWatermark: String,
+      key: String,
+      maxLag: String,
+      joinType: String = "inner",
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r0 = right.withWatermark(rightTs, rightWatermark)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    val cond = l(key) === r(rightPrefix + key) &&
+      r(rightPrefix + rightTs) >= l(leftTs) &&
+      r(rightPrefix + rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLag")
+    l.join(r, cond, joinType)
+  }
+
   /** Stream-static enrichment, B3 shape: the stream side keeps its
     * cardinality; the static dim is broadcast so no stream shuffle happens.
     * (The reference dedups the key set before fan-out to an HTTP service —

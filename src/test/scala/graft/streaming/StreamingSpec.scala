@@ -147,6 +147,37 @@ class StreamingSpec extends SparkSpec {
     assert(rec.get("vlan") == null)
   }
 
+  test("stream-stream join: matches within lag, drops outside, outer-pads after watermark") {
+    val alerts = MemoryStream[(Timestamp, String, String)](spark)
+    val acks = MemoryStream[(Timestamp, String, String)](spark)
+    val joined = StreamOps.streamStreamJoin(
+      alerts.toDF().toDF("ts", "sensor", "alert"), "ts", "1 minute",
+      acks.toDF().toDF("ts", "sensor", "ack"), "ts", "1 minute",
+      key = "sensor", maxLag = "5 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("ssjoin").start()
+    alerts.addData(
+      (ts("2024-01-01 10:00:00"), "s1", "a1"), // acked 3 min later → match
+      (ts("2024-01-01 10:00:00"), "s2", "a2")) // acked 20 min later → outside lag
+    acks.addData(
+      (ts("2024-01-01 10:03:00"), "s1", "k1"),
+      (ts("2024-01-01 10:20:00"), "s2", "k2"))
+    q.processAllAvailable()
+    // push BOTH watermarks past 10:05 so s2's join window provably closes
+    // and the left-outer null row can be emitted
+    alerts.addData((ts("2024-01-01 11:00:00"), "s9", "a9"))
+    acks.addData((ts("2024-01-01 11:00:00"), "s9", "k9"))
+    q.processAllAvailable()
+    alerts.addData((ts("2024-01-01 12:00:00"), "s9", "a9b"))
+    acks.addData((ts("2024-01-01 12:00:00"), "s9", "k9b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin").select($"alert", $"r_ack")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows("a1").contains("k1"))   // in-window ack joined
+    assert(rows("a2").isEmpty)          // 20-min ack outside 5-min lag → null-padded
+  }
+
   test("sinkAlerts streams fixture events through foreachBatch to a writer") {
     val collected = new java.util.concurrent.ConcurrentLinkedQueue[KafkaSink.PreparedRecord]()
     CollectingWriter.queue = collected
