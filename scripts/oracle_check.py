@@ -12,6 +12,14 @@ hashes values exactly, so a float that differs in the last bit is a driver
 FAIL and must be one here too (round-2 lesson: the old 1e-9 tolerance let
 "69/69 locally" ship a driver-red query). Pass --tol for a diagnostic run
 that reports near-misses instead (never before a snapshot).
+
+TYPE-STRICT (round-3 lesson): values are compared via fetchall(), where
+DuckDB HUGEINT and BIGINT both surface as Python int — but the driver's
+hasher distinguishes int128 from int64 (q_win_sessionize failed three rounds
+on identical values). So we ALSO compare DuckDB-side column types of the
+oracle result against the Spark parquet dump's types and fail on any
+mismatch; a HUGEINT anywhere in an oracle result (any uncast SUM of ints,
+plain or windowed) is always fatal.
 """
 import json
 import math
@@ -68,9 +76,11 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{dump}/*.parquet')")
             spark_cols = [c.lower() for c in spark_rel.columns]
+            spark_types = [str(t) for t in spark_rel.types]
             spark_rows = spark_rel.fetchall()
             duck_rel = con.sql(oracle[name])
             duck_cols = [c.lower() for c in duck_rel.columns]
+            duck_types = [str(t) for t in duck_rel.types]
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
@@ -81,6 +91,23 @@ def main(sf_dir, out_dir):
         dc, dr = canon(duck_rows, duck_cols)
         if sc != dc:
             print(f"SCHEMA   {name}: spark={sc} duck={dc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        # Type gate: fetchall() is width-blind (HUGEINT == BIGINT == int in
+        # Python) but the driver's hasher is not — compare DuckDB-rendered
+        # column types of both sides, name-aligned, before looking at values.
+        stypes = {c: t for c, t in zip(spark_cols, spark_types)}
+        dtypes = {c: t for c, t in zip(duck_cols, duck_types)}
+        type_bad = [(c, stypes[c], dtypes[c]) for c in sc if stypes[c] != dtypes[c]]
+        huge = [c for c in dc if "HUGEINT" in dtypes[c]]
+        if type_bad or huge:
+            for c, st, dt in type_bad:
+                print(f"TYPE     {name}: col {c}: spark={st} duck={dt}"
+                      + ("  (HUGEINT: driver hasher distinguishes int128!)" if "HUGEINT" in dt else ""))
+            for c in huge:
+                if all(c != b[0] for b in type_bad):
+                    print(f"TYPE     {name}: col {c}: oracle emits {dtypes[c]} — always fatal")
             n_fail += 1
             failures.append(name)
             continue

@@ -36,9 +36,17 @@ object LookupEnrich {
   /** Enrich `df` with `resultCol = client.lookup(keyCol)`, calling the
     * service once per distinct key. Null keys pass through un-enriched
     * (left join), mirroring the reference's skip of empty addresses.
+    *
+    * Failure policy: by default a lookup exception propagates (fail-fast).
+    * Pass `failures` to count-and-continue instead — a failing key enriches
+    * to null (the left join already tolerates it) and increments the
+    * accumulator, mirroring the reference's failed-event accounting and this
+    * repo's own decode path (ProtobufWire.decodeFramed): one bad key must
+    * not kill a 100 TB enrichment job.
     */
   def enrich(df: DataFrame, keyCol: String, resultCol: String,
-      client: LookupClient): DataFrame = {
+      client: LookupClient,
+      failures: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val keyed = df.withColumn("__lookup_key", col(keyCol).cast("string"))
     val outSchema = StructType(Seq(
       StructField("__lookup_key", StringType, nullable = false),
@@ -55,7 +63,13 @@ object LookupEnrich {
           // touch a closed client
           val out = it.map { r =>
             val k = r.getString(0)
-            Row(k, client.lookup(k))
+            val v = failures match {
+              case None => client.lookup(k)
+              case Some(acc) =>
+                try client.lookup(k)
+                catch { case scala.util.control.NonFatal(_) => acc.add(1L); null }
+            }
+            Row(k, v)
           }.toVector
           out.iterator
         } finally client.close()

@@ -47,20 +47,29 @@ object Partitioning {
 
   /** Skew-safe equi-join: salt the skewed left, replicate the right across
     * all salt values, join on (key, salt). The salt derives from stable row
-    * CONTENT (hash of every left column), never from
-    * monotonically_increasing_id(): that id changes under task retry /
+    * CONTENT (hash of `saltFrom` columns, default all left columns), never
+    * from monotonically_increasing_id(): that id changes under task retry /
     * recomputation, so a re-executed partition would send the same row to a
     * different salt — results stay correct but plans and partition
     * placement stop being reproducible, which poisons debugging and any
     * downstream that assumes deterministic lineage.
+    *
+    * Limitation of content salting: IDENTICAL rows get identical salts, so a
+    * hot key composed of full-duplicate rows gets zero spread. If that is
+    * your skew shape, pass `saltFrom` naming a stable unique tiebreak column
+    * (an event id, a file+offset) so duplicates still fan out — same
+    * contract as `saltedAggregate.saltFrom`.
     */
   def saltedJoin(
       skewedLeft: DataFrame,
       right: DataFrame,
       key: String,
-      saltBuckets: Int = 16): DataFrame = {
-    val saltedL = skewedLeft.withColumn("__salt",
-      salt(saltBuckets, skewedLeft.columns.map(col).toIndexedSeq: _*))
+      saltBuckets: Int = 16,
+      saltFrom: Seq[String] = Seq.empty): DataFrame = {
+    val saltCols =
+      if (saltFrom.nonEmpty) saltFrom.map(col)
+      else skewedLeft.columns.map(col).toIndexedSeq
+    val saltedL = skewedLeft.withColumn("__salt", salt(saltBuckets, saltCols: _*))
     val replicatedR = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedL.join(replicatedR, Seq(key, "__salt")).drop("__salt")

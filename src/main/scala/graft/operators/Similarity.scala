@@ -52,7 +52,7 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
@@ -117,7 +117,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     candidates
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
@@ -174,7 +174,7 @@ object Similarity {
     c.join(q, "bucket")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }

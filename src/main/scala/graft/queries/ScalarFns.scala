@@ -100,7 +100,7 @@ object ScalarFns extends Catalog {
                      CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
                      CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
                      CAST(ABS(p_size - 100) AS INTEGER) AS dist100,
-                     CAST(p_size // 7 AS INTEGER) AS idiv,
+                     CAST(p_size // 7 AS BIGINT) AS idiv,
                      CAST(p_size % 7 AS INTEGER) AS imod,
                      ROUND(POW(p_size, 2), 2) AS sq,
                      ROUND(LN(p_retailprice), 4) AS ln_price,

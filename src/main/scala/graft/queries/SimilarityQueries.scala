@@ -75,19 +75,34 @@ object SimilarityQueries extends Catalog {
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
     // Multi-table LSH: the production ANN path. Candidate generation is
-    // probabilistic-by-construction but fully deterministic here (fixed LCG
-    // hyperplanes); still rows-only because replaying 32 64-dim hyperplane
-    // folds in DuckDB SQL is impractically slow — quality is spec-tested
-    // against brute force instead (SimilaritySpec).
+    // probabilistic-by-construction but fully deterministic here (splitmix64
+    // avalanche hyperplanes — Similarity.hyperplane). Replaying the hyperplane
+    // folds in DuckDB SQL is impractically slow, so the oracle is instead the
+    // exact brute-force top-k at recall-1.0 parameters (nbits=2 × 20 tables:
+    // per-neighbor miss ≈ (1 - 0.4)^20 ≈ 4e-5 at the corpus' ~0.4 cosine;
+    // equality is additionally spec-gated in SimilaritySpec so a parameter
+    // regression fails locally before the driver sees it).
     "q_sim_lsh_topk" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),
           Similarity.toDouble(col("embedding")).as("vec"))
-        Similarity.lshTopK(emb.filter(col("id") < 20), emb, k = 3, dims = 64)
+        Similarity.lshTopK(emb.filter(col("id") < 20), emb, k = 3, dims = 64,
+          nbits = 2, nTables = 20)
           .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
           .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
       },
-      None),
+      Some(s"""$duckVecCte, scored AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, sim,
+               |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
+               |FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
     // All-pairs exact near-dup — the ORACLE BASELINE ONLY: O(n²) pairs is a
     // scale-killer at 100 TB; the production formulation is

@@ -20,10 +20,13 @@ object Windows extends Catalog {
         val tied = Window.partitionBy(col("c_nationkey")).orderBy(col("bal_bucket"))
         df.select(
           col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
-          row_number().over(unique).as("rn"),
-          rank().over(tied).as("rnk"),
-          dense_rank().over(tied).as("drnk"),
-          ntile(4).over(unique).as("quartile"),
+          // ranking fns are INTEGER in Spark, BIGINT in DuckDB; the driver
+          // happens to normalize 32/64-bit widths but that tolerance is
+          // observed, not contractual — cast to BIGINT on our side.
+          row_number().over(unique).cast("long").as("rn"),
+          rank().over(tied).cast("long").as("rnk"),
+          dense_rank().over(tied).cast("long").as("drnk"),
+          ntile(4).over(unique).cast("long").as("quartile"),
           round(percent_rank().over(tied), 4).as("pct_rank"))
           .orderBy(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
             col("rn"), col("rnk"), col("drnk"), col("quartile"), col("pct_rank"))
@@ -118,7 +121,7 @@ object Windows extends Catalog {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         t.orders
           .join(t.customer, col("o_custkey") === col("c_custkey"))
-          .withColumn("rn", row_number().over(w))
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
             round(col("o_totalprice"), 2).as("total"))
@@ -166,10 +169,13 @@ object Windows extends Catalog {
               |               OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
               |  FROM events
               |), s AS (
+              |  -- window SUM of ints is HUGEINT (int128) in DuckDB; the driver's hasher
+              |  -- distinguishes int128 from Spark's BIGINT even when values match
+              |  -- (root cause of the r1-r3 hash mismatch) — CAST is mandatory.
               |  SELECT user_id, ts, value,
-              |         SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+              |         CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
               |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               |  FROM g
               |)
               |SELECT user_id, session_id, COUNT(*) AS n_events,

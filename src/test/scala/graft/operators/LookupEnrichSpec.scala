@@ -18,6 +18,12 @@ object LookupEnrichSpec {
   class UpperClient extends LookupEnrich.LookupClient {
     def lookup(key: String): String = key.toUpperCase
   }
+
+  class FlakyClient extends LookupEnrich.LookupClient {
+    def lookup(key: String): String =
+      if (key.endsWith("3")) throw new RuntimeException(s"boom:$key")
+      else s"geo:$key"
+  }
 }
 
 class LookupEnrichSpec extends SparkSpec {
@@ -46,6 +52,19 @@ class LookupEnrichSpec extends SparkSpec {
       .select($"event_id", $"svc").as[(Long, Option[String])].collect().toMap
     assert(got == Map(1L -> Some("geo:a"), 2L -> None, 3L -> Some("geo:a")))
     assert(lookups.value == 1L)
+  }
+
+  test("failure policy: count-and-continue nulls the failing key; default fail-fast") {
+    val failures = spark.sparkContext.longAccumulator("test.lookup.failures")
+    val events = Seq((1L, "ip1"), (2L, "ip3"), (3L, "ip3"), (4L, "ip2")).toDF("event_id", "k")
+    val got = LookupEnrich.enrich(events, "k", "svc", new FlakyClient, Some(failures))
+      .select($"event_id", $"svc").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("geo:ip1"), 2L -> None, 3L -> None, 4L -> Some("geo:ip2")))
+    assert(failures.value == 1L, "one failing DISTINCT key, counted once")
+    // without an accumulator the exception propagates (fail-fast default)
+    intercept[org.apache.spark.SparkException] {
+      LookupEnrich.enrich(events, "k", "svc", new FlakyClient).collect()
+    }
   }
 
   test("join-back broadcasts the looked-up relation (no event shuffle)") {

@@ -45,6 +45,28 @@ class PartitioningSpec extends SparkSpec {
     assert(j1 == j2)
   }
 
+  test("saltFrom tiebreak spreads a hot key of FULL-DUPLICATE rows") {
+    // content salting degenerates when the hot key's rows are identical
+    // (identical content → identical salt); a unique tiebreak column
+    // restores the spread while staying deterministic
+    val dupHot = (1 to 800).map(i => (i.toLong, "hot", 1.0)) ++
+      (1 to 50).map(i => (800L + i, s"k$i", i.toDouble))
+    val left = dupHot.toDF("event_id", "k", "v")
+    val contentSalts = left.drop("event_id")
+      .select(Partitioning.salt(16, $"k", $"v")).distinct().count()
+    assert(contentSalts <= 51L + 1L) // hot rows collapse to ONE salt
+    val spread = left.filter($"k" === "hot")
+      .select(Partitioning.salt(16, $"event_id")).distinct().count()
+    assert(spread == 16L, s"tiebreak salt should hit all 16 buckets, got $spread")
+    val dim = Seq(("hot", "H"), ("k1", "A")).toDF("k", "label")
+    val outCols = left.columns.map(col) :+ col("label")
+    val plain = left.join(dim, "k")
+      .select(outCols: _*).orderBy($"event_id").collect().toSeq
+    val salted = Partitioning.saltedJoin(left, dim, "k", saltFrom = Seq("event_id"))
+      .select(outCols: _*).orderBy($"event_id").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("hive-partitioned write prunes partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.Graft.table(spark, sf(), "events")

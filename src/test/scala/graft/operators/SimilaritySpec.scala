@@ -26,8 +26,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("brute-force top-k ranks the planted neighbor first") {
     val top = Similarity.bruteForceTopK(vecs.filter($"id" === 1), vecs, k = 2)
-      .select($"rank", $"cid").as[(Int, Long)].collect().toSeq.sorted
-    assert(top == Seq((1, 2L), (2, 3L)))
+      .select($"rank", $"cid").as[(Long, Long)].collect().toSeq.sorted
+    assert(top == Seq((1L, 2L), (2L, 3L)))
   }
 
   test("sign bucket groups sign-identical vectors; bucketed top-k finds same-bucket neighbor") {
@@ -72,6 +72,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == allPairs,
       s"missed=${(allPairs -- lsh).map(p => (p._1, p._2))} extra=${(lsh -- allPairs).map(p => (p._1, p._2))}")
     assert(allPairs.nonEmpty)
+  }
+
+  test("LSH top-k at oracle params (nbits=2 x 20 tables) EQUALS brute force (recall 1.0 gate)") {
+    // q_sim_lsh_topk ships the brute-force SQL as its oracle, so rank-level
+    // equality must hold exactly at these parameters — any missed neighbor
+    // shifts a rank and means a driver-red row; fix by raising nTables /
+    // lowering nbits before shipping.
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
+    val q = emb.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 3)
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, emb, 3, dims = 64, nbits = 2, nTables = 20)
+      .select($"qid", $"rank", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(lsh == bf, s"missed=${bf -- lsh} extra=${lsh -- bf}")
+    assert(bf.size == 60)
   }
 
   test("bucketed recall vs brute force on real embeddings (top-1, 20 queries)") {
