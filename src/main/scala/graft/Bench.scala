@@ -1,7 +1,8 @@
 package graft
 
 import graft.queries.AllQueries
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main (driver contract): runs the headline queries at
   * SPARK_GRAFT_SF_DIR, fully evaluating each plan through the noop sink
@@ -61,7 +62,94 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale evidence: replicate inputs factor× with disjoint key ranges and
+    // re-time the two shuffle-heaviest queries. A healthy plan scales
+    // near-linearly (ratio ≈ factor); a broadcast flip or skew collapse
+    // shows up as a super-linear blowout. Off the driver's correctness path;
+    // failure degrades to an empty section rather than killing the bench.
+    val probeJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
+      else try {
+        val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+        val probe = ScaleProbe.run(spark, sfDir, factor)
+        val entries = probe.map { case (name, t1, tn) =>
+          val ratio = if (t1 > 0) tn / t1 else -1.0
+          f""""$name":{"t1":$t1%.3f,"tN":$tn%.3f,"ratio":$ratio%.2f}"""
+        }.mkString(",")
+        s""","scale_probe":{"factor":$factor,"queries":{$entries}}"""
+      } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
     spark.stop()
+  }
+}
+
+/** Replays shuffle-heavy queries on factor×-replicated inputs to show the
+  * plans hold as data grows (VERDICT r3 task 6). Replication preserves the
+  * workload's SHAPE at factor× the rows:
+  *
+  * - join keys shift by `KeyStride` per replica, so the fact-fact join
+  *   fan-out grows linearly (disjoint key ranges), never quadratically;
+  * - document text gets a per-replica token injected between every word,
+  *   so every shingle differs across replicas: LSH near-dup pairs stay
+  *   within-replica and the pair count scales exactly linearly (clones
+  *   colliding across replicas would be quadratic in the factor);
+  * - the 1× baseline is re-written through the same temp-parquet path as
+  *   the N× copy, so both timings see identical codec/locality.
+  */
+object ScaleProbe {
+
+  private val KeyStride = 100000000L // > any key at the bench scale factors
+
+  private[graft] def replicate(spark: SparkSession, sfDir: String, name: String,
+      factor: Int): DataFrame = {
+    val base = Graft.table(spark, sfDir, name)
+    val copies = (0 until factor).map { i =>
+      val off = i * KeyStride
+      name match {
+        case "customer" =>
+          base.withColumn("c_custkey", col("c_custkey") + off)
+        case "orders" =>
+          base.withColumn("o_orderkey", col("o_orderkey") + off)
+            .withColumn("o_custkey", col("o_custkey") + off)
+        case "lineitem" =>
+          base.withColumn("l_orderkey", col("l_orderkey") + off)
+        case "documents" =>
+          base.withColumn("doc_id", col("doc_id") + off)
+            .withColumn("text", regexp_replace(col("text"), lit("\\s+"), lit(s" r$i ")))
+        case _ => base
+      }
+    }
+    copies.reduce(_ union _)
+  }
+
+  /** Returns (query, secAt1x, secAtNx) for the probe queries. */
+  def run(spark: SparkSession, sfDir: String, factor: Int): Seq[(String, Double, Double)] = {
+    val probeTables = Map(
+      "q_join_inner" -> Seq("customer", "orders", "lineitem"),
+      "q_dedup_lsh_pairs" -> Seq("documents"))
+    val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    try {
+      val allTables = probeTables.values.flatten.toSeq.distinct
+      for (f <- Seq(1, factor); t <- allTables)
+        replicate(spark, sfDir, t, f).write.mode("overwrite")
+          .parquet(s"$root/x$f/$t.parquet")
+      def time(name: String, dir: String): Double = {
+        def once: Double = {
+          val t0 = System.nanoTime()
+          AllQueries.all(name).run(Tables(spark, dir)).write
+            .format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once, once) // min-of-2: scaling ratios want the noise floor
+      }
+      probeTables.keys.toSeq.sorted.map { q =>
+        (q, time(q, s"$root/x1"), time(q, s"$root/x$factor"))
+      }
+    } finally {
+      scala.reflect.io.Path(new java.io.File(root)).deleteRecursively()
+      ()
+    }
   }
 }
