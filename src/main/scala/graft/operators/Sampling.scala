@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data pipelines.
+  *
+  * Every decision derives from `md5(salt ++ ":" ++ id)` — never `rand()`:
+  * a rand()-based sample changes under task retry, partition re-planning,
+  * or engine version, which silently breaks train/val hygiene (a document
+  * can move from val to train between runs). A content-hash rule is
+  * reproducible across runs, engines, and cluster layouts, and is exactly
+  * replayable in SQL for the oracle.
+  *
+  * Mechanics: the first 8 hex chars of the md5 are compared LEXICOGRAPHICALLY
+  * against a precomputed hex threshold (`hexThreshold(fraction)`). Lowercase
+  * hex strings order the same as their numeric values, and both Spark and
+  * DuckDB render md5 as lowercase hex, so the comparison is engine-portable
+  * without any hex→int parsing. The salt decorrelates independent samples
+  * (sampling at 20% then splitting 80/10/10 with a different salt are
+  * independent events per document).
+  *
+  * Scale shape (100 TB): pure map-side projection + filter on codegen'd
+  * built-ins (md5/substring/comparison) — no shuffle, no state, trivially
+  * parallel, and the filter pushes through column pruning so only the id
+  * column is hashed.
+  */
+object Sampling {
+
+  /** First 8 md5 hex chars of salt:id — the unit-interval draw, as hex. */
+  def hashKey(id: Column, salt: String): Column =
+    substring(md5(concat(lit(s"$salt:"), id.cast("string")).cast("binary")), 1, 8)
+
+  /** Hex threshold t such that P[hashKey < t] = fraction (up to 2^-32).
+    * fraction >= 1 maps to "g", which is lexicographically above every hex
+    * string (hex stops at 'f'), i.e. keep-everything.
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0, s"fraction must be >= 0, got $fraction")
+    if (fraction >= 1.0) "g"
+    else f"${math.round(fraction * 4294967296.0)}%08x"
+  }
+
+  /** The same expression for a DuckDB oracle, for id column `idSql`. */
+  def hashKeySql(idSql: String, salt: String): String =
+    s"substring(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 8)"
+
+  /** Deterministic Bernoulli sample: keep ~fraction of rows, decided per-row
+    * by content hash of `idCol`.
+    */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashKey(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
+    * all of rare ones). Strata missing from `fractions` use `default`.
+    * The stratum column only selects the RATE; the draw itself still hashes
+    * `idCol` alone, so changing a rate never reshuffles which ids are kept
+    * in other strata.
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = "sample"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(hexThreshold(default))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol), salt) < threshold)
+  }
+
+  /** Disjoint, exhaustive split (train/val/test): weights are normalized,
+    * each row gets the label of the hash bucket it lands in. Adding rows to
+    * the dataset never moves an EXISTING row between splits (stability under
+    * dataset growth — the property rand() and row_number() both lack).
+    */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      labelCol: String = "split", salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val key = hashKey(col(idCol), salt)
+    // last segment is the else-branch: no threshold, immune to rounding
+    val label = weights.init.zip(cum.init).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), upper)) =>
+        when(key < lit(hexThreshold(upper)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+
+  /** The split's CASE expression for a DuckDB oracle (same thresholds). */
+  def splitSql(idSql: String, weights: Seq[(String, Double)],
+      salt: String = "split"): String = {
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val key = hashKeySql(idSql, salt)
+    val cases = weights.init.zip(cum.init).map { case ((name, _), upper) =>
+      s"WHEN $key < '${hexThreshold(upper)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${weights.last._1}' END"
+  }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / train-val-test splitting over `documents`
+  * (training-data pipeline surface). The oracle SQL embeds thresholds
+  * computed by the SAME `Sampling.hexThreshold` the Spark plan uses, so the
+  * two sides cannot drift.
+  */
+object SamplingQueries extends Catalog {
+
+  private val strataFractions = Seq("en" -> 0.2, "de" -> 0.5, "zh" -> 1.0)
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def queries: Map[String, Q] = Map(
+    "q_sample_bernoulli" -> Q(
+      t => Sampling.bernoulli(t.documents, "doc_id", fraction = 0.2, salt = "s1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+               |WHERE ${Sampling.hashKeySql("doc_id", "s1")} < '${Sampling.hexThreshold(0.2)}'
+               |ORDER BY doc_id NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    "q_sample_stratified" -> Q(
+      t => Sampling.stratified(t.documents, "lang", "doc_id",
+        fractions = strataFractions.toMap, default = 0.1, salt = "s2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"), col("n_kept")),
+      Some {
+        val cases = strataFractions.map { case (l, f) =>
+          s"WHEN '$l' THEN '${Sampling.hexThreshold(f)}'"
+        }.mkString(" ")
+        s"""SELECT lang, COUNT(*) AS n_kept FROM documents
+           |WHERE ${Sampling.hashKeySql("doc_id", "s2")}
+           |      < CASE lang $cases ELSE '${Sampling.hexThreshold(0.1)}' END
+           |GROUP BY lang
+           |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST""".stripMargin
+      }),
+
+    "q_sample_split" -> Q(
+      t => Sampling.split(t.documents, "doc_id", splitWeights, salt = "s3")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"), col("split")),
+      Some(s"""SELECT doc_id, ${Sampling.splitSql("doc_id", splitWeights, "s3")} AS split
+               |FROM documents
+               |ORDER BY doc_id NULLS FIRST, split NULLS FIRST""".stripMargin)))
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+
+  test("hexThreshold: endpoints and monotonicity") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "g")   // above every hex string
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    val ts = Seq(0.1, 0.2, 0.5, 0.9).map(Sampling.hexThreshold)
+    assert(ts == ts.sorted)
+  }
+
+  test("bernoulli keeps ~fraction, deterministically across runs") {
+    val n = docs.count().toDouble
+    val s1 = Sampling.bernoulli(docs, "doc_id", 0.3).select($"doc_id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(docs, "doc_id", 0.3).select($"doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same data + same salt must select the same rows")
+    assert(math.abs(s1.size / n - 0.3) < 0.08, s"kept ${s1.size}/$n, expected ~30%")
+  }
+
+  test("split is disjoint, exhaustive, and stable as the dataset grows") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Sampling.split(docs, "doc_id", w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(full.size == docs.count(), "every row gets exactly one label")
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / full.size.toDouble)
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    // growth stability: splitting only HALF the corpus assigns every shared
+    // id the same label — rand()/row_number() schemes both fail this
+    val half = Sampling.split(docs.filter($"doc_id" % 2 === 0), "doc_id", w)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s },
+      "an existing row must never move between splits when rows are added")
+  }
+
+  test("stratified: changing one stratum's rate never reshuffles another stratum") {
+    val a = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 0.5), default = 0.2)
+      .filter($"lang" =!= "en").select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 0.9), default = 0.2)
+      .filter($"lang" =!= "en").select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "non-en strata must be unaffected by the en rate")
+    val keepAll = Sampling.stratified(docs, "lang", "doc_id", Map("zh" -> 1.0), default = 0.0)
+    assert(keepAll.count() == docs.filter($"lang" === "zh").count())
+  }
+
+  test("bernoulli is a pure map-side filter: no shuffle in the plan") {
+    val plan = Sampling.bernoulli(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("salt decorrelates draws") {
+    val x = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "a")
+      .select($"doc_id").as[Long].collect().toSet
+    val y = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(x != y, "different salts should draw different samples")
+    // independence: overlap ≈ 25% of corpus, loosely bounded
+    val n = docs.count().toDouble
+    val overlap = (x & y).size / n
+    assert(overlap > 0.1 && overlap < 0.45, s"overlap $overlap outside independence band")
+  }
+}
