@@ -158,6 +158,33 @@ object Dedup {
     (pairs, () => { prepared.unpersist(); () })
   }
 
+  /** Benchmark decontamination: (train doc, benchmark doc) pairs sharing at
+    * least `minOverlap` distinct k-shingle hashes — the contamination check
+    * run before training so eval data is not memorized from the corpus.
+    *
+    * Scale shape (100 TB train vs MB-scale benchmarks): both sides explode
+    * to (shingle hash, id) rows; the benchmark side is tiny and broadcast,
+    * so the train corpus never shuffles — cost is one map-side join pass
+    * linear in train shingles, then a groupBy on the (rare) matching pairs.
+    * Exact by construction, no signature approximation: decontamination
+    * wants recall 1.0, the opposite trade from near-dup LSH.
+    */
+  def contaminationPairs(
+      train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      minOverlap: Int = 2, k: Int = 3): DataFrame = {
+    val tSh = train.select(col(trainId).as("train_id"),
+      explode(shingleHashes(col(trainText), k)).as("h"))
+    val bSh = bench.select(col(benchId).as("bench_id"),
+      explode(shingleHashes(col(benchText), k)).as("h"))
+    tSh.join(broadcast(bSh), "h")
+      // shingleHashes is per-doc distinct, so each (train, bench, h) row is
+      // unique and a plain count IS the distinct shared-hash count
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Scoped form: runs `use` over the near-dup pairs, then unpersists the
     * signature cache before returning — the safe default for repeated
     * dedup passes in one session.

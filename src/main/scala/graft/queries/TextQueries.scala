@@ -209,5 +209,52 @@ object TextQueries extends Catalog {
                |FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id < y.doc_id
                |WHERE CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
                |      / len(list_distinct(x.shd || y.shd)) >= 0.5
-               |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)))
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
+
+    // Benchmark decontamination: docs 0-4 stand in for an eval benchmark;
+    // the "train" rest is checked for >= 2 shared 3-shingle hashes. The
+    // oracle's all-pairs intersect is exact on the same hash replay; the
+    // Spark side is the scalable broadcast-join form (Dedup
+    // .contaminationPairs), so equality also proves the join formulation.
+    "q_dedup_decontaminate" -> Q(
+      t => {
+        val docs = t.documents
+        Dedup.contaminationPairs(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "doc_id", "text",
+          minOverlap = 2)
+          .orderBy(col("train_id"), col("bench_id"), col("n_shared"))
+      },
+      Some(s"""$duckShingleCtes
+               |SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+               |       CAST(len(list_intersect(t.shd, b.shd)) AS BIGINT) AS n_shared
+               |FROM sh t JOIN sh b ON t.doc_id >= 5 AND b.doc_id < 5
+               |WHERE len(list_intersect(t.shd, b.shd)) >= 2
+               |ORDER BY train_id NULLS FIRST, bench_id NULLS FIRST, n_shared NULLS FIRST""".stripMargin)),
+
+    // Concat-and-chunk sample packing (operators/Packing): shard by id,
+    // per-shard token cumsum, chunk = floor(offset / 1024). The window SUM
+    // is CAST from HUGEINT on the oracle side (the sessionize lesson).
+    "q_pack_chunks" -> Q(
+      t => graft.operators.Packing.packChunks(
+        t.documents.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 1024, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("tok_offset"), col("chunk"))
+        .orderBy(col("doc_id"), col("shard"), col("tok_offset"), col("chunk")),
+      Some("""WITH tok AS (
+              |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+              |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              |  FROM documents
+              |), packed AS (
+              |  SELECT doc_id, shard,
+              |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              |  FROM tok
+              |)
+              |SELECT doc_id, shard, tok_offset,
+              |       CAST(FLOOR(tok_offset / 1024.0) AS BIGINT) AS chunk
+              |FROM packed
+              |ORDER BY doc_id NULLS FIRST, shard NULLS FIRST, tok_offset NULLS FIRST,
+              |         chunk NULLS FIRST""".stripMargin)))
 }

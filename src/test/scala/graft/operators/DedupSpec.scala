@@ -37,6 +37,28 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before) // no leak
   }
 
+  test("contamination: planted benchmark phrase is found; clean docs are not") {
+    val benchPhrase = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((1L, benchPhrase)).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, s"intro words then $benchPhrase and a tail"), // contains the phrase
+      (11L, "entirely unrelated content with no overlap at all here"),
+      (12L, "the quick brown fox appears briefly")         // 2 shared shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(train, "doc_id", "text",
+      bench, "doc_id", "text", minOverlap = 2)
+      .select($"train_id", $"bench_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(_._1) == Set(10L, 12L), s"got $got")
+    // doc 10 embeds the whole 9-token phrase: all 7 of its 3-shingles shared
+    assert(got.find(_._1 == 10L).get._3 == 7L)
+    // the benchmark side must broadcast (train never shuffles for the join)
+    val plan = Dedup.contaminationPairs(train, "doc_id", "text",
+      bench, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast contamination join:\n$plan")
+  }
+
   test("simhash: identical docs hash equal; near-dups within small hamming") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
