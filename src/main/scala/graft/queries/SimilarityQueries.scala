@@ -74,6 +74,50 @@ object SimilarityQueries extends Catalog {
                |FROM ranked WHERE rank <= 3
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
+    // Int8-quantized top-k: the 100 TB memory lever (4× smaller corpus than
+    // float32). Scoring is an int64 dot of int8 codes — exact integer
+    // arithmetic, so unlike the float variants the oracle needs no fold-order
+    // contract at all: any evaluation order gives the same BIGINT.
+    "q_sim_quantized_topk" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.quantizedTopK(emb.filter(col("id") < 5), emb, k = 3)
+          .select(col("qid"), col("rank"), col("cid"), col("qdot"),
+            round(col("qcos"), 4).as("qcos"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("qdot"), col("qcos"))
+      },
+      Some(s"""$duckVecCte, mx AS (
+               |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS ma
+               |  FROM e
+               |), qv AS (
+               |  SELECT vec_id,
+               |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+               |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+               |  FROM mx
+               |), qn AS (
+               |  SELECT vec_id, q,
+               |         list_reduce(list_transform(range(1, len(q) + 1), k -> q[k] * q[k]),
+               |                     (acc, x) -> acc + x) AS aa
+               |  FROM qv
+               |), scored AS (
+               |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+               |         list_reduce(list_transform(range(1, len(a.q) + 1), k -> a.q[k] * b.q[k]),
+               |                     (acc, x) -> acc + x) AS qdot,
+               |         a.aa AS qaa, b.aa AS caa
+               |  FROM qn a JOIN qn b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, qdot,
+               |         CAST(qdot AS DOUBLE) / (sqrt(qaa) * sqrt(caa)) AS qcos,
+               |         row_number() OVER (PARTITION BY qid
+               |           ORDER BY CAST(qdot AS DOUBLE) / (sqrt(qaa) * sqrt(caa)) DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, qdot, ROUND(qcos, 4) AS qcos
+               |FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST,
+               |         qdot NULLS FIRST, qcos NULLS FIRST""".stripMargin)),
+
     // Multi-table LSH: the production ANN path. Candidate generation is
     // probabilistic-by-construction but fully deterministic here (splitmix64
     // avalanche hyperplanes — Similarity.hyperplane). Replaying the hyperplane

@@ -90,6 +90,27 @@ class SimilaritySpec extends SparkSpec {
     assert(bf.size == 60)
   }
 
+  test("int8 quantization: golden codes, zero vector, and top-k agreement with float") {
+    val df = Seq((1L, Seq(0.5, -1.0, 0.25)), (2L, Seq(0.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+      .withColumn("ma", Similarity.maxAbs($"vec"))
+    val codes = df.select($"id", Similarity.quantize($"vec", $"ma").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes(1L) == Seq(64L, -127L, 32L)) // floor(x*127/max|x| + 0.5)
+    assert(codes(2L) == Seq(0L, 0L, 0L))      // zero vector stays zero
+    // int8 ranking tracks the float ranking on real embeddings
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
+    val q = emb.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val qz = Similarity.quantizedTopK(q, emb, 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = (bf & qz).size.toDouble / bf.size
+    info(f"int8 top-3 recall vs float: $recall%.2f")
+    assert(recall >= 0.8, s"int8 ranking diverged too far from float (recall $recall)")
+  }
+
   test("bucketed recall vs brute force on real embeddings (top-1, 20 queries)") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
       .select($"vec_id".as("id"), Similarity.toDouble($"embedding").as("vec"))
