@@ -87,6 +87,20 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random total order
+    * (hash key asc, id tiebreak). Training wants a different permutation
+    * per epoch — pass the epoch in the salt — but the SAME permutation on
+    * re-run/retry, which rand() ordering cannot give. Scale shape: ordering
+    * by a computed key is a normal Spark range-partitioned sort — and
+    * downstream consumers that only need per-shard order can sortWithinPartitions
+    * on the same key for a shuffle-free variant.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      salt: String = "epoch"): DataFrame = {
+    val key = hashKey(col(idCol), s"$salt$epoch")
+    df.withColumn("shuffle_key", key).orderBy(col("shuffle_key"), col(idCol))
+  }
+
   /** The split's CASE expression for a DuckDB oracle (same thresholds). */
   def splitSql(idSql: String, weights: Seq[(String, Double)],
       salt: String = "split"): String = {

@@ -39,6 +39,16 @@ object SamplingQueries extends Catalog {
            |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST""".stripMargin
       }),
 
+    "q_sample_shuffle" -> Q(
+      t => Sampling.epochShuffle(t.documents, "doc_id", epoch = 1)
+        .limit(20)
+        .select(col("doc_id"), col("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id")),
+      Some(s"""SELECT doc_id, ${Sampling.hashKeySql("doc_id", "epoch1")} AS shuffle_key
+               |FROM documents
+               |ORDER BY shuffle_key NULLS FIRST, doc_id NULLS FIRST
+               |LIMIT 20""".stripMargin)),
+
     "q_sample_split" -> Q(
       t => Sampling.split(t.documents, "doc_id", splitWeights, salt = "s3")
         .select(col("doc_id"), col("split"))

@@ -125,29 +125,37 @@ object ScalarFns extends Catalog {
               FROM embeddings WHERE vec_id < 3
               ORDER BY vec_id NULLS FIRST, pos NULLS FIRST, v NULLS FIRST""")),
 
+    // All rounded values here derive from float32 embeddings — DYADIC
+    // rationals, whose ×10^4 products can land EXACTLY on .5 ties (hit at
+    // sf0.1: emb[1]·2·10^4 = -0.5, Spark HALF_UP → -0.0001 vs DuckDB → -0.0).
+    // So this query rounds via floor(x·10^4 + 0.5)/10^4 spelled IDENTICALLY
+    // on both engines: same IEEE op sequence, no engine rounding policy left.
     "q_array_hof" -> Q(
-      t => t.embeddings
-        .withColumn("emb", transform(col("embedding"), _.cast("double")))
-        .select(
-          col("vec_id"),
-          size(col("embedding")).as("dim"),
-          round(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x), 4).as("sum_all"),
-          size(filter(col("emb"), _ > 0)).as("n_pos"),
-          round(aggregate(transform(col("emb"), x => x * x), lit(0.0), (acc, x) => acc + x), 4).as("sum_sq"),
-          round(array_max(col("emb")), 4).as("max_v"),
-          round(element_at(col("emb"), 1) * 2, 4).as("first_doubled"))
-        .orderBy(col("vec_id"), col("dim"), col("sum_all"), col("n_pos"),
-          col("sum_sq"), col("max_v"), col("first_doubled")),
+      t => {
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+        t.embeddings
+          .withColumn("emb", transform(col("embedding"), _.cast("double")))
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            r4(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x)).as("sum_all"),
+            size(filter(col("emb"), _ > 0)).as("n_pos"),
+            r4(aggregate(transform(col("emb"), x => x * x), lit(0.0), (acc, x) => acc + x)).as("sum_sq"),
+            r4(array_max(col("emb"))).as("max_v"),
+            r4(element_at(col("emb"), 1) * 2).as("first_doubled"))
+          .orderBy(col("vec_id"), col("dim"), col("sum_all"), col("n_pos"),
+            col("sum_sq"), col("max_v"), col("first_doubled"))
+      },
       Some("""WITH e AS (SELECT vec_id, embedding,
                                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                          FROM embeddings)
               SELECT vec_id,
                      CAST(len(embedding) AS INTEGER) AS dim,
-                     ROUND(list_sum(emb), 4) AS sum_all,
+                     FLOOR(list_sum(emb) * 10000.0 + 0.5) / 10000.0 AS sum_all,
                      CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_pos,
-                     ROUND(list_sum(list_transform(emb, x -> x * x)), 4) AS sum_sq,
-                     ROUND(list_max(emb), 4) AS max_v,
-                     ROUND(emb[1] * 2, 4) AS first_doubled
+                     FLOOR(list_sum(list_transform(emb, x -> x * x)) * 10000.0 + 0.5) / 10000.0 AS sum_sq,
+                     FLOOR(list_max(emb) * 10000.0 + 0.5) / 10000.0 AS max_v,
+                     FLOOR(emb[1] * 2 * 10000.0 + 0.5) / 10000.0 AS first_doubled
               FROM e
               ORDER BY vec_id NULLS FIRST, dim NULLS FIRST, sum_all NULLS FIRST,
                        n_pos NULLS FIRST, sum_sq NULLS FIRST, max_v NULLS FIRST,

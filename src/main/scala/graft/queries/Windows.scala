@@ -76,33 +76,49 @@ object Windows extends Catalog {
               ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, prev_cents NULLS FIRST,
                        next_cents NULLS FIRST, delta_cents NULLS FIRST""")),
 
+    // Window aggregates over doubles are NOT order-defined cross-engine:
+    // DuckDB evaluates windowed SUM/AVG with a segment tree (tree-shaped
+    // accumulation), Spark with running accumulation — the pre-round values
+    // can differ in the last bit and flip a .5-cent rounding (hit at sf0.1:
+    // run_avg 291363.70 vs .71 on identical input). So every aggregate here
+    // runs on BIGINT cents: integer window sums are exact under ANY
+    // accumulation order, and the one remaining division (avg) is the same
+    // IEEE op sequence on both engines.
     "q_win_running_frames" -> Q(
       t => {
-        val df = t.orders.withColumn("dayn",
-          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+        val df = t.orders
+          .withColumn("dayn",
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+          .withColumn("c", cents(col("o_totalprice")).cast("long"))
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
         val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sliding = w.rowsBetween(-2, Window.currentRow)
         val dayRange = Window.partitionBy(col("o_custkey")).orderBy(col("dayn")).rangeBetween(-30, 0)
         df.select(
           col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(running), 2).as("run_sum"),
-          round(avg(col("o_totalprice")).over(running), 2).as("run_avg"),
-          round(min(col("o_totalprice")).over(running), 2).as("run_min"),
-          round(max(col("o_totalprice")).over(running), 2).as("run_max"),
-          round(avg(col("o_totalprice")).over(sliding), 2).as("slide3_avg"),
-          round(sum(col("o_totalprice")).over(dayRange), 2).as("sum_30d"))
-          .orderBy(col("o_custkey"), col("o_orderkey"), col("run_sum"), col("run_avg"),
-            col("run_min"), col("run_max"), col("slide3_avg"), col("sum_30d"))
+          sum(col("c")).over(running).as("run_sum_cents"),
+          floor(sum(col("c")).over(running).cast("double") / count(lit(1)).over(running))
+            .as("run_avg_cents"),
+          min(col("c")).over(running).as("run_min_cents"),
+          max(col("c")).over(running).as("run_max_cents"),
+          floor(sum(col("c")).over(sliding).cast("double") / count(lit(1)).over(sliding))
+            .as("slide3_avg_cents"),
+          sum(col("c")).over(dayRange).as("sum_30d_cents"))
+          .orderBy(col("o_custkey"), col("o_orderkey"), col("run_sum_cents"),
+            col("run_avg_cents"), col("run_min_cents"), col("run_max_cents"),
+            col("slide3_avg_cents"), col("sum_30d_cents"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-                     ROUND(sum(o_totalprice) OVER w_run, 2) AS run_sum,
-                     ROUND(avg(o_totalprice) OVER w_run, 2) AS run_avg,
-                     ROUND(min(o_totalprice) OVER w_run, 2) AS run_min,
-                     ROUND(max(o_totalprice) OVER w_run, 2) AS run_max,
-                     ROUND(avg(o_totalprice) OVER w_slide, 2) AS slide3_avg,
-                     ROUND(sum(o_totalprice) OVER w_range, 2) AS sum_30d
-              FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dayn
+                     CAST(sum(c) OVER w_run AS BIGINT) AS run_sum_cents,
+                     CAST(FLOOR(CAST(sum(c) OVER w_run AS DOUBLE)
+                                / count(*) OVER w_run) AS BIGINT) AS run_avg_cents,
+                     CAST(min(c) OVER w_run AS BIGINT) AS run_min_cents,
+                     CAST(max(c) OVER w_run AS BIGINT) AS run_max_cents,
+                     CAST(FLOOR(CAST(sum(c) OVER w_slide AS DOUBLE)
+                                / count(*) OVER w_slide) AS BIGINT) AS slide3_avg_cents,
+                     CAST(sum(c) OVER w_range AS BIGINT) AS sum_30d_cents
+              FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
                     FROM orders)
               WINDOW
                 w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -111,9 +127,9 @@ object Windows extends Catalog {
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                 w_range AS (PARTITION BY o_custkey ORDER BY dayn
                             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-              ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST, run_sum NULLS FIRST,
-                       run_avg NULLS FIRST, run_min NULLS FIRST, run_max NULLS FIRST,
-                       slide3_avg NULLS FIRST, sum_30d NULLS FIRST""")),
+              ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST, run_sum_cents NULLS FIRST,
+                       run_avg_cents NULLS FIRST, run_min_cents NULLS FIRST, run_max_cents NULLS FIRST,
+                       slide3_avg_cents NULLS FIRST, sum_30d_cents NULLS FIRST""")),
 
     "q_win_topk_per_group" -> Q(
       t => {

@@ -55,6 +55,14 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("epoch shuffle: reproducible within an epoch, different across epochs") {
+    def order(epoch: Int) = Sampling.epochShuffle(docs, "doc_id", epoch)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(order(1) == order(1), "same epoch must replay the same permutation")
+    assert(order(1) != order(2), "different epochs must permute differently")
+    assert(order(1).toSet == order(2).toSet, "a shuffle reorders, never drops")
+  }
+
   test("salt decorrelates draws") {
     val x = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "a")
       .select($"doc_id").as[Long].collect().toSet
