@@ -142,7 +142,11 @@ object ScaleProbe {
             .format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        math.min(once, once) // min-of-2: scaling ratios want the noise floor
+        // warmup discards one-time costs (file listing, codegen for this
+        // dataset's plan) that otherwise dwarf the 1× point and can even
+        // push the ratio below 1; then min-of-2 for the noise floor
+        once
+        math.min(once, once)
       }
       probeTables.keys.toSeq.sorted.map { q =>
         (q, time(q, s"$root/x1"), time(q, s"$root/x$factor"))
