@@ -87,6 +87,24 @@ object Sampling {
     df.withColumn(labelCol, label)
   }
 
+  /** Deterministic fixed-size sample: exactly `k` rows per stratum (fewer
+    * only if the stratum is smaller), chosen as the k smallest hash keys —
+    * a reproducible stand-in for reservoir sampling. Unlike a reservoir,
+    * membership is stable under reruns and ALMOST stable under growth: a
+    * new row displaces at most the current largest-keyed member of its own
+    * stratum. Scale shape: one shuffle on the stratum key, then an
+    * in-partition window top-k (same shape as any top-k-per-group).
+    */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String = "sample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic epoch shuffle: a reproducible pseudo-random total order
     * (hash key asc, id tiebreak). Training wants a different permutation
     * per epoch — pass the epoch in the salt — but the SAME permutation on

@@ -39,6 +39,18 @@ object SamplingQueries extends Catalog {
            |ORDER BY lang NULLS FIRST, n_kept NULLS FIRST""".stripMargin
       }),
 
+    "q_sample_exact_k" -> Q(
+      t => Sampling.exactKPerStratum(t.documents, "lang", "doc_id", k = 10, salt = "s4")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some(s"""SELECT lang, doc_id FROM (
+               |  SELECT lang, doc_id,
+               |         row_number() OVER (PARTITION BY lang
+               |           ORDER BY ${Sampling.hashKeySql("doc_id", "s4")}, doc_id) AS rk
+               |  FROM documents)
+               |WHERE rk <= 10
+               |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin)),
+
     "q_sample_shuffle" -> Q(
       t => Sampling.epochShuffle(t.documents, "doc_id", epoch = 1)
         .limit(20)

@@ -63,6 +63,36 @@ class SamplingSpec extends SparkSpec {
     assert(order(1).toSet == order(2).toSet, "a shuffle reorders, never drops")
   }
 
+  test("exact-k per stratum: k rows each, reproducible, minimal churn on growth") {
+    val s1 = Sampling.exactKPerStratum(docs, "lang", "doc_id", k = 5)
+      .select($"lang", $"doc_id").as[(String, Long)].collect()
+    assert(s1.groupBy(_._1).values.forall(_.length == 5), "exactly k per stratum")
+    val s2 = Sampling.exactKPerStratum(docs, "lang", "doc_id", k = 5)
+      .select($"lang", $"doc_id").as[(String, Long)].collect()
+    assert(s1.toSet == s2.toSet, "reruns pick the same rows")
+    // shrinking the corpus keeps every surviving member that is still there
+    val shrunk = Sampling.exactKPerStratum(docs.filter($"doc_id" % 3 =!= 0),
+      "lang", "doc_id", k = 5).select($"doc_id").as[Long].collect().toSet
+    val survivors = s1.map(_._2).filter(_ % 3 != 0).toSet
+    assert(survivors.subsetOf(shrunk),
+      "members not removed from the corpus must stay selected (hash order is stable)")
+  }
+
+  test("bernoulli sampling works unchanged on a stream (stateless map-side filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[Long](spark)
+    val sampled = Sampling.bernoulli(in.toDF().toDF("doc_id"), "doc_id", 0.3)
+    val q = sampled.writeStream.format("memory").queryName("stream_sample").start()
+    in.addData(0L until 200L: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stream_sample").as[Long].collect().toSet
+    q.stop()
+    val batch = Sampling.bernoulli(
+      spark.range(200).toDF("doc_id"), "doc_id", 0.3).as[Long].collect().toSet
+    assert(streamed == batch, "stream and batch must select identical rows")
+    assert(batch.nonEmpty && batch.size < 200)
+  }
+
   test("salt decorrelates draws") {
     val x = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "a")
       .select($"doc_id").as[Long].collect().toSet
