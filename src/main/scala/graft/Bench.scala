@@ -67,7 +67,9 @@ object Bench {
     // re-time the two shuffle-heaviest queries. A healthy plan scales
     // near-linearly (ratio ≈ factor); a broadcast flip or skew collapse
     // shows up as a super-linear blowout. Off the driver's correctness path;
-    // failure degrades to an empty section rather than killing the bench.
+    // a NonFatal failure degrades to an explicit error marker (a silently
+    // empty section would be indistinguishable from a disabled probe), while
+    // fatal errors (OOM, interrupt) still propagate and fail the bench.
     val probeJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
       else try {
@@ -78,7 +80,12 @@ object Bench {
           f""""$name":{"t1":$t1%.3f,"tN":$tn%.3f,"ratio":$ratio%.2f}"""
         }.mkString(",")
         s""","scale_probe":{"factor":$factor,"queries":{$entries}}"""
-      } catch { case _: Throwable => "" }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          s""","scale_probe":{"error":"$msg"}"""
+      }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
     spark.stop()

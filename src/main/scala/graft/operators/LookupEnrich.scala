@@ -43,6 +43,15 @@ object LookupEnrich {
     * accumulator, mirroring the reference's failed-event accounting and this
     * repo's own decode path (ProtobufWire.decodeFramed): one bad key must
     * not kill a 100 TB enrichment job.
+    *
+    * The `failures` count is AT-LEAST-ONCE, like every Spark accumulator
+    * incremented inside a transformation: a retried or speculatively
+    * executed task re-counts its partition's failures (the reference's
+    * failed-event counters carry the same caveat). Treat it as a
+    * diagnostic. For an EXACT count, derive it from the output instead —
+    * rows whose key is non-null but whose `resultCol` is null are precisely
+    * the failed keys: `out.filter(col(keyCol).isNotNull &&
+    * col(resultCol).isNull)` — which is what the spec asserts on.
     */
   def enrich(df: DataFrame, keyCol: String, resultCol: String,
       client: LookupClient,

@@ -20,8 +20,11 @@ object Packing {
 
   /** Assign each doc its pack location: `shard`, `tok_offset` (tokens
     * preceding it in its shard's concatenation), `chunk` = which seqLen
-    * window its first token lands in. `docs` needs `idCol` (non-negative
-    * integral) and `tokenCountCol`.
+    * window its first token lands in. `docs` needs `idCol` (integral) and
+    * `tokenCountCol`. Sharding uses `pmod`, not `%`: Spark's `%` preserves
+    * the dividend's sign, so a negative id would silently land outside
+    * [0, nShards); pmod keeps every id in range (and matches the oracle
+    * formulation, which is only exercised on non-negative ids).
     */
   def packChunks(docs: DataFrame, idCol: String, tokenCountCol: String,
       seqLen: Int, nShards: Int = 8): DataFrame = {
@@ -29,7 +32,7 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .withColumn("shard", (col(idCol) % nShards).cast("long"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("tok_offset",
         coalesce(sum(col(tokenCountCol).cast("long")).over(w), lit(0L)))
       .withColumn("chunk", floor(col("tok_offset") / lit(seqLen.toDouble)).cast("long"))

@@ -33,12 +33,16 @@ object Sampling {
 
   /** Hex threshold t such that P[hashKey < t] = fraction (up to 2^-32).
     * fraction >= 1 maps to "g", which is lexicographically above every hex
-    * string (hex stops at 'f'), i.e. keep-everything.
+    * string (hex stops at 'f'), i.e. keep-everything. Fractions within
+    * 2^-33 of 1 ROUND to 2^32 — which would format as the 9-char
+    * "100000000" and lexicographically keep only keys starting with '0' —
+    * so any rounded value >= 2^32 also takes the keep-everything branch.
     */
   def hexThreshold(fraction: Double): String = {
     require(fraction >= 0, s"fraction must be >= 0, got $fraction")
-    if (fraction >= 1.0) "g"
-    else f"${math.round(fraction * 4294967296.0)}%08x"
+    val scaled = math.round(fraction * 4294967296.0)
+    if (fraction >= 1.0 || scaled >= 4294967296L) "g"
+    else f"$scaled%08x"
   }
 
   /** The same expression for a DuckDB oracle, for id column `idSql`. */

@@ -122,10 +122,14 @@ object SimilarityQueries extends Catalog {
     // probabilistic-by-construction but fully deterministic here (splitmix64
     // avalanche hyperplanes — Similarity.hyperplane). Replaying the hyperplane
     // folds in DuckDB SQL is impractically slow, so the oracle is instead the
-    // exact brute-force top-k at recall-1.0 parameters (nbits=2 × 20 tables:
-    // per-neighbor miss ≈ (1 - 0.4)^20 ≈ 4e-5 at the corpus' ~0.4 cosine;
-    // equality is additionally spec-gated in SimilaritySpec so a parameter
-    // regression fails locally before the driver sees it).
+    // exact brute-force top-k, which is only valid because recall is
+    // OBSERVED to be 1.0 on the driver's actual inputs: SimilaritySpec
+    // asserts lshTopK == bruteForceTopK at EVERY testdata sf (0.001/0.01/
+    // 0.1) before any snapshot ships. The probability estimate alone is NOT
+    // the guarantee — a low-cosine rank-3 neighbor misses nbits=2 × 20
+    // tables with ~(3/4)^20 ≈ 3e-3, and negative-cosine neighbors more — so
+    // on a NEW dataset this oracle pairing must be re-validated by that
+    // spec, or the entry demoted to rows-only.
     "q_sim_lsh_topk" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),
@@ -170,10 +174,10 @@ object SimilarityQueries extends Catalog {
                |ORDER BY a NULLS FIRST, b NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
     // The scale-safe formulation: LSH candidate pairs + exact verify. The
-    // oracle is the ALL-PAIRS query — equality holds because recall is 1.0
-    // on the testdata at threshold 0.4 with nbits=2 × 20 tables (expected
-    // misses ≈ 60·1e-4; also spec-asserted vs the in-engine all-pairs form
-    // in SimilaritySpec, so a regression fails locally before the driver).
+    // oracle is the ALL-PAIRS query — valid because recall is OBSERVED to
+    // be 1.0 on the driver's actual inputs: SimilaritySpec asserts
+    // lshNearDupPairs == all-pairs at EVERY testdata sf (0.001/0.01/0.1),
+    // so a parameter or dataset regression fails locally before the driver.
     "q_sim_near_dup_lsh" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id"),

@@ -57,10 +57,16 @@ class LookupEnrichSpec extends SparkSpec {
   test("failure policy: count-and-continue nulls the failing key; default fail-fast") {
     val failures = spark.sparkContext.longAccumulator("test.lookup.failures")
     val events = Seq((1L, "ip1"), (2L, "ip3"), (3L, "ip3"), (4L, "ip2")).toDF("event_id", "k")
-    val got = LookupEnrich.enrich(events, "k", "svc", new FlakyClient, Some(failures))
-      .select($"event_id", $"svc").as[(Long, Option[String])].collect().toMap
+    val out = LookupEnrich.enrich(events, "k", "svc", new FlakyClient, Some(failures))
+    val got = out.select($"event_id", $"svc").as[(Long, Option[String])].collect().toMap
     assert(got == Map(1L -> Some("geo:ip1"), 2L -> None, 3L -> None, 4L -> Some("geo:ip2")))
-    assert(failures.value == 1L, "one failing DISTINCT key, counted once")
+    // EXACT failed-key count comes from the output (non-null key, null
+    // result), not the accumulator: accumulators in transformations are
+    // at-least-once under task retry, so the spec only lower-bounds it.
+    val failedKeys = out.filter($"k".isNotNull && $"svc".isNull)
+      .select($"k").distinct().count()
+    assert(failedKeys == 1L, "one failing DISTINCT key, derived exactly from output")
+    assert(failures.value >= 1L, "accumulator is an at-least-once diagnostic")
     // without an accumulator the exception propagates (fail-fast default)
     intercept[org.apache.spark.SparkException] {
       LookupEnrich.enrich(events, "k", "svc", new FlakyClient).collect()

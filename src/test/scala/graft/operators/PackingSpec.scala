@@ -41,6 +41,16 @@ class PackingSpec extends SparkSpec {
     assert(small == big, "appending docs must only extend each shard's tail")
   }
 
+  test("negative ids still land in [0, nShards) via pmod") {
+    val neg = Seq((-7L, 10L), (-1L, 10L), (0L, 10L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val shards = Packing.packChunks(neg, "doc_id", "n_tokens", seqLen = 256, nShards = 4)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(shards.values.forall(s => s >= 0 && s < 4),
+      s"every shard must be in range, got $shards")
+    assert(shards(-7L) == 1L && shards(-1L) == 3L, "pmod, not sign-preserving %")
+  }
+
   test("one shuffle on the shard key, then in-partition windows") {
     val plan = Packing.packChunks(docs(64), "doc_id", "n_tokens", seqLen = 256, nShards = 4)
       .queryExecution.executedPlan.toString

@@ -14,6 +14,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexThreshold(0.5) == "80000000")
     val ts = Seq(0.1, 0.2, 0.5, 0.9).map(Sampling.hexThreshold)
     assert(ts == ts.sorted)
+    // fractions within 2^-33 of 1 round to 2^32: without the clamp this
+    // formats as 9-char "100000000", which lexicographically keeps only
+    // ~6% of keys instead of ~100%
+    assert(Sampling.hexThreshold(1.0 - 1e-12) == "g")
+    assert(Sampling.hexThreshold(math.nextDown(1.0)) == "g")
+    // largest representable sub-clamp threshold still formats as 8 hex chars
+    assert(Sampling.hexThreshold(1.0 - 1e-9).length == 8)
+  }
+
+  test("bernoulli at fraction just below 1 keeps everything (threshold clamp)") {
+    val kept = Sampling.bernoulli(docs, "doc_id", 1.0 - 1e-12).count()
+    assert(kept == docs.count(), "a ~1.0 fraction must not silently drop 94% of rows")
+    // split with an extreme weight ratio exercises the same clamp via cum ≈ 1
+    val w = Seq("train" -> (1.0 - 1e-13), "rest" -> 1e-13)
+    val labels = Sampling.split(docs, "doc_id", w)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(labels.getOrElse("train", 0L) == docs.count(),
+      s"cum within 2^-33 of 1 must clamp to keep-everything, got $labels")
   }
 
   test("bernoulli keeps ~fraction, deterministically across runs") {
