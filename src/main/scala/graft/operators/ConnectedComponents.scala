@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering stage of a dedup pipeline: near-dup PAIRS (MinHash-LSH,
+  * SimHash, embedding-LSH — see [[Dedup]], [[Similarity]]) become CLUSTERS,
+  * and cluster canonicalization ("keep the min-id document per component")
+  * is what actually shrinks a corpus.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", ACM SoCC 2014) — the
+  * standard shuffle-native formulation:
+  *
+  *  - large-star: every node connects each LARGER neighbor to the minimum
+  *    of its neighborhood (incl. itself);
+  *  - small-star: every node connects its smaller neighbors (and itself)
+  *    to the minimum of them.
+  *
+  * Both steps preserve connectivity, never grow the edge multiset beyond
+  * the input size, and converge in O(log n) rounds to per-component stars
+  * centered at the component's minimum id. Each round is two hash shuffles
+  * (a groupBy-min and a join back) over the CURRENT edge set, which shrinks
+  * monotonically toward one edge per non-root node — at 100 TB this is the
+  * shape you want: no driver-side union-find, no whole-graph broadcast,
+  * and skew on a popular root is one hot key in a groupBy-min (mergeable,
+  * AQE-splittable), not a cross product.
+  *
+  * Per-round lineage is truncated with an eager `localCheckpoint`:
+  * iterative DataFrame loops otherwise stack O(rounds) plan copies and
+  * re-plan the whole history every round. On a cluster, checkpoint to
+  * reliable storage instead if rounds are long-lived.
+  *
+  * Determinism: the fixed point (min-id labeling) is unique regardless of
+  * iteration count or partitioning, so results are reproducible across
+  * runs, parallelism, and engines — oracle-checkable against a recursive
+  * min-reachability CTE.
+  */
+object ConnectedComponents {
+
+  /** Map every vertex of `edges(srcCol, dstCol)` to its component label =
+    * the MINIMUM vertex id reachable from it. Output: (`id`, `component`),
+    * one row per distinct vertex appearing in the edge list (roots map to
+    * themselves). Vertex ids must be integral (cast to long internally);
+    * self-loops and duplicate/reversed edges are tolerated.
+    */
+  def label(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // Canonical orientation u > v; drop self-loops and duplicates.
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Large-star. Neighborhoods come from BOTH directions; m(u) =
+      // min(Γ(u) ∪ {u}); every neighbor v > u re-attaches to m. Output
+      // rows (v, m) always satisfy v > u ≥ m, so orientation survives.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // Small-star. Edges are oriented u > v, so grouping by u sees
+      // exactly the SMALLER neighbors; m = their minimum; each non-min
+      // smaller neighbor and u itself re-attach to m. All outputs keep
+      // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always).
+      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smallMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+
+      // Fixed point: the edge set is stable (both sets are distinct, so
+      // one-sided except + equal count is full set equality).
+      converged = small.count() == e.count() && small.except(e).isEmpty
+      e = small
+      iter += 1
+    }
+
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** [[label]] extended to a full vertex table: every id in
+    * `vertices(idCol)` gets a component, isolated vertices labeling
+    * themselves — the form corpus dedup wants (every document keeps or
+    * loses membership, paired or not).
+    */
+  def labelAll(vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val labeled = label(edges, srcCol, dstCol)
+    vertices.select(col(idCol).cast("long").as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Cluster-dedup survivors: rows of `docs` whose id is the MINIMUM of its
+    * connected component in the near-dup graph — i.e. keep one canonical
+    * document per duplicate cluster, drop the rest. Non-paired documents
+    * are their own component and always survive.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val comp = labelAll(docs, idCol, pairs, srcCol, dstCol)
+    docs.join(
+      comp.filter(col("id") === col("component")).select(col("id")),
+      docs(idCol) === col("id"), "left_semi")
+  }
+}

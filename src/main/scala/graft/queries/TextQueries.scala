@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over `documents` (SURVEY.md §2C
@@ -35,6 +35,48 @@ object TextQueries extends Catalog {
        |      list_min(list_transform(shd, x -> ($aList[j+1] * x + $bList[j+1]) % $P))) AS sig
        |  FROM sh
        |)""".stripMargin
+
+  /** LSH band + candidate-pair CTEs (appended after [[duckShingleCtes]]) —
+    * shared by the pair query and the connected-components queries so the
+    * two oracles cannot drift apart.
+    */
+  private val duckBandCandCtes =
+    """, bands AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, 4), b ->
+      |      CAST(b AS VARCHAR) || '_' ||
+      |      array_to_string(list_transform(sig[b*4+1 : b*4+4],
+      |                                     s -> CAST(s AS VARCHAR)), ','))) AS band_key
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  /** Full chain up to per-document component labels: near-dup pairs →
+    * symmetric edges → min-reachability via a recursive CTE (`WITH
+    * RECURSIVE` distinct-union fixed point) — the engine-independent
+    * definition of connected components that
+    * [[graft.operators.ConnectedComponents]] must agree with.
+    */
+  private val duckCcCtes =
+    duckShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + duckBandCandCtes +
+      s""", pairs AS (
+         |  SELECT a, b
+         |  FROM cand
+         |  JOIN sh sa ON cand.a = sa.doc_id
+         |  JOIN sh sb ON cand.b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+         |        / len(list_distinct(sa.shd || sb.shd)) >= 0.5
+         |), edges AS (
+         |  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+         |)""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_text_stats" -> Q(
@@ -121,17 +163,7 @@ object TextQueries extends Catalog {
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
         .orderBy(col("a"), col("b"), col("j")),
-      Some(s"""$duckShingleCtes, bands AS (
-               |  SELECT doc_id,
-               |    unnest(list_transform(range(0, 4), b ->
-               |      CAST(b AS VARCHAR) || '_' ||
-               |      array_to_string(list_transform(sig[b*4+1 : b*4+4],
-               |                                     s -> CAST(s AS VARCHAR)), ','))) AS band_key
-               |  FROM sig
-               |), cand AS (
-               |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-               |  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
-               |)
+      Some(s"""$duckShingleCtes$duckBandCandCtes
                |SELECT a, b,
                |       ROUND(CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
                |             / len(list_distinct(sa.shd || sb.shd)), 4) AS j
@@ -256,5 +288,40 @@ object TextQueries extends Catalog {
               |       CAST(FLOOR(tok_offset / 1024.0) AS BIGINT) AS chunk
               |FROM packed
               |ORDER BY doc_id NULLS FIRST, shard NULLS FIRST, tok_offset NULLS FIRST,
-              |         chunk NULLS FIRST""".stripMargin)))
+              |         chunk NULLS FIRST""".stripMargin)),
+
+    // Near-dup CLUSTERS: LSH pairs → connected components (large-star /
+    // small-star, operators/ConnectedComponents) → every document labeled
+    // with its component = min reachable doc_id; unpaired docs label
+    // themselves. The oracle recomputes the same pairs, then
+    // min-reachability as a recursive CTE — the labeling is a unique fixed
+    // point, so both engines must agree exactly.
+    "q_dedup_cc" -> Q(
+      t => {
+        val pairs = Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
+        ConnectedComponents.labelAll(t.documents, "doc_id", pairs, "a", "b")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"), col("component"))
+      },
+      Some(s"""$duckCcCtes
+               |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+               |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+               |ORDER BY d.doc_id NULLS FIRST, component NULLS FIRST""".stripMargin)),
+
+    // Cluster-dedup survivors: keep ONE canonical doc (the component's min
+    // id) per near-dup cluster, count what survives per lang — the actual
+    // corpus-shrinking step a 100 TB dedup pipeline runs after pairing.
+    "q_dedup_cc_survivors" -> Q(
+      t => {
+        val pairs = Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
+        ConnectedComponents.keepCanonical(t.documents, "doc_id", pairs, "a", "b")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("n_docs"))
+      },
+      Some(s"""$duckCcCtes
+               |SELECT d.lang, COUNT(*) AS n_docs
+               |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+               |WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+               |GROUP BY d.lang
+               |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST""".stripMargin)))
 }
