@@ -93,5 +93,34 @@ object Analytics extends Catalog {
               |FROM m
               |ORDER BY l_returnflag NULLS FIRST, sd_price NULLS FIRST, sdp_price NULLS FIRST,
               |         var_qty NULLS FIRST, varp_qty NULLS FIRST, corr_qp NULLS FIRST,
-              |         cov_qp NULLS FIRST, median_price NULLS FIRST""".stripMargin)))
+              |         cov_qp NULLS FIRST, median_price NULLS FIRST""".stripMargin)),
+
+    // Exact interpolated quantiles (percentile_cont semantics on both
+    // engines). l_quantity is integer-valued, so every quartile is an exact
+    // dyadic double (x.0/.25/.5/.75) — no cross-engine interpolation
+    // rounding to paper over. Exact percentile is a per-group sort, which
+    // is fine per-group at any corpus size (groups partition the data);
+    // the streaming/sketch path for single-pass approximation is
+    // percentile_approx, tolerance-tested in ApproxSpec.
+    "q_agg_percentiles" -> Q(
+      t => t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+          col("qmin"), col("qmax")),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.25) AS p25,
+                     quantile_cont(l_quantity, 0.5) AS p50,
+                     quantile_cont(l_quantity, 0.75) AS p75,
+                     MIN(l_quantity) AS qmin,
+                     MAX(l_quantity) AS qmax
+              FROM lineitem
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag NULLS FIRST, p25 NULLS FIRST, p50 NULLS FIRST,
+                       p75 NULLS FIRST, qmin NULLS FIRST, qmax NULLS FIRST""")))
 }

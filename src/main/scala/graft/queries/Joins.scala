@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.AsOf
+import graft.operators.{AsOf, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2C joins row): inner/left/right/full equi-joins,
@@ -170,5 +170,39 @@ object Joins extends Catalog {
               ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                               FROM events WHERE event_type = 'purchase') p
                 ON e.user_id = p.user_id AND e.ts > p.ts
-              ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")))
+              ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")),
+
+    // Bucketed range join (operators/RangeJoin): lineitems shipped within 30
+    // days of a sampled order's date. The oracle states the NAIVE range
+    // predicate; the Spark side must produce identical rows from the
+    // bucket-equi-join + re-check plan — proving the scale formulation is
+    // semantics-preserving. 16-day buckets ≈ half the interval length, so
+    // each interval explodes to ~3 bucket rows.
+    "q_join_range_bucketed" -> Q(
+      t => {
+        val dayUs = 86400000000L
+        val iv = t.orders.filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate")).as("lo"),
+            (unix_micros(col("o_orderdate")) + lit(30L * dayUs)).as("hi"))
+        val pts = t.lineitem.select(
+          unix_micros(col("l_shipdate")).as("p"), col("l_extendedprice"))
+        RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi",
+          bucketWidth = 16L * dayUs)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(msum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("o_orderkey"), col("n_items"), col("sum_price"))
+      },
+      Some("""WITH iv AS (
+              |  SELECT o_orderkey, epoch_us(o_orderdate) AS lo,
+              |         epoch_us(o_orderdate) + 2592000000000 AS hi
+              |  FROM orders WHERE o_orderkey % 997 = 0
+              |)
+              |SELECT iv.o_orderkey, COUNT(*) AS n_items,
+              |       ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
+              |FROM iv JOIN lineitem
+              |  ON epoch_us(l_shipdate) >= lo AND epoch_us(l_shipdate) <= hi
+              |GROUP BY iv.o_orderkey
+              |ORDER BY o_orderkey NULLS FIRST, n_items NULLS FIRST, sum_price NULLS FIRST""".stripMargin)))
 }
