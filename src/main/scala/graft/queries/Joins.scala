@@ -180,13 +180,21 @@ object Joins extends Catalog {
     // each interval explodes to ~3 bucket rows.
     "q_join_range_bucketed" -> Q(
       t => {
+        // o_orderdate / l_shipdate are parquet timestamp[ms] WITHOUT a
+        // timezone, which Spark 4 reads as TIMESTAMP_NTZ — a type
+        // unix_micros rejects. The session is pinned to UTC (Graft/Bench/
+        // Verify all set spark.sql.session.timeZone=UTC), so the NTZ→LTZ
+        // cast is the identity on the underlying instant and unix_micros
+        // then matches DuckDB's epoch_us(o_orderdate) exactly.
         val dayUs = 86400000000L
+        def dateUs(c: org.apache.spark.sql.Column) =
+          unix_micros(c.cast("timestamp"))
         val iv = t.orders.filter(col("o_orderkey") % 997 === 0)
           .select(col("o_orderkey"),
-            unix_micros(col("o_orderdate")).as("lo"),
-            (unix_micros(col("o_orderdate")) + lit(30L * dayUs)).as("hi"))
+            dateUs(col("o_orderdate")).as("lo"),
+            (dateUs(col("o_orderdate")) + lit(30L * dayUs)).as("hi"))
         val pts = t.lineitem.select(
-          unix_micros(col("l_shipdate")).as("p"), col("l_extendedprice"))
+          dateUs(col("l_shipdate")).as("p"), col("l_extendedprice"))
         RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi",
           bucketWidth = 16L * dayUs)
           .groupBy(col("o_orderkey"))
