@@ -151,9 +151,16 @@ object ScaleProbe {
         }
         // warmup discards one-time costs (file listing, codegen for this
         // dataset's plan) that otherwise dwarf the 1× point and can even
-        // push the ratio below 1; then min-of-2 for the noise floor
+        // push the ratio below 1. The explicit GC then flushes the
+        // allocation debt the warmup just created: on a large lazily-grown
+        // heap (-Xmx100g), first contact with the 10× dataset otherwise
+        // pays heap-expansion + collection pauses INSIDE the timed region —
+        // the round-5 "13.67× ratio" scare reproduced as anything from
+        // 0.69× to 22× on identical code/data depending on heap size and
+        // concurrent load. min-of-3 then takes the noise floor.
         once
-        math.min(once, once)
+        System.gc()
+        Seq.fill(3)(once).min
       }
       probeTables.keys.toSeq.sorted.map { q =>
         (q, time(q, s"$root/x1"), time(q, s"$root/x$factor"))

@@ -110,6 +110,17 @@ object Dedup {
     * signatures → band explode → self-join on band key → distinct pairs →
     * exact-Jaccard verify at `threshold`. The join key space (band sigs) is
     * high-cardinality, so the shuffle is well-spread at any corpus size.
+    *
+    * Materialization: the signature projection feeds three plan branches,
+    * so it is localCheckpoint'ed (lazily) rather than cache()'d — a cache
+    * entry lives in the CacheManager until an explicit unpersist, which a
+    * fire-and-forget caller never issues (the round-5 storage-leak finding:
+    * catalog queries ran this form and accreted one cached projection per
+    * pass). Local checkpoint blocks are released by the ContextCleaner as
+    * soon as the result DataFrame becomes unreachable, so repeated passes
+    * in a long-lived session are leak-free with zero caller ceremony. For
+    * explicit lifecycle control use [[lshNearDupPairsScoped]] /
+    * [[lshNearDupPairsWithRelease]].
     */
   def lshNearDupPairs(
       docs: DataFrame,
@@ -117,7 +128,9 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       k: Int = 3): DataFrame =
-    lshNearDupPairsWithRelease(docs, idCol, textCol, threshold, k)._1
+    pairsOverPrepared(
+      prepareSignatures(docs, idCol, textCol, k).localCheckpoint(false),
+      threshold)
 
   /** [[lshNearDupPairs]] plus an explicit release handle: invoke it after
     * the result has been consumed to unpersist the internal signature
@@ -132,16 +145,26 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.5,
       k: Int = 3): (DataFrame, () => Unit) = {
-    // Materialize signatures ONCE: they feed three plan branches (band
-    // explode + both sides of the candidate verify), and recomputing the
-    // per-char shingle fold is the dominant cost. At corpus scale this is
-    // a signature table written to storage; locally, a cached projection.
-    val prepared = docs
+    val prepared = prepareSignatures(docs, idCol, textCol, k).cache()
+    (pairsOverPrepared(prepared, threshold), () => { prepared.unpersist(); () })
+  }
+
+  /** Signature projection shared by the LSH pairs forms: one row per doc
+    * with its distinct shingle-hash set and MinHash signature. Materialize
+    * it ONCE (cache or localCheckpoint): it feeds three plan branches (band
+    * explode + both sides of the candidate verify), and recomputing the
+    * per-char shingle fold is the dominant cost. At corpus scale this is a
+    * signature table written to storage; locally, a persisted projection.
+    */
+  private def prepareSignatures(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), shingleHashesFromTokens(col("__toks"), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
-      .cache()
+
+  private def pairsOverPrepared(prepared: DataFrame, threshold: Double): DataFrame = {
     val bands = prepared.select(col("doc_id"),
       explode(lshBandKeys(col("sig"))).as("band_key"))
     val candidates = bands.as("x")
@@ -149,13 +172,12 @@ object Dedup {
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val pairs = candidates
+    candidates
       .join(prepared.select(col("doc_id").as("a"), col("shd").as("shd_a")), "a")
       .join(prepared.select(col("doc_id").as("b"), col("shd").as("shd_b")), "b")
       .withColumn("j", jaccard(col("shd_a"), col("shd_b")))
       .filter(col("j") >= threshold)
       .select(col("a"), col("b"), col("j"))
-    (pairs, () => { prepared.unpersist(); () })
   }
 
   /** Benchmark decontamination: (train doc, benchmark doc) pairs sharing at

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before) // no leak
   }
 
+  test("convenience LSH pass leaves no CacheManager entry (round-5 leak)") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val n = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.1).count()
+    assert(n >= 1L)
+    // cache() entries live in the CacheManager until an explicit unpersist
+    // nobody issues on this path; localCheckpoint blocks are ContextCleaner-
+    // owned instead and never appear here.
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("contamination: planted benchmark phrase is found; clean docs are not") {
     val benchPhrase = "the quick brown fox jumps over the lazy dog"
     val bench = Seq((1L, benchPhrase)).toDF("doc_id", "text")
