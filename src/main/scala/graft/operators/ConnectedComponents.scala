@@ -81,9 +81,16 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // Fixed point: the edge set is stable (both sets are distinct, so
-      // one-sided except + equal count is full set equality).
-      converged = small.count() == e.count() && small.except(e).isEmpty
+      // Fixed point: the edge set is stable. Both sets are distinct, so
+      // set equality ⟺ no row is missing from either side of a full outer
+      // join — ONE probe job per round (isEmpty plans a limit-1) over two
+      // checkpointed inputs, vs the 3 jobs (count + count + except) of the
+      // naive spelling.
+      converged = small.select(col("u"), col("v"), lit(1).as("__s"))
+        .join(e.select(col("u"), col("v"), lit(1).as("__e")),
+          Seq("u", "v"), "full_outer")
+        .filter(col("__s").isNull || col("__e").isNull)
+        .isEmpty
       e = small
       iter += 1
     }
