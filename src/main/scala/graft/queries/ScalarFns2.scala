@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
 object ScalarFns2 extends Catalog {
 
   def queries: Map[String, Q] = Map(
+    // Edit distance — fuzzy matching / canonicalization primitive (entity
+    // resolution in a data pipeline). levenshtein is the classic dynamic
+    // program both engines implement identically; O(|s|·|t|) per row, pure
+    // map-side, codegen'd. Spark returns INTEGER, DuckDB BIGINT — cast to
+    // BIGINT for the type-strict gate.
+    "q_str_distance" -> Q(
+      t => t.part
+        .select(
+          col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev_name_type"),
+          levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("lev_brand"))
+        .orderBy(col("p_partkey"), col("lev_name_type"), col("lev_brand")),
+      Some("""SELECT p_partkey,
+                     levenshtein(p_name, p_type) AS lev_name_type,
+                     levenshtein(p_brand, 'Brand#11') AS lev_brand
+              FROM part
+              ORDER BY p_partkey NULLS FIRST, lev_name_type NULLS FIRST,
+                       lev_brand NULLS FIRST""")),
+
     "q_str_funcs2" -> Q(
       t => t.part
         .select(

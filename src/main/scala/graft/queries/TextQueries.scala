@@ -159,6 +159,42 @@ object TextQueries extends Catalog {
                |FROM sig
                |ORDER BY doc_id NULLS FIRST, sig NULLS FIRST""".stripMargin)),
 
+    // Corpus-wide top-k bigram counts — the vocabulary/BPE-prep statistic.
+    // Scale shape at 100 TB: explode is map-side, the groupBy count is ONE
+    // hash shuffle with partial (map-side) aggregation doing almost all the
+    // reduction — n-gram frequency follows Zipf, so the hot keys are
+    // exactly the ones partial agg collapses — and the top-k is a
+    // TakeOrdered over the aggregated (already small) key space, never a
+    // global sort of the raw grams. Tokens are materialized into their own
+    // column BEFORE the bigram HOF (lambda re-evaluates embedded
+    // expressions per element; attribute refs are free).
+    "q_text_topk_ngrams" -> Q(
+      t => {
+        val grams = t.documents
+          .select(TextAnalysis.tokens(col("text")).as("__tk"))
+          .select(explode(when(size(col("__tk")) >= 2,
+            transform(sequence(lit(1), size(col("__tk")) - 1),
+              i => concat_ws(" ",
+                element_at(col("__tk"), i),
+                element_at(col("__tk"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("ngram"))
+        grams.groupBy(col("ngram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+              |  SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents
+              |), grams AS (
+              |  SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+              |                               i -> tk[i] || ' ' || tk[i + 1])) AS ngram
+              |  FROM toks
+              |)
+              |SELECT ngram, COUNT(*) AS n
+              |FROM grams GROUP BY ngram
+              |ORDER BY n DESC NULLS FIRST, ngram ASC NULLS FIRST
+              |LIMIT 20""".stripMargin)),
+
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
