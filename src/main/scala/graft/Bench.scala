@@ -75,9 +75,9 @@ object Bench {
       else try {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
         val probe = ScaleProbe.run(spark, sfDir, factor)
-        val entries = probe.map { case (name, t1, tn) =>
-          val ratio = if (t1 > 0) tn / t1 else -1.0
-          f""""$name":{"t1":$t1%.3f,"tN":$tn%.3f,"ratio":$ratio%.2f}"""
+        val entries = probe.map { p =>
+          def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+          f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f,"runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
         }.mkString(",")
         s""","scale_probe":{"factor":$factor,"queries":{$entries}}"""
       } catch {
@@ -93,8 +93,20 @@ object Bench {
 }
 
 /** Replays shuffle-heavy queries on factor×-replicated inputs to show the
-  * plans hold as data grows (VERDICT r3 task 6). Replication preserves the
-  * workload's SHAPE at factor× the rows:
+  * plans hold as data grows (VERDICT r3 task 6).
+  *
+  * Measurement design (round-6 investigation): on a large lazily-grown heap
+  * (the driver sets -Xmx ≈ 100g) a SINGLE local[32] measurement can read
+  * 5-6× high from GC / heap-expansion / cleaner pauses — reproduced on
+  * identical code and data: x10 LSH anywhere from 6.1s to 23.8s, and even a
+  * 1× point at 9.4s vs its usual 1.6s. A ratio of two such one-shot numbers
+  * is noise (round-5's "13.67×" scare; 0.69×-22× observed across reps). So
+  * the probe INTERLEAVES the two scale points into pairs — slow JVM drift
+  * hits both halves of a pair alike — reports the MEDIAN per-pair ratio,
+  * and emits the raw per-run arrays in the bench JSON so run-to-run
+  * variance is inspectable instead of hidden behind one scalar.
+  *
+  * Replication preserves the workload's SHAPE at factor× the rows:
   *
   * - join keys shift by `KeyStride` per replica, so the fact-fact join
   *   fan-out grows linearly (disjoint key ranges), never quadratically;
@@ -106,6 +118,12 @@ object Bench {
   *   the N× copy, so both timings see identical codec/locality.
   */
 object ScaleProbe {
+
+  /** One probed query: best time at each scale point, median per-pair
+    * ratio, and the raw interleaved runs behind them.
+    */
+  final case class ProbePoint(name: String, t1: Double, tN: Double,
+      ratio: Double, runs1: Seq[Double], runsN: Seq[Double])
 
   private val KeyStride = 100000000L // > any key at the bench scale factors
 
@@ -131,8 +149,10 @@ object ScaleProbe {
     copies.reduce(_ union _)
   }
 
-  /** Returns (query, secAt1x, secAtNx) for the probe queries. */
-  def run(spark: SparkSession, sfDir: String, factor: Int): Seq[(String, Double, Double)] = {
+  /** Probe each query at 1× and factor× (see measurement-design scaladoc
+    * above: interleaved pairs, median ratio, raw runs retained).
+    */
+  def run(spark: SparkSession, sfDir: String, factor: Int): Seq[ProbePoint] = {
     val probeTables = Map(
       "q_join_inner" -> Seq("customer", "orders", "lineitem"),
       "q_dedup_lsh_pairs" -> Seq("documents"))
@@ -142,28 +162,24 @@ object ScaleProbe {
       for (f <- Seq(1, factor); t <- allTables)
         replicate(spark, sfDir, t, f).write.mode("overwrite")
           .parquet(s"$root/x$f/$t.parquet")
-      def time(name: String, dir: String): Double = {
-        def once: Double = {
-          val t0 = System.nanoTime()
-          AllQueries.all(name).run(Tables(spark, dir)).write
-            .format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        // warmup discards one-time costs (file listing, codegen for this
-        // dataset's plan) that otherwise dwarf the 1× point and can even
-        // push the ratio below 1. The explicit GC then flushes the
-        // allocation debt the warmup just created: on a large lazily-grown
-        // heap (-Xmx100g), first contact with the 10× dataset otherwise
-        // pays heap-expansion + collection pauses INSIDE the timed region —
-        // the round-5 "13.67× ratio" scare reproduced as anything from
-        // 0.69× to 22× on identical code/data depending on heap size and
-        // concurrent load. min-of-3 then takes the noise floor.
-        once
-        System.gc()
-        Seq.fill(3)(once).min
+      def once(name: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        AllQueries.all(name).run(Tables(spark, dir)).write
+          .format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
       probeTables.keys.toSeq.sorted.map { q =>
-        (q, time(q, s"$root/x1"), time(q, s"$root/x$factor"))
+        // warm both scale points (file listing, codegen for each dataset's
+        // plan), flush the warmup's allocation debt, then time 5
+        // interleaved (1×, N×) pairs — observed pauses last 15-20s and hit
+        // single runs at random, so a 5-sample median is the cheapest
+        // estimator that survives two polluted pairs.
+        once(q, s"$root/x1"); once(q, s"$root/x$factor")
+        System.gc()
+        val pairs = Seq.fill(5)((once(q, s"$root/x1"), once(q, s"$root/x$factor")))
+        val ratios = pairs.map { case (a, b) => b / a }.sorted
+        ProbePoint(q, pairs.map(_._1).min, pairs.map(_._2).min,
+          ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2))
       }
     } finally {
       scala.reflect.io.Path(new java.io.File(root)).deleteRecursively()

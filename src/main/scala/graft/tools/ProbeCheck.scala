@@ -30,8 +30,10 @@ object ProbeCheck {
     }
     (1 to reps).foreach { i =>
       val out = ScaleProbe.run(spark, sfDir, 10)
-      out.foreach { case (n, t1, tn) =>
-        println(f"[probe $i] $n t1=$t1%.3f tN=$tn%.3f ratio=${tn / t1}%.2f")
+      out.foreach { p =>
+        println(f"[probe $i] ${p.name} t1=${p.t1}%.3f tN=${p.tN}%.3f " +
+          f"ratio=${p.ratio}%.2f runs1=${p.runs1.map(x => f"$x%.2f")} " +
+          f"runsN=${p.runsN.map(x => f"$x%.2f")}")
       }
     }
     spark.stop()
