@@ -42,20 +42,23 @@ object Subqueries extends Catalog {
     t.spark.sql(query)
   }
 
-  /** Parts priced above 1.02× their brand's average retail price — two
+  /** Parts priced above 1.005× their brand's average retail price — two
     * correlated scalar subqueries (COUNT and exact-cents SUM) so the
-    * comparison is pure int64: cents·n·100 > 102·sum_cents ⟺
-    * price > 1.02·avg. Catalyst decorrelates both into one aggregate join
-    * per subquery; DuckDB plans the same shape.
+    * comparison is pure int64: cents·n·1000 > 1005·sum_cents ⟺
+    * price > 1.005·avg. Catalyst decorrelates both into one aggregate join
+    * per subquery; DuckDB plans the same shape. The margin must stay under
+    * the price spread: p_retailprice spans [900, 920) at sf0.001 (max/avg ≈
+    * 1.011) and [900, 1000) at larger sfs, so 1.02× matches NOTHING at the
+    * smallest sf while 1.005× stays non-vacuous at every testdata scale.
     */
   private val scalarSql =
     """SELECT p_partkey, p_brand, p_retailprice
       |FROM part p
       |WHERE CAST(round(p_retailprice * 100) AS BIGINT)
       |      * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
-      |      * 100 >
+      |      * 1000 >
       |      (SELECT SUM(CAST(round(p3.p_retailprice * 100) AS BIGINT))
-      |       FROM part p3 WHERE p3.p_brand = p.p_brand) * 102
+      |       FROM part p3 WHERE p3.p_brand = p.p_brand) * 1005
       |ORDER BY p_partkey NULLS FIRST, p_brand NULLS FIRST,
       |         p_retailprice NULLS FIRST""".stripMargin
 
