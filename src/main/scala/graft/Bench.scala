@@ -13,7 +13,10 @@ object Bench {
 
   /** Representative cross-section: scan+filter, hash agg, 3-table join,
     * as-of join, window top-k + frames, set op, LSH dedup, ANN top-k,
-    * scalar-heavy projection, batch kernel.
+    * scalar-heavy projection, batch kernel. The first ten are the
+    * round-over-round comparable set (unchanged since r4); r6 appends the
+    * two newest heavy hitters — iterative CC clustering and the bucketed
+    * range join — so the bench signal covers them too.
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -25,7 +28,9 @@ object Bench {
     "q_set_union_distinct",
     "q_dedup_lsh_pairs",
     "q_sim_bruteforce_topk",
-    "q_pipe_iso_trim")
+    "q_pipe_iso_trim",
+    "q_dedup_cc",
+    "q_join_range_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -51,17 +51,51 @@ object MultimodalQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, format NULLS FIRST,
               |         n_bytes NULLS FIRST, sha NULLS FIRST""".stripMargin)),
 
-    // feature extraction: batch-shaped partition kernel (stubbed decode) —
-    // engine-side by design, so rows-only; determinism is spec-tested.
+    // Feature extraction through the batch-shaped partition kernel
+    // (Multimodal.extractFeatures over the FakeDecode stub — a 16-bin
+    // normalized byte histogram). The oracle replays the kernel EXACTLY in
+    // integer space: bin(byte) = byte div 16 = the byte's high hex nibble,
+    // so per-bin COUNTS are countable from hex(media) positions 1,3,5,…;
+    // the Spark side recovers the same integers from the normalized floats
+    // as round(h·n_bytes) (error ≤ n_bytes·2⁻²⁴ ≪ ½, so recovery is exact).
+    // Integer bins hash identically across engines — no float replay risk —
+    // and pin the whole kernel (batching, zip-back, normalization), not
+    // just row counts: a shifted bin, a dropped byte, or a misaligned batch
+    // all change some count.
     "q_mm_features" -> Q(
       t => {
-        val feat = Multimodal.extractFeatures(withMedia(t.documents), "doc_id", "media")
-        feat.select(
-          col("doc_id"),
-          size(col("features")).as("dim"),
-          round(aggregate(transform(col("features"), _.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 4).as("mass"))
-          .orderBy(col("doc_id"), col("dim"), col("mass"))
+        val m = withMedia(t.documents).select(col("doc_id"), col("media"))
+        val feat = Multimodal.extractFeatures(m, "doc_id", "media")
+        feat
+          .join(m.select(col("doc_id"),
+            octet_length(col("media")).cast("long").as("n_bytes")), "doc_id")
+          .select(
+            col("doc_id"),
+            size(col("features")).as("dim"),
+            concat_ws(",", transform(col("features"),
+              h => org.apache.spark.sql.functions
+                .round(h.cast("double") * col("n_bytes"))
+                .cast("long").cast("string")))
+              .as("bins"))
+          .orderBy(col("doc_id"), col("dim"), col("bins"))
       },
-      None))
+      Some("""WITH m AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+              |              WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+              |              ELSE encode(text) END AS media
+              |  FROM documents
+              |), h AS (
+              |  SELECT doc_id, hex(media) AS hx,
+              |         CAST(octet_length(media) AS BIGINT) AS n
+              |  FROM m
+              |)
+              |SELECT doc_id, CAST(16 AS INTEGER) AS dim,
+              |       array_to_string(list_transform(range(0, 16), i ->
+              |         CAST(len(list_filter(range(1, n + 1), p ->
+              |           substring(hx, CAST(2*p-1 AS INTEGER), 1)
+              |             = substring('0123456789ABCDEF', CAST(i+1 AS INTEGER), 1)))
+              |           AS VARCHAR)), ',') AS bins
+              |FROM h
+              |ORDER BY doc_id NULLS FIRST, dim NULLS FIRST, bins NULLS FIRST""".stripMargin)))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{ConnectedComponents, Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over `documents` (SURVEY.md §2C
@@ -15,12 +15,16 @@ object TextQueries extends Catalog {
   private def aList = Dedup.HashA.mkString("[", ", ", "]")
   private def bList = Dedup.HashB.mkString("[", ", ", "]")
 
-  /** Shared DuckDB CTEs: tokens → shingle-hash sets → minhash signatures. */
-  private val duckShingleCtes =
-    s"""WITH tok AS (
+  /** DuckDB CTE chain tokens → shingle-hash sets → minhash signatures over
+    * source relation `src`, with CTE names prefixed by `p` so two corpora
+    * (e.g. a sampled train set and a benchmark set) can carry independent
+    * chains in one statement.
+    */
+  private def shingleCtesFrom(src: String, p: String = ""): String =
+    s"""${p}tok AS (
        |  SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS toks
-       |  FROM documents
-       |), sh AS (
+       |  FROM $src
+       |), ${p}sh AS (
        |  SELECT doc_id, lang, source,
        |    list_distinct(list_transform(
        |      list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
@@ -28,13 +32,16 @@ object TextQueries extends Catalog {
        |      s -> list_reduce(
        |             list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
        |             (acc, x) -> (acc * 31 + x) % $P))) AS shd
-       |  FROM tok
-       |), sig AS (
+       |  FROM ${p}tok
+       |), ${p}sig AS (
        |  SELECT doc_id, shd,
        |    list_transform(range(0, 16), j ->
        |      list_min(list_transform(shd, x -> ($aList[j+1] * x + $bList[j+1]) % $P))) AS sig
-       |  FROM sh
+       |  FROM ${p}sh
        |)""".stripMargin
+
+  /** Shared DuckDB CTEs: tokens → shingle-hash sets → minhash signatures. */
+  private val duckShingleCtes = "WITH " + shingleCtesFrom("documents")
 
   /** LSH band + candidate-pair CTEs (appended after [[duckShingleCtes]]) —
     * shared by the pair query and the connected-components queries so the
@@ -59,24 +66,27 @@ object TextQueries extends Catalog {
     * definition of connected components that
     * [[graft.operators.ConnectedComponents]] must agree with.
     */
+  private val duckPairsToCompCtes =
+    s""", pairs AS (
+       |  SELECT a, b
+       |  FROM cand
+       |  JOIN sh sa ON cand.a = sa.doc_id
+       |  JOIN sh sb ON cand.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+       |        / len(list_distinct(sa.shd || sb.shd)) >= 0.5
+       |), edges AS (
+       |  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+       |)""".stripMargin
+
   private val duckCcCtes =
     duckShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + duckBandCandCtes +
-      s""", pairs AS (
-         |  SELECT a, b
-         |  FROM cand
-         |  JOIN sh sa ON cand.a = sa.doc_id
-         |  JOIN sh sb ON cand.b = sb.doc_id
-         |  WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
-         |        / len(list_distinct(sa.shd || sb.shd)) >= 0.5
-         |), edges AS (
-         |  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
-         |), reach(u, v) AS (
-         |  SELECT u, u FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |), comp AS (
-         |  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
-         |)""".stripMargin
+      duckPairsToCompCtes
 
   def queries: Map[String, Q] = Map(
     "q_text_stats" -> Q(
@@ -359,5 +369,83 @@ object TextQueries extends Catalog {
                |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
                |WHERE COALESCE(c.component, d.doc_id) = d.doc_id
                |GROUP BY d.lang
-               |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST""".stripMargin)))
+               |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST""".stripMargin)),
+
+    // End-to-end corpus curation — the integration query proving the LLM
+    // operators COMPOSE (each is individually oracle-green; composition is
+    // where column-name, cache-lifetime, and determinism bugs hide):
+    //   1. deterministic Bernoulli sample of the raw corpus  (Sampling)
+    //   2. MinHash-LSH near-dup pairs → connected components →
+    //      one canonical survivor per cluster                (Dedup + CC)
+    //   3. benchmark decontamination against held-out docs   (Dedup)
+    //   4. deterministic train/val split                     (Sampling)
+    //   5. concat-and-chunk sample packing                   (Packing)
+    // Scale shape is inherited from the stages: map-side sample filter, the
+    // LSH band join + log-round star contraction, broadcast decontamination
+    // (bench side tiny), map-side split label, one shard shuffle + window
+    // cumsum for packing — no stage adds a shuffle beyond its own. The
+    // oracle replays the whole chain in one DuckDB statement (recursive CTE
+    // for the clustering fixed point, same hash thresholds via
+    // Sampling.hexThreshold).
+    "q_pipeline_curate" -> Q(
+      t => {
+        val bench = t.documents.filter(col("doc_id") < 5)
+        val corpus = t.documents.filter(col("doc_id") >= 5)
+        val sampled = Sampling.bernoulli(corpus, "doc_id", fraction = 0.9, salt = "curate")
+        val pairs = Dedup.lshNearDupPairs(sampled, "doc_id", "text", threshold = 0.5)
+        val survivors = ConnectedComponents.keepCanonical(sampled, "doc_id", pairs, "a", "b")
+        val contaminated = Dedup.contaminationPairs(
+          survivors, "doc_id", "text", bench, "doc_id", "text", minOverlap = 2)
+          .select(col("train_id")).distinct()
+        val clean = survivors.join(contaminated,
+          survivors("doc_id") === contaminated("train_id"), "left_anti")
+        val labeled = Sampling.split(clean, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1), salt = "cursplit")
+        Packing.packChunks(
+          labeled.select(col("doc_id"), col("split"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 1024, nShards = 4)
+          .select(col("doc_id"), col("split"), col("shard"),
+            col("tok_offset"), col("chunk"))
+          .orderBy(col("doc_id"), col("split"), col("shard"),
+            col("tok_offset"), col("chunk"))
+      },
+      Some {
+        val sampleCond =
+          s"${Sampling.hashKeySql("doc_id", "curate")} < '${Sampling.hexThreshold(0.9)}'"
+        val splitExpr = Sampling.splitSql("doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1), "cursplit")
+        s"""WITH RECURSIVE samp AS (
+           |  SELECT * FROM documents WHERE doc_id >= 5 AND $sampleCond
+           |), ${shingleCtesFrom("samp")}$duckBandCandCtes$duckPairsToCompCtes
+           |, surv AS (
+           |  SELECT s.doc_id, s.text FROM samp s
+           |  LEFT JOIN comp c ON s.doc_id = c.doc_id
+           |  WHERE COALESCE(c.component, s.doc_id) = s.doc_id
+           |), ${shingleCtesFrom("(SELECT * FROM documents WHERE doc_id < 5)", "b")}
+           |, contam AS (
+           |  SELECT DISTINCT t.doc_id AS train_id
+           |  FROM sh t
+           |  JOIN surv sv ON t.doc_id = sv.doc_id
+           |  JOIN bsh b ON len(list_intersect(t.shd, b.shd)) >= 2
+           |), lab AS (
+           |  SELECT sv.doc_id, sv.text, $splitExpr AS split
+           |  FROM surv sv
+           |  WHERE sv.doc_id NOT IN (SELECT train_id FROM contam)
+           |), tokc AS (
+           |  SELECT doc_id, split, CAST(doc_id % 4 AS BIGINT) AS shard,
+           |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM lab
+           |), packed AS (
+           |  SELECT doc_id, split, shard,
+           |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           |  FROM tokc
+           |)
+           |SELECT doc_id, split, shard, tok_offset,
+           |       CAST(FLOOR(tok_offset / 1024.0) AS BIGINT) AS chunk
+           |FROM packed
+           |ORDER BY doc_id NULLS FIRST, split NULLS FIRST, shard NULLS FIRST,
+           |         tok_offset NULLS FIRST, chunk NULLS FIRST""".stripMargin
+      }))
 }
