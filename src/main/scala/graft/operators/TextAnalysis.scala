@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data pipelines:
@@ -67,4 +67,47 @@ object TextAnalysis {
   val HashPrime = 1000000007L
   def fingerprint(c: Column): Column =
     graft.functions.PolyHashExpression.column(c)
+
+  /** Word n-grams over a pre-materialized token array (empty when the doc
+    * has fewer than n tokens — unlike [[graft.operators.Dedup.shingles]],
+    * which degrades to one whole-doc shingle, repetition counting must not
+    * fabricate a gram for short docs).
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document n-gram repetition profile — the Gopher/RefinedWeb-family
+    * "fraction of duplicate n-grams" signal that catches boilerplate and
+    * degenerate generations which whole-doc dedup misses. Output per id:
+    * `n_grams` (total occurrences), `top_gram_count` (occurrences of the
+    * most repeated gram), `dup_gram_occ` (occurrences belonging to grams
+    * appearing ≥2 times). Ratios are left to the caller so the outputs stay
+    * integral (engine-portable, no float hashing concerns).
+    *
+    * Scale shape (100 TB): explode is map-side; the (id, gram) count is one
+    * hash shuffle where partial aggregation collapses the repeated grams —
+    * exactly the hot keys — and the per-doc rollup is a second, already
+    * small, shuffle on id. The alternative per-row HOF (count occurrences
+    * of each distinct gram by scanning the gram array) is shuffle-free but
+    * O(len²) per document, which loses on long documents; two partial-agg
+    * shuffles are the better trade at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__rep_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("__rep_id"), explode(ngramsFromTokens(col("__tk"), n)).as("gram"))
+    grams
+      .groupBy(col("__rep_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__rep_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_gram_count"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_gram_occ"))
+      .withColumnRenamed("__rep_id", idCol)
+  }
 }

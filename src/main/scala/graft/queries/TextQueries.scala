@@ -205,6 +205,95 @@ object TextQueries extends Catalog {
               |ORDER BY n DESC NULLS FIRST, ngram ASC NULLS FIRST
               |LIMIT 20""".stripMargin)),
 
+    // Per-doc repetition profile (TextAnalysis.repetitionStats): duplicate
+    // n-gram occupancy — the Gopher/RefinedWeb "fraction of duplicate
+    // n-grams" filter signal. Counts stay integral; ratios are rounded at
+    // the edge. Docs shorter than 2 tokens have no bigrams: LEFT JOIN +
+    // COALESCE 0 on both engines.
+    "q_text_repetition" -> Q(
+      t => {
+        val rep = TextAnalysis.repetitionStats(t.documents, "doc_id", "text")
+        val tk = TextAnalysis.tokens(col("text"))
+        t.documents
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            round(size(array_distinct(tk)).cast("double")
+              / TextAnalysis.tokenCount(col("text")), 4).as("distinct_tok_ratio"))
+          .join(rep, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("distinct_tok_ratio"),
+            coalesce(col("n_grams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("top_gram_count"), lit(0L)).as("top_bigram_count"),
+            round(coalesce(col("dup_gram_occ").cast("double") / col("n_grams"),
+              lit(0.0)), 4).as("dup_bigram_frac"))
+          .orderBy(col("doc_id"), col("n_tokens"), col("distinct_tok_ratio"),
+            col("n_bigrams"), col("top_bigram_count"), col("dup_bigram_frac"))
+      },
+      Some("""WITH tok AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+              |), grams AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+              |                                       i -> tk[i] || ' ' || tk[i + 1])) AS gram
+              |  FROM tok
+              |), gc AS (
+              |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+              |), rep AS (
+              |  SELECT doc_id,
+              |         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+              |         CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+              |         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+              |  FROM gc GROUP BY doc_id
+              |)
+              |SELECT t.doc_id,
+              |       CAST(len(tk) AS INTEGER) AS n_tokens,
+              |       ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS distinct_tok_ratio,
+              |       COALESCE(r.n_bigrams, 0) AS n_bigrams,
+              |       COALESCE(r.top_bigram_count, 0) AS top_bigram_count,
+              |       ROUND(COALESCE(CAST(r.dup_occ AS DOUBLE) / r.n_bigrams, 0.0), 4) AS dup_bigram_frac
+              |FROM tok t LEFT JOIN rep r ON t.doc_id = r.doc_id
+              |ORDER BY t.doc_id NULLS FIRST, n_tokens NULLS FIRST,
+              |         distinct_tok_ratio NULLS FIRST, n_bigrams NULLS FIRST,
+              |         top_bigram_count NULLS FIRST, dup_bigram_frac NULLS FIRST""".stripMargin)),
+
+    // Gopher-style composite quality gate: token-count bounds, distinct-
+    // token ratio, mean-word-length bounds, stopword presence — each flag a
+    // pure map-side codegen'd predicate over the text column (no shuffle;
+    // the filter runs at scan speed and pushes through column pruning).
+    // Thresholds chosen to discriminate on the testdata (each flag has both
+    // outcomes populated at every sf, checked before landing).
+    "q_text_quality" -> Q(
+      t => {
+        val tkCount = TextAnalysis.tokenCount(col("text"))
+        val distinctRatio =
+          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double") / tkCount
+        val mwl = TextAnalysis.avgWordLen(col("text"))
+        t.documents
+          .select(col("doc_id"),
+            (tkCount >= 25 && tkCount <= 90).as("wc_ok"),
+            (distinctRatio >= 0.5).as("distinct_ok"),
+            (mwl >= 3.0 && mwl <= 5.0).as("mwl_ok"),
+            (TextAnalysis.stopwordCount(col("text")) >= 2).as("stop_ok"))
+          .withColumn("keep",
+            col("wc_ok") && col("distinct_ok") && col("mwl_ok") && col("stop_ok"))
+          .orderBy(col("doc_id"), col("wc_ok"), col("distinct_ok"),
+            col("mwl_ok"), col("stop_ok"), col("keep"))
+      },
+      Some(s"""WITH tok AS (
+               |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk, text
+               |  FROM documents
+               |), f AS (
+               |  SELECT doc_id,
+               |         len(tk) BETWEEN 25 AND 90 AS wc_ok,
+               |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.5 AS distinct_ok,
+               |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 5.0 AS mwl_ok,
+               |         len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) >= 2 AS stop_ok
+               |  FROM tok
+               |)
+               |SELECT doc_id, wc_ok, distinct_ok, mwl_ok, stop_ok,
+               |       wc_ok AND distinct_ok AND mwl_ok AND stop_ok AS keep
+               |FROM f
+               |ORDER BY doc_id NULLS FIRST, wc_ok NULLS FIRST, distinct_ok NULLS FIRST,
+               |         mwl_ok NULLS FIRST, stop_ok NULLS FIRST, keep NULLS FIRST""".stripMargin)),
+
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
