@@ -294,6 +294,54 @@ object TextQueries extends Catalog {
                |ORDER BY doc_id NULLS FIRST, wc_ok NULLS FIRST, distinct_ok NULLS FIRST,
                |         mwl_ok NULLS FIRST, stop_ok NULLS FIRST, keep NULLS FIRST""".stripMargin)),
 
+    // Per-doc salient terms — the inverted-index / TF-IDF shape: term
+    // frequency per doc (one partial-agg shuffle on (doc, term)), document
+    // frequency per term (second partial-agg shuffle on term), broadcast
+    // the (small) term-df relation back, score, window top-3 per doc.
+    // Scoring is tf/df (df-normalized term frequency), NOT ln(N/df):
+    // transcendental libm output is not bit-specified across engines, while
+    // the integer→double division of identical ints is — same ranking
+    // semantics for fixed N, exact cross-engine hashing. Ties break on term
+    // asc, so the top-k set is deterministic.
+    "q_text_salient_terms" -> Q(
+      t => {
+        val terms = t.documents
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+          .select(col("doc_id"), explode(col("__tk")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+        tf.join(broadcast(df), "term")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+            round(col("tf").cast("double") / col("df"), 4).as("tf_over_df"))
+          .orderBy(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+            col("tf_over_df"))
+      },
+      Some("""WITH terms AS (
+              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              |  FROM documents
+              |), tf AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+              |), df AS (
+              |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+              |), ranked AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |         row_number() OVER (PARTITION BY tf.doc_id
+              |           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC) AS rk
+              |  FROM tf JOIN df ON tf.term = df.term
+              |)
+              |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+              |       ROUND(CAST(tf AS DOUBLE) / df, 4) AS tf_over_df
+              |FROM ranked WHERE rk <= 3
+              |ORDER BY doc_id NULLS FIRST, rk NULLS FIRST, term NULLS FIRST,
+              |         tf NULLS FIRST, df NULLS FIRST, tf_over_df NULLS FIRST""".stripMargin)),
+
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
