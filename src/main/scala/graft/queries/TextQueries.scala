@@ -308,8 +308,13 @@ object TextQueries extends Catalog {
         val terms = t.documents
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
           .select(col("doc_id"), explode(col("__tk")).as("term"))
+        // tf feeds both the df rollup and the scored join: materialize it
+        // once (lazy localCheckpoint, ContextCleaner-released — the Dedup
+        // signature-projection pattern) or the corpus scan + explode + first
+        // shuffle run twice, which is the cost that matters at 100 TB.
         val tf = terms.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false)
         val df = tf.groupBy(col("term"))
           .agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
