@@ -535,7 +535,13 @@ object TextQueries extends Catalog {
         val corpus = t.documents.filter(col("doc_id") >= 5)
         val sampled = Sampling.bernoulli(corpus, "doc_id", fraction = 0.9, salt = "curate")
         val pairs = Dedup.lshNearDupPairs(sampled, "doc_id", "text", threshold = 0.5)
-        val survivors = ConnectedComponents.keepCanonical(sampled, "doc_id", pairs, "a", "b")
+        // survivors feed BOTH the decontamination probe and the anti-join
+        // that keeps the clean rows; materialize once (lazy localCheckpoint,
+        // ContextCleaner-released) or Catalyst re-plans the scan → label
+        // join → semi-join subtree in each branch.
+        val survivors = ConnectedComponents
+          .keepCanonical(sampled, "doc_id", pairs, "a", "b")
+          .localCheckpoint(false)
         val contaminated = Dedup.contaminationPairs(
           survivors, "doc_id", "text", bench, "doc_id", "text", minOverlap = 2)
           .select(col("train_id")).distinct()
