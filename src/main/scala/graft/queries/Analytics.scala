@@ -122,5 +122,100 @@ object Analytics extends Catalog {
               FROM lineitem
               GROUP BY l_returnflag
               ORDER BY l_returnflag NULLS FIRST, p25 NULLS FIRST, p50 NULLS FIRST,
-                       p75 NULLS FIRST, qmin NULLS FIRST, qmax NULLS FIRST""")))
+                       p75 NULLS FIRST, qmin NULLS FIRST, qmax NULLS FIRST""")),
+
+    // Weekly cohort retention — users bucketed by first-activity week,
+    // counted per (cohort, weeks-since). Week index is exact int64 division
+    // of epoch-µs (`div` / `//`), never float math on timestamps. Scale
+    // shape: distinct (user, week) collapses the raw stream map-side
+    // (partial agg) in one shuffle, the cohort min is an in-partition
+    // window after a shuffle on user, and the final rollup groups a
+    // relation already shrunk to ~|users|×|weeks|.
+    "q_events_cohort_retention" -> Q(
+      t => {
+        val uw = t.events.select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk")).distinct()
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        uw.withColumn("cohort_wk", min(col("wk")).over(w))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_wk"), col("weeks_since"), col("n_users"))
+      },
+      Some("""WITH uw AS (
+              |  SELECT DISTINCT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+              |  FROM events
+              |), c AS (
+              |  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+              |  FROM uw
+              |)
+              |SELECT cohort_wk, wk - cohort_wk AS weeks_since, COUNT(*) AS n_users
+              |FROM c GROUP BY 1, 2
+              |ORDER BY cohort_wk NULLS FIRST, weeks_since NULLS FIRST,
+              |         n_users NULLS FIRST""".stripMargin)),
+
+    // Ordered conversion funnel signup → view → purchase, each step within
+    // 3 days of the previous one: users counted by deepest step reached.
+    // Formulated as K chained conditional-min aggregations (one per step),
+    // each a partial-agg groupBy on user_id re-joined to the event stream —
+    // the declarative fixed-depth-funnel shape: after the first shuffle all
+    // stages hash on the same key, and every per-user relation the stream
+    // joins against is exactly one row. Timestamp comparisons and the
+    // 3-day interval shift are exact µs arithmetic on both engines.
+    "q_events_funnel" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+        def stepAfter(prev: org.apache.spark.sql.DataFrame, prevT: String,
+            carry: Seq[String], step: String, outT: String) = {
+          // per-user constants from earlier steps ride along via first()
+          val carried = (prevT +: carry).map(c => first(col(c)).as(c))
+          ev.join(prev, "user_id")
+            .groupBy(col("user_id"))
+            .agg(
+              min(when(col("event_type") === step &&
+                col("ts") > col(prevT) &&
+                col("ts") <= col(prevT) + expr("INTERVAL 3 DAY"), col("ts"))).as(outT),
+              carried: _*)
+        }
+        val s1 = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+        val s2 = stepAfter(s1, "t1", Nil, "view", "t2")
+        val s3 = stepAfter(s2, "t2", Seq("t1"), "purchase", "t3")
+        s3.select(
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("depth"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("depth"), col("n_users"))
+      },
+      Some("""WITH s1 AS (
+              |  SELECT user_id,
+              |         MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t1
+              |  FROM events GROUP BY 1
+              |), s2 AS (
+              |  SELECT e.user_id,
+              |         MIN(CASE WHEN e.event_type = 'view'
+              |                   AND CAST(e.ts AS TIMESTAMP) > s1.t1
+              |                   AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 3 DAY
+              |                  THEN CAST(e.ts AS TIMESTAMP) END) AS t2,
+              |         ANY_VALUE(s1.t1) AS t1
+              |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1
+              |), s3 AS (
+              |  SELECT e.user_id,
+              |         MIN(CASE WHEN e.event_type = 'purchase'
+              |                   AND CAST(e.ts AS TIMESTAMP) > s2.t2
+              |                   AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 3 DAY
+              |                  THEN CAST(e.ts AS TIMESTAMP) END) AS t3,
+              |         ANY_VALUE(s2.t2) AS t2, ANY_VALUE(s2.t1) AS t1
+              |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1
+              |)
+              |SELECT CASE WHEN t3 IS NOT NULL THEN 3
+              |            WHEN t2 IS NOT NULL THEN 2
+              |            WHEN t1 IS NOT NULL THEN 1
+              |            ELSE 0 END AS depth,
+              |       COUNT(*) AS n_users
+              |FROM s3 GROUP BY 1
+              |ORDER BY depth NULLS FIRST, n_users NULLS FIRST""".stripMargin)))
 }
