@@ -40,13 +40,44 @@ object Dedup {
   def shingles(c: Column, k: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(c), k)
 
-  /** Distinct shingle hash set — the MinHash input. */
+  /** Per-token polynomial hashes — the alphabet the shingle hash folds
+    * over. Materialize this into its own column before calling
+    * [[shingleHashesFromTokenHashes]] in hot paths: HOF lambdas re-evaluate
+    * embedded expressions per element, so an inline tokenHashes would
+    * re-hash each token once per covering shingle (k×) instead of once.
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, c => polyHash(c))
+
+  /** Distinct k-shingle hash set from PRE-MATERIALIZED token hashes: the
+    * hash of a shingle is the SAME rolling fold used for strings
+    * ([[polyHash]]) applied over the window's token hashes —
+    * fold (acc·31 + h_token) mod P, init 0. Equal token windows hash equal,
+    * so all set semantics (Jaccard, MinHash, contamination overlap) are
+    * unchanged; what disappears is the shingle STRING materialization and
+    * the per-character rescan of every token for each of the k windows
+    * covering it. Measured 15× cheaper than the string-rebuild form at
+    * sf0.1 (AbBench r6) — it was the dominant cost of the entire dedup /
+    * curation family. Engine-portable: DuckDB replays the identical
+    * two-level fold (chars→token hash, token hashes→shingle hash), see
+    * TextQueries.shingleCtesFrom. A doc shorter than k tokens folds its
+    * whole (clamped) token-hash window — one degenerate shingle, matching
+    * the string form's behavior.
+    */
+  def shingleHashesFromTokenHashes(th: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(th) - (k - 1), lit(1))),
+      i => aggregate(slice(th, i, lit(k)), lit(0L),
+        (acc, h) => (acc * 31 + h) % HashPrime)))
+
+  /** Distinct shingle hash set from raw text — convenience form; prefer
+    * materializing [[tokenHashes]] first in hot paths (see there).
+    */
   def shingleHashes(c: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(c, k), polyHash(_)))
+    shingleHashesFromTokenHashes(tokenHashes(TextAnalysis.tokens(c)), k)
 
   /** Distinct shingle hash set from a materialized tokens column. */
   def shingleHashesFromTokens(toks: Column, k: Int = 3): Column =
-    array_distinct(transform(shinglesFromTokens(toks, k), polyHash(_)))
+    shingleHashesFromTokenHashes(tokenHashes(toks), k)
 
   /** Polynomial hash of one string (same fold as TextAnalysis.fingerprint),
     * evaluated by the native codegen kernel — this runs once per shingle
@@ -160,8 +191,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), shingleHashesFromTokens(col("__toks"), k).as("shd"))
+        tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
+      .select(col("doc_id"), shingleHashesFromTokenHashes(col("__th"), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
 
   private def pairsOverPrepared(prepared: DataFrame, threshold: Double): DataFrame = {
@@ -195,10 +226,11 @@ object Dedup {
       train: DataFrame, trainId: String, trainText: String,
       bench: DataFrame, benchId: String, benchText: String,
       minOverlap: Int = 2, k: Int = 3): DataFrame = {
-    val tSh = train.select(col(trainId).as("train_id"),
-      explode(shingleHashes(col(trainText), k)).as("h"))
-    val bSh = bench.select(col(benchId).as("bench_id"),
-      explode(shingleHashes(col(benchText), k)).as("h"))
+    def sh(df: DataFrame, id: String, text: String, as: String) = df
+      .select(col(id).as(as), tokenHashes(TextAnalysis.tokens(col(text))).as("__th"))
+      .select(col(as), explode(shingleHashesFromTokenHashes(col("__th"), k)).as("h"))
+    val tSh = sh(train, trainId, trainText, "train_id")
+    val bSh = sh(bench, benchId, benchText, "bench_id")
     tSh.join(broadcast(bSh), "h")
       // shingleHashes is per-doc distinct, so each (train, bench, h) row is
       // unique and a plain count IS the distinct shared-hash count

@@ -20,19 +20,27 @@ object TextQueries extends Catalog {
     * (e.g. a sampled train set and a benchmark set) can carry independent
     * chains in one statement.
     */
+  /** Two-level fold mirroring Dedup.shingleHashesFromTokenHashes: chars →
+    * token hash (polyHash), then token-hash window → shingle hash (same
+    * 31-fold mod P; DuckDB's init-less list_reduce starts acc at the first
+    * element, which equals Spark's 0-init fold since 0·31 + h₁ = h₁).
+    */
   private def shingleCtesFrom(src: String, p: String = ""): String =
     s"""${p}tok AS (
        |  SELECT doc_id, lang, source, string_split_regex(trim(text), '\\s+') AS toks
        |  FROM $src
+       |), ${p}th AS (
+       |  SELECT doc_id, lang, source,
+       |    list_transform(toks, s -> list_reduce(
+       |      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % $P)) AS th
+       |  FROM ${p}tok
        |), ${p}sh AS (
        |  SELECT doc_id, lang, source,
-       |    list_distinct(list_transform(
-       |      list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-       |                     i -> array_to_string(toks[i:i+2], ' ')),
-       |      s -> list_reduce(
-       |             list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
-       |             (acc, x) -> (acc * 31 + x) % $P))) AS shd
-       |  FROM ${p}tok
+       |    list_distinct(list_transform(range(1, greatest(len(th) - 2, 1) + 1),
+       |                                 i -> list_reduce(th[i:i+2],
+       |                                        (acc, x) -> (acc * 31 + x) % $P))) AS shd
+       |  FROM ${p}th
        |), ${p}sig AS (
        |  SELECT doc_id, shd,
        |    list_transform(range(0, 16), j ->
@@ -156,12 +164,19 @@ object TextQueries extends Catalog {
               ORDER BY prefix_sha NULLS FIRST, keep_id NULLS FIRST, n_dupes NULLS FIRST""")),
 
     "q_dedup_minhash_sig" -> Q(
-      t => t.documents.select(
-        col("doc_id"),
-        concat_ws(",",
-          transform(
-            Dedup.minhashSignature(Dedup.shingleHashes(col("text"))),
-            _.cast("string"))).as("sig"))
+      t => t.documents
+        // materialize shd as an attribute: minhashSignature references its
+        // input 16× (one array_min per hash row), so an embedded expression
+        // would recompute the shingle fold per row
+        .select(col("doc_id"),
+          Dedup.shingleHashesFromTokenHashes(
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text")))).as("__shd"))
+        .select(
+          col("doc_id"),
+          concat_ws(",",
+            transform(
+              Dedup.minhashSignature(col("__shd")),
+              _.cast("string"))).as("sig"))
         .orderBy(col("doc_id"), col("sig")),
       Some(s"""$duckShingleCtes
                |SELECT doc_id,
@@ -412,8 +427,11 @@ object TextQueries extends Catalog {
 
     "q_dedup_ngram_jaccard" -> Q(
       t => {
-        val sh = t.documents.select(
-          col("doc_id"), col("lang"), Dedup.shingleHashes(col("text")).as("shd"))
+        val sh = t.documents
+          .select(col("doc_id"), col("lang"),
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+          .select(col("doc_id"), col("lang"),
+            Dedup.shingleHashesFromTokenHashes(col("__th")).as("shd"))
         sh.as("x").join(sh.as("y"),
           col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
           .withColumn("j", Dedup.jaccard(col("x.shd"), col("y.shd")))

@@ -1,7 +1,13 @@
 package graft.tools
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scratch A/B harness for the current perf question (contents change per
+  * round; round 6: where does q_dedup_lsh_pairs' per-run cost go, and how
+  * much would token-hash composition save vs rebuilding shingle strings?).
+  */
 object AbBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,31 +18,52 @@ object AbBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, "/root/testdata/sf0.1")
-    def cents(c: Column) = sum(round(c * 100).cast("long")) / 100.0
-    def dsum(c: Column) = sum(c.cast("decimal(22,6)")).cast("double")
-    def fsum(c: Column) = // split-long exact sum for multi-dp doubles
-      (sum(floor(c).cast("long")) + sum(round((c - floor(c)) * 1e6).cast("long")) / 1e6)
     def run(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       mk.write.format("noop").mode("overwrite").save() // warm
-      val t0 = System.nanoTime()
-      (1 to 3).foreach(_ => mk.write.format("noop").mode("overwrite").save())
-      println(f"[ab] $name ${(System.nanoTime()-t0)/3e9}%.3f s")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[ab] $name%-28s ${times.sorted.apply(1)}%.3f s (median of 3)")
     }
-    val li = t.lineitem.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-    def full(s1: Column=>Column, s2: Column=>Column) =
-      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        round(s1(col("l_quantity")), 2).as("sum_qty"),
-        round(s1(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(s2(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(s2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(s1(col("l_quantity")) / count(col("l_quantity")), 2).as("avg_qty"),
-        round(s1(col("l_extendedprice")) / count(col("l_extendedprice")), 2).as("avg_price"),
-        round(s1(col("l_discount")) / count(col("l_discount")), 2).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    run("all-double")(full(c => sum(c), c => sum(c)))
-    run("cents+decimal")(full(cents, dsum))
-    run("cents+splitlong")(full(cents, fsum))
+
+    val docs = t.documents
+
+    // stage 1: tokens only
+    run("tokens") {
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    }
+    // stage 2: + shingle strings
+    run("shingle-strings") {
+      docs.select(col("doc_id"),
+        Dedup.shinglesFromTokens(TextAnalysis.tokens(col("text"))).as("sh"))
+    }
+    // stage 3: + polyhash + distinct (current shd)
+    run("shingle-hashes") {
+      docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("shd"))
+    }
+    // stage 4: + minhash signature
+    run("signatures") {
+      docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("shd"))
+        .withColumn("sig", Dedup.minhashSignature(col("shd")))
+    }
+    // full operator (localCheckpoint form, as the catalog runs it)
+    run("lsh-pairs-full") {
+      Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    }
+    // alternative kernel estimate: hash tokens once, combine 3 token hashes
+    // per shingle arithmetically (no string rebuild, no per-char rescan)
+    run("combined-token-hash") {
+      val P = TextAnalysis.HashPrime
+      val th = docs.select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), c => Dedup.polyHash(c)).as("th"))
+      th.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("th")) - 2, lit(1))),
+          i => ((element_at(col("th"), i) * 31 + element_at(col("th"), i + 1)) % P * 31
+            + element_at(col("th"), i + 2)) % P)).as("shd"))
+    }
     spark.stop()
   }
 }
