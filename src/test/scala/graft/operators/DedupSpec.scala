@@ -29,7 +29,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("scoped LSH pass releases the signature cache after use") {
-    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+    // identical texts: J = 1, signatures equal, a band collision is
+    // GUARANTEED — this test pins cache release, not LSH recall, so the
+    // pair must exist regardless of how the hash function rolls
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
     // Count CacheManager entries, not getPersistentRDDs: the latter also
     // lists ContextCleaner-owned localCheckpoint RDDs (from the convenience
@@ -43,7 +46,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("convenience LSH pass leaves no CacheManager entry (round-5 leak)") {
-    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+    // identical texts for a guaranteed pair — see the scoped test above
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
     spark.catalog.clearCache()
     val n = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.1).count()
