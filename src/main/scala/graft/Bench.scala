@@ -160,7 +160,14 @@ object ScaleProbe {
   def run(spark: SparkSession, sfDir: String, factor: Int): Seq[ProbePoint] = {
     val probeTables = Map(
       "q_join_inner" -> Seq("customer", "orders", "lineitem"),
-      "q_dedup_lsh_pairs" -> Seq("documents"))
+      "q_dedup_lsh_pairs" -> Seq("documents")) ++
+      // Iterative-operator scale point (LSH pairs → log-round star
+      // contraction). Off by default: CC adds ~10 jobs per run and the
+      // driver's bench wall-time budget is unknown; enable locally with
+      // SPARK_GRAFT_PROBE_CC=1 — measured numbers live in SURVEY §6.
+      (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_CC", "0") == "1")
+        Map("q_dedup_cc" -> Seq("documents"))
+      else Map.empty)
     val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
     try {
       val allTables = probeTables.values.flatten.toSeq.distinct
