@@ -72,6 +72,36 @@ object Sampling {
     df.filter(hashKey(col(idCol), salt) < threshold)
   }
 
+  /** Deterministic weighted (importance) sampling: each row is kept with
+    * probability min(1, rate·weight), decided by the content hash of
+    * `idCol` — e.g. sample documents proportionally to token count, or
+    * examples proportionally to a quality score. The per-row threshold is
+    * floor(rate·w·2³²) rendered as 8 lowercase hex chars; `floor` (not
+    * round) because IEEE floor is bit-specified while round-half rules
+    * differ across engines. rate·w ≥ 1 clamps to keep-always ("g" sorts
+    * above all hex); rate·w ≤ 0 keeps nothing. Map-side filter, no
+    * shuffle, exactly replayable in SQL ([[weightedSql]]).
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String, rate: Double,
+      salt: String = "wsample"): DataFrame = {
+    val scaled = floor(lit(rate) * col(weightCol) * lit(4294967296.0))
+    val threshold =
+      when(scaled >= 4294967296L, lit("g"))
+        .when(scaled <= 0L, lit("00000000"))
+        .otherwise(lower(lpad(hex(scaled.cast("long")), 8, "0")))
+    df.filter(hashKey(col(idCol), salt) < threshold)
+  }
+
+  /** The weighted-sampling predicate for a DuckDB oracle. */
+  def weightedSql(idSql: String, weightSql: String, rate: Double,
+      salt: String = "wsample"): String = {
+    val scaled = s"floor($rate * $weightSql * 4294967296.0)"
+    s"""${hashKeySql(idSql, salt)} <
+       |  CASE WHEN $scaled >= 4294967296 THEN 'g'
+       |       WHEN $scaled <= 0 THEN '00000000'
+       |       ELSE lower(lpad(hex(CAST($scaled AS BIGINT)), 8, '0')) END""".stripMargin
+  }
+
   /** Disjoint, exhaustive split (train/val/test): weights are normalized,
     * each row gets the label of the hash bucket it lands in. Adding rows to
     * the dataset never moves an EXISTING row between splits (stability under

@@ -172,6 +172,30 @@ object Joins extends Catalog {
                 ON e.user_id = p.user_id AND e.ts > p.ts
               ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")),
 
+    // Forward as-of: each event's NEXT purchase (smallest strictly-later
+    // purchase ts per user) — the mirror of q_join_asof, same single-shuffle
+    // union+window plan with time sorted descending (operators/AsOf
+    // .nearestLater). DuckDB's ASOF with a < condition states the semantics.
+    "q_join_asof_forward" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        AsOf.nearestLater(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("next_purchase_id"))
+          .orderBy(col("event_id"), col("next_purchase_id"))
+      },
+      Some("""SELECT e.event_id, p.event_id AS next_purchase_id
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+              ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                              FROM events WHERE event_type = 'purchase') p
+                ON e.user_id = p.user_id AND e.ts < p.ts
+              ORDER BY e.event_id NULLS FIRST, next_purchase_id NULLS FIRST""")),
+
     // Bucketed range join (operators/RangeJoin): lineitems shipped within 30
     // days of a sampled order's date. The oracle states the NAIVE range
     // predicate; the Spark side must produce identical rows from the

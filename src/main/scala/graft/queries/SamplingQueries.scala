@@ -61,6 +61,26 @@ object SamplingQueries extends Catalog {
                |ORDER BY shuffle_key NULLS FIRST, doc_id NULLS FIRST
                |LIMIT 20""".stripMargin)),
 
+    // Importance sampling: keep each doc with probability min(1, 0.02·n_tokens)
+    // — longer documents sampled more. 0.02 puts the testdata's token range
+    // (10–99) astride the keep-always clamp, so both the probabilistic and
+    // the clamped branch are exercised at every sf.
+    "q_sample_weighted" -> Q(
+      t => {
+        val wdocs = t.documents.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Sampling.weighted(wdocs, "doc_id", "n_tokens", rate = 0.02)
+          .orderBy(col("doc_id"), col("n_tokens"))
+      },
+      Some(s"""WITH w AS (
+               |  SELECT doc_id,
+               |         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+               |  FROM documents
+               |)
+               |SELECT doc_id, n_tokens FROM w
+               |WHERE ${Sampling.weightedSql("doc_id", "n_tokens", 0.02)}
+               |ORDER BY doc_id NULLS FIRST, n_tokens NULLS FIRST""".stripMargin)),
+
     "q_sample_split" -> Q(
       t => Sampling.split(t.documents, "doc_id", splitWeights, salt = "s3")
         .select(col("doc_id"), col("split"))

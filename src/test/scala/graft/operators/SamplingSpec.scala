@@ -96,6 +96,27 @@ class SamplingSpec extends SparkSpec {
       "members not removed from the corpus must stay selected (hash order is stable)")
   }
 
+  test("weighted sampling: clamps at both ends, scales with weight, deterministic") {
+    val rows = (0L until 400L).map(i => (i, (i % 4) match {
+      case 0 => 0.0    // rate·w = 0 → never kept
+      case 1 => 0.5
+      case 2 => 2.0
+      case 3 => 100.0  // rate·w ≥ 1 → always kept
+    }))
+    val df = rows.toDF("doc_id", "w")
+    val kept = Sampling.weighted(df, "doc_id", "w", rate = 0.2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(rows.filter(_._2 == 0.0).forall(r => !kept.contains(r._1)), "zero weight kept")
+    assert(rows.filter(_._2 == 100.0).forall(r => kept.contains(r._1)), "clamped weight dropped")
+    val midLow = rows.count(r => r._2 == 0.5 && kept.contains(r._1))
+    val midHigh = rows.count(r => r._2 == 2.0 && kept.contains(r._1))
+    // p = 0.1 vs 0.4 over 100 draws each — higher weight must keep more
+    assert(midLow < midHigh, s"p=0.1 kept $midLow, p=0.4 kept $midHigh")
+    val again = Sampling.weighted(df, "doc_id", "w", rate = 0.2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(again == kept, "weighted draw must be reproducible")
+  }
+
   test("bernoulli sampling works unchanged on a stream (stateless map-side filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val in = MemoryStream[Long](spark)
