@@ -56,16 +56,28 @@ object Bench {
     // warm codegen + parquet footers once with the cheapest query
     try runOnce("q_scan_project") catch { case _: Throwable => () }
 
-    // Median of 3 runs per query: a single local[32] JVM run carries
-    // multi-hundred-ms codegen/GC noise, which round-over-round reads as a
-    // phantom regression (round-2 lesson). The median is robust to one
-    // outlier run; n=3 keeps the whole bench under a few minutes at sf0.1.
+    // The ScaleProbe's estimator, ported to the headline loop (r6/r7 verdict
+    // task 1): three consecutive rounds showed the old single-session
+    // median-of-3 cannot tell a 15-20s GC/heap-expansion pause from a real
+    // regression (r5 "13.67x" scare, r6 9-of-10 phantom slowdown, r7
+    // recovery on byte-identical code). Per query: one warmup run (codegen +
+    // file listing for THIS plan), System.gc() to flush the warmup's
+    // allocation debt, then 5 timed runs. The reported number is the median
+    // — robust to two polluted runs — and the raw runs array is emitted in
+    // the JSON so a phantom swing is inspectable instead of hidden behind
+    // one scalar.
     val results = headline.map { name =>
-      val times = Seq.fill(3)(try runOnce(name) catch { case _: Throwable => -1.0 })
-        .filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      try runOnce(name) catch { case _: Throwable => () }
+      System.gc()
+      val runs = Seq.fill(5)(try runOnce(name) catch { case _: Throwable => -1.0 })
+      val ok = runs.filter(_ >= 0)
+      val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, rs) =>
+      s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Scale evidence: replicate inputs factor× with disjoint key ranges and
@@ -92,7 +104,7 @@ object Bench {
           s""","scale_probe":{"error":"$msg"}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probeJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeJson}""")
     spark.stop()
   }
 }
@@ -162,10 +174,12 @@ object ScaleProbe {
       "q_join_inner" -> Seq("customer", "orders", "lineitem"),
       "q_dedup_lsh_pairs" -> Seq("documents")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
-      // contraction). Off by default: CC adds ~10 jobs per run and the
-      // driver's bench wall-time budget is unknown; enable locally with
-      // SPARK_GRAFT_PROBE_CC=1 — measured numbers live in SURVEY §6.
-      (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_CC", "0") == "1")
+      // contraction): the most expensive headline query and the only
+      // iterative one, so its growth curve belongs in the shipped bench
+      // (r7 verdict task 6). On by default since r8 — two full bench rounds
+      // (r6/r7) showed the probe's wall-time fits the driver's budget;
+      // disable locally with SPARK_GRAFT_PROBE_CC=0 for quick iterations.
+      (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_CC", "1") == "1")
         Map("q_dedup_cc" -> Seq("documents"))
       else Map.empty)
     val root = java.nio.file.Files.createTempDirectory("graft-scale").toString

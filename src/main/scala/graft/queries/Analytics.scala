@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Pivot and statistical aggregates — the remaining common OLAP surface. */
@@ -156,32 +157,32 @@ object Analytics extends Catalog {
 
     // Ordered conversion funnel signup → view → purchase, each step within
     // 3 days of the previous one: users counted by deepest step reached.
-    // Formulated as K chained conditional-min aggregations (one per step),
-    // each a partial-agg groupBy on user_id re-joined to the event stream —
-    // the declarative fixed-depth-funnel shape: after the first shuffle all
-    // stages hash on the same key, and every per-user relation the stream
-    // joins against is exactly one row. Timestamp comparisons and the
-    // 3-day interval shift are exact µs arithmetic on both engines.
+    // Single-pass shape (r7 verdict task 2 — the previous form re-joined
+    // the full event stream once per step, K shuffles/scans of `events` for
+    // a K-step funnel): ONE groupBy(user_id) collects the per-type
+    // timestamp lists (collect_list partial-aggregates map-side, so the
+    // shuffle carries per-user per-type lists, not raw events), then the
+    // conditional-min chain t1→t2→t3 is pure per-row array arithmetic —
+    // array_min over a lambda-filtered window. K-independent: deeper
+    // funnels add scalar expressions, never another shuffle. Per-user event
+    // cardinality bounds the list size (analytics-shaped data, not 100 TB
+    // in one key). Timestamp comparisons and the 3-day interval shift are
+    // exact µs arithmetic on both engines; a null prior step nulls the
+    // lambda comparison → empty filter → null array_min, exactly the
+    // chained-MIN(CASE) semantics of the oracle.
     "q_events_funnel" -> Q(
       t => {
         val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
-        def stepAfter(prev: org.apache.spark.sql.DataFrame, prevT: String,
-            carry: Seq[String], step: String, outT: String) = {
-          // per-user constants from earlier steps ride along via first()
-          val carried = (prevT +: carry).map(c => first(col(c)).as(c))
-          ev.join(prev, "user_id")
-            .groupBy(col("user_id"))
-            .agg(
-              min(when(col("event_type") === step &&
-                col("ts") > col(prevT) &&
-                col("ts") <= col(prevT) + expr("INTERVAL 3 DAY"), col("ts"))).as(outT),
-              carried: _*)
-        }
-        val s1 = ev.groupBy(col("user_id"))
-          .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
-        val s2 = stepAfter(s1, "t1", Nil, "view", "t2")
-        val s3 = stepAfter(s2, "t2", Seq("t1"), "purchase", "t3")
-        s3.select(
+        def within3d(v: Column, prev: Column): Column =
+          v > prev && v <= prev + expr("INTERVAL 3 DAY")
+        ev.groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+            collect_list(when(col("event_type") === "view", col("ts"))).as("views"),
+            collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+          .withColumn("t2", array_min(filter(col("views"), within3d(_, col("t1")))))
+          .withColumn("t3", array_min(filter(col("purchases"), within3d(_, col("t2")))))
+          .select(
           when(col("t3").isNotNull, 3)
             .when(col("t2").isNotNull, 2)
             .when(col("t1").isNotNull, 1)
