@@ -152,12 +152,21 @@ object Joins extends Catalog {
               GROUP BY r_name
               ORDER BY r_name NULLS FIRST""")),
 
+    // The purchase side is pre-aggregated to ONE row per (user_id, ts),
+    // keeping max(event_id), in both the Spark query and the oracle SQL:
+    // DuckDB's ASOF JOIN leaves the choice among right rows tying on the
+    // join time unspecified, while AsOf.nearestEarlier deterministically
+    // picks the max value struct — so with same-instant duplicates the gate
+    // would be data-dependent. Collapsing ties before the join makes both
+    // engines agree by construction under any testdata regeneration, and
+    // matches the operator's documented max-struct tie rule.
     "q_join_asof" -> Q(
       t => {
         val events = t.events
         val purchases = events
           .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
         AsOf.nearestEarlier(
           events.select(col("event_id"), col("user_id"), col("ts")),
           purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
@@ -167,21 +176,26 @@ object Joins extends Catalog {
       },
       Some("""SELECT e.event_id, p.event_id AS prev_purchase_id
               FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-              ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-                              FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                     MAX(event_id) AS event_id
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY 1, 2) p
                 ON e.user_id = p.user_id AND e.ts > p.ts
               ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")),
 
     // Forward as-of: each event's NEXT purchase (smallest strictly-later
     // purchase ts per user) — the mirror of q_join_asof, same single-shuffle
     // union+window plan with time sorted descending (operators/AsOf
-    // .nearestLater). DuckDB's ASOF with a < condition states the semantics.
+    // .nearestLater). DuckDB's ASOF with a < condition states the semantics;
+    // the purchase side is tie-collapsed per (user_id, ts) for the same
+    // determinism reason documented on q_join_asof.
     "q_join_asof_forward" -> Q(
       t => {
         val events = t.events
         val purchases = events
           .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
         AsOf.nearestLater(
           events.select(col("event_id"), col("user_id"), col("ts")),
           purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
@@ -191,8 +205,10 @@ object Joins extends Catalog {
       },
       Some("""SELECT e.event_id, p.event_id AS next_purchase_id
               FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-              ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-                              FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                     MAX(event_id) AS event_id
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY 1, 2) p
                 ON e.user_id = p.user_id AND e.ts < p.ts
               ORDER BY e.event_id NULLS FIRST, next_purchase_id NULLS FIRST""")),
 
