@@ -15,6 +15,40 @@ object TextQueries extends Catalog {
   private def aList = Dedup.HashA.mkString("[", ", ", "]")
   private def bList = Dedup.HashB.mkString("[", ", ", "]")
 
+  /** The composite quality gate's four flags — single source of truth for
+    * q_text_quality (reported per-flag) and q_pipeline_curate (applied as
+    * one conjunctive filter). Spark side: codegen'd map-side predicates.
+    */
+  private def qualityFlags(text: org.apache.spark.sql.Column)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    val tkCount = TextAnalysis.tokenCount(text)
+    val distinctRatio =
+      size(array_distinct(TextAnalysis.tokens(text))).cast("double") / tkCount
+    val mwl = TextAnalysis.avgWordLen(text)
+    Seq(
+      "wc_ok" -> (tkCount >= 25 && tkCount <= 90),
+      "distinct_ok" -> (distinctRatio >= 0.5),
+      "mwl_ok" -> (mwl >= 3.0 && mwl <= 5.0),
+      "stop_ok" -> (TextAnalysis.stopwordCount(text) >= 2))
+  }
+  private def qualityKeep(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    qualityFlags(text).map(_._2).reduce(_ && _)
+
+  /** DuckDB equivalents, evaluated over a relation exposing `tk`
+    * (pre-split token list) and `text` — same shapes q_text_quality's
+    * oracle aliases per-flag.
+    */
+  private val qualityWcSql = "len(tk) BETWEEN 25 AND 90"
+  private val qualityDistinctSql =
+    "CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.5"
+  private val qualityMwlSql =
+    """CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 5.0"""
+  private def qualityStopSql =
+    s"len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) >= 2"
+  private def qualityKeepSql =
+    s"$qualityWcSql AND $qualityDistinctSql AND $qualityMwlSql AND $qualityStopSql"
+
   /** DuckDB CTE chain tokens → shingle-hash sets → minhash signatures over
     * source relation `src`, with CTE names prefixed by `p` so two corpora
     * (e.g. a sampled train set and a benchmark set) can carry independent
@@ -273,33 +307,26 @@ object TextQueries extends Catalog {
     // pure map-side codegen'd predicate over the text column (no shuffle;
     // the filter runs at scan speed and pushes through column pruning).
     // Thresholds chosen to discriminate on the testdata (each flag has both
-    // outcomes populated at every sf, checked before landing).
+    // outcomes populated at every sf, checked before landing). The flag
+    // definitions live in qualityFlags/quality*Sql so q_pipeline_curate's
+    // gate stage applies the IDENTICAL predicate on both engines.
     "q_text_quality" -> Q(
-      t => {
-        val tkCount = TextAnalysis.tokenCount(col("text"))
-        val distinctRatio =
-          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("double") / tkCount
-        val mwl = TextAnalysis.avgWordLen(col("text"))
-        t.documents
-          .select(col("doc_id"),
-            (tkCount >= 25 && tkCount <= 90).as("wc_ok"),
-            (distinctRatio >= 0.5).as("distinct_ok"),
-            (mwl >= 3.0 && mwl <= 5.0).as("mwl_ok"),
-            (TextAnalysis.stopwordCount(col("text")) >= 2).as("stop_ok"))
-          .withColumn("keep",
-            col("wc_ok") && col("distinct_ok") && col("mwl_ok") && col("stop_ok"))
-          .orderBy(col("doc_id"), col("wc_ok"), col("distinct_ok"),
-            col("mwl_ok"), col("stop_ok"), col("keep"))
-      },
+      t => t.documents
+        .select(col("doc_id") +: qualityFlags(col("text")).map {
+          case (n, c) => c.as(n) }: _*)
+        .withColumn("keep",
+          col("wc_ok") && col("distinct_ok") && col("mwl_ok") && col("stop_ok"))
+        .orderBy(col("doc_id"), col("wc_ok"), col("distinct_ok"),
+          col("mwl_ok"), col("stop_ok"), col("keep")),
       Some(s"""WITH tok AS (
                |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk, text
                |  FROM documents
                |), f AS (
                |  SELECT doc_id,
-               |         len(tk) BETWEEN 25 AND 90 AS wc_ok,
-               |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.5 AS distinct_ok,
-               |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(tk) BETWEEN 3.0 AND 5.0 AS mwl_ok,
-               |         len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) >= 2 AS stop_ok
+               |         $qualityWcSql AS wc_ok,
+               |         $qualityDistinctSql AS distinct_ok,
+               |         $qualityMwlSql AS mwl_ok,
+               |         $qualityStopSql AS stop_ok
                |  FROM tok
                |)
                |SELECT doc_id, wc_ok, distinct_ok, mwl_ok, stop_ok,
@@ -539,23 +566,28 @@ object TextQueries extends Catalog {
     // operators COMPOSE (each is individually oracle-green; composition is
     // where column-name, cache-lifetime, and determinism bugs hide):
     //   1. deterministic Bernoulli sample of the raw corpus  (Sampling)
-    //   2. MinHash-LSH near-dup pairs → connected components →
+    //   2. composite quality gate (Gopher-style flags)       (q_text_quality)
+    //   3. MinHash-LSH near-dup pairs → connected components →
     //      one canonical survivor per cluster                (Dedup + CC)
-    //   3. benchmark decontamination against held-out docs   (Dedup)
-    //   4. deterministic train/val split                     (Sampling)
-    //   5. concat-and-chunk sample packing                   (Packing)
-    // Scale shape is inherited from the stages: map-side sample filter, the
-    // LSH band join + log-round star contraction, broadcast decontamination
-    // (bench side tiny), map-side split label, one shard shuffle + window
-    // cumsum for packing — no stage adds a shuffle beyond its own. The
-    // oracle replays the whole chain in one DuckDB statement (recursive CTE
-    // for the clustering fixed point, same hash thresholds via
-    // Sampling.hexThreshold).
+    //   4. benchmark decontamination against held-out docs   (Dedup)
+    //   5. deterministic train/val split                     (Sampling)
+    //   6. concat-and-chunk sample packing                   (Packing)
+    // Real curation order: the quality filter runs BEFORE dedup, so the
+    // expensive LSH stage only shingles documents that survive the cheap
+    // map-side gate. Scale shape is inherited from the stages: map-side
+    // sample + quality filters, the LSH band join + log-round star
+    // contraction, broadcast decontamination (bench side tiny), map-side
+    // split label, one shard shuffle + window cumsum for packing — no
+    // stage adds a shuffle beyond its own. The oracle replays the whole
+    // chain in one DuckDB statement (recursive CTE for the clustering
+    // fixed point, same hash thresholds via Sampling.hexThreshold, same
+    // quality predicate via qualityKeepSql).
     "q_pipeline_curate" -> Q(
       t => {
         val bench = t.documents.filter(col("doc_id") < 5)
         val corpus = t.documents.filter(col("doc_id") >= 5)
         val sampled = Sampling.bernoulli(corpus, "doc_id", fraction = 0.9, salt = "curate")
+          .filter(qualityKeep(col("text")))
         val pairs = Dedup.lshNearDupPairs(sampled, "doc_id", "text", threshold = 0.5)
         // survivors feed BOTH the decontamination probe and the anti-join
         // that keeps the clean rows; materialize once (lazy localCheckpoint,
@@ -585,8 +617,12 @@ object TextQueries extends Catalog {
           s"${Sampling.hashKeySql("doc_id", "curate")} < '${Sampling.hexThreshold(0.9)}'"
         val splitExpr = Sampling.splitSql("doc_id",
           Seq("train" -> 0.9, "val" -> 0.1), "cursplit")
-        s"""WITH RECURSIVE samp AS (
+        s"""WITH RECURSIVE rawsamp AS (
            |  SELECT * FROM documents WHERE doc_id >= 5 AND $sampleCond
+           |), samp AS (
+           |  SELECT * EXCLUDE (tk) FROM (
+           |    SELECT *, string_split_regex(trim(text), '\\s+') AS tk FROM rawsamp)
+           |  WHERE $qualityKeepSql
            |), ${shingleCtesFrom("samp")}$duckBandCandCtes$duckPairsToCompCtes
            |, surv AS (
            |  SELECT s.doc_id, s.text FROM samp s
