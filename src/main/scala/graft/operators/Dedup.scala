@@ -143,15 +143,26 @@ object Dedup {
     * high-cardinality, so the shuffle is well-spread at any corpus size.
     *
     * Materialization: the signature projection feeds three plan branches,
-    * so it is localCheckpoint'ed (lazily) rather than cache()'d — a cache
-    * entry lives in the CacheManager until an explicit unpersist, which a
+    * so it is localCheckpoint'ed rather than cache()'d — a cache entry
+    * lives in the CacheManager until an explicit unpersist, which a
     * fire-and-forget caller never issues (the round-5 storage-leak finding:
     * catalog queries ran this form and accreted one cached projection per
     * pass). Local checkpoint blocks are released by the ContextCleaner as
     * soon as the result DataFrame becomes unreachable, so repeated passes
-    * in a long-lived session are leak-free with zero caller ceremony. For
-    * explicit lifecycle control use [[lshNearDupPairsScoped]] /
-    * [[lshNearDupPairsWithRelease]].
+    * in a long-lived session are leak-free with zero caller ceremony.
+    * EAGER (r8): the lazy variant defers materialization to a backfill job
+    * that Spark appends to the first consuming action
+    * (core `RDD.doCheckpoint` → `LocalRDDCheckpointData.doCheckpoint`,
+    * which runs a separate `runJob` over not-yet-cached partitions); that
+    * appended job's completion events can still be in flight when the
+    * caller drops the DataFrame, and its scheduler-owned task-metrics
+    * accumulators are weakly registered — a GC in that window produces the
+    * benign-but-noisy `attempted to access non-existent accumulator`
+    * DAGScheduler error (deterministically reproduced by Bench's
+    * gc-per-query estimator; see Bench.quiesce). Signatures are always
+    * consumed here, so the eager checkpoint does the same work inside the
+    * main action and leaves no orphaned job. For explicit lifecycle
+    * control use [[lshNearDupPairsScoped]] / [[lshNearDupPairsWithRelease]].
     */
   def lshNearDupPairs(
       docs: DataFrame,
@@ -160,7 +171,7 @@ object Dedup {
       threshold: Double = 0.5,
       k: Int = 3): DataFrame =
     pairsOverPrepared(
-      prepareSignatures(docs, idCol, textCol, k).localCheckpoint(false),
+      prepareSignatures(docs, idCol, textCol, k).localCheckpoint(true),
       threshold)
 
   /** [[lshNearDupPairs]] plus an explicit release handle: invoke it after

@@ -355,12 +355,13 @@ object TextQueries extends Catalog {
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
           .select(col("doc_id"), explode(col("__tk")).as("term"))
         // tf feeds both the df rollup and the scored join: materialize it
-        // once (lazy localCheckpoint, ContextCleaner-released — the Dedup
-        // signature-projection pattern) or the corpus scan + explode + first
-        // shuffle run twice, which is the cost that matters at 100 TB.
+        // once (eager localCheckpoint, ContextCleaner-released — the Dedup
+        // signature-projection pattern; eager for the orphaned-backfill-job
+        // reason on Dedup.lshNearDupPairs) or the corpus scan + explode +
+        // first shuffle run twice, which is the cost that matters at 100 TB.
         val tf = terms.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         val df = tf.groupBy(col("term"))
           .agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
@@ -590,12 +591,14 @@ object TextQueries extends Catalog {
           .filter(qualityKeep(col("text")))
         val pairs = Dedup.lshNearDupPairs(sampled, "doc_id", "text", threshold = 0.5)
         // survivors feed BOTH the decontamination probe and the anti-join
-        // that keeps the clean rows; materialize once (lazy localCheckpoint,
-        // ContextCleaner-released) or Catalyst re-plans the scan → label
-        // join → semi-join subtree in each branch.
+        // that keeps the clean rows; materialize once (eager
+        // localCheckpoint, ContextCleaner-released; eager for the
+        // orphaned-backfill-job reason on Dedup.lshNearDupPairs) or
+        // Catalyst re-plans the scan → label join → semi-join subtree in
+        // each branch.
         val survivors = ConnectedComponents
           .keepCanonical(sampled, "doc_id", pairs, "a", "b")
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         val contaminated = Dedup.contaminationPairs(
           survivors, "doc_id", "text", bench, "doc_id", "text", minOverlap = 2)
           .select(col("train_id")).distinct()
