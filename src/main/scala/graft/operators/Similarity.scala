@@ -219,6 +219,77 @@ object Similarity {
   /** Bucketed (IVF-style) top-k: score only same-bucket pairs. Trades exact
     * recall for a shuffle that scales with bucket count — the 100 TB path.
     */
+  /** Quantized vectors with their exact int64 self-dot: `(id, q, aa)`.
+    * Eagerly checkpointed — the k-means loop and any downstream consumer
+    * (semantic dedup) reuse it across several plan branches/iterations,
+    * and eager avoids the lazy-checkpoint orphaned-backfill-job noise
+    * documented on Dedup.lshNearDupPairs.
+    */
+  def prepareQuantized(vectors: DataFrame): DataFrame =
+    vectors.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id"), quantize(col("vec"), col("__ma")).as("q"))
+      .withColumn("aa", intDot(col("q"), col("q")))
+      .localCheckpoint(true)
+
+  /** Spherical k-means over int8-quantized vectors — the clustering that
+    * underlies semantic dedup and IVF cell assignment at corpus scale.
+    *
+    * Scale shape (the canonical distributed Lloyd's): centroids are k·d
+    * scalars — CONSTANT in corpus size — so they live on the driver and
+    * ship to executors as a broadcast literal; assignment is a pure
+    * map-side fold over the k centroids (no shuffle, no join); the update
+    * step is one partial-agg shuffle of at most k·d·partitions rows
+    * (posexplode → groupBy(cluster, dim) → sum) whose k·d result is
+    * collected back. Nothing driver-side grows with the data.
+    *
+    * Numeric contract (what makes the DuckDB oracle exact): centroids are
+    * per-dimension int64 SUMS of member codes, never float averages —
+    * integer addition is order-independent, so the update is identical
+    * under any partitioning; cosine scoring against a sum-vector equals
+    * scoring against the mean direction (scale cancels), and the score
+    * `intDot / sqrt(int64)` is one IEEE-exact division+sqrt over exact
+    * integers. Assignment keeps the LOWEST cluster index on ties (strict
+    * `>` in the fold ≡ the oracle's ORDER BY score DESC, cl ASC).
+    * Deterministic init: the k lowest-id vectors, cluster index = id rank.
+    * An emptied cluster keeps its previous centroid.
+    *
+    * `qn`: prepared quantized vectors from [[prepareQuantized]] →
+    * returns (id, cluster int).
+    */
+  def kmeansAssign(qn: DataFrame, k: Int, iters: Int): DataFrame = {
+    def assignCol(cents: Array[Array[Long]]): Column = {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val caaLit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
+      aggregate(
+        sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("j")),
+        (acc, j) => {
+          val score = intDot(col("q"), element_at(centLit, j + 1)).cast("double") /
+            sqrt(element_at(caaLit, j + 1).cast("double"))
+          when(score > acc.getField("s"),
+            struct(score.as("s"), j.cast("int").as("j"))).otherwise(acc)
+        }).getField("j")
+    }
+    var cents: Array[Array[Long]] = qn.orderBy(col("id")).limit(k)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    val d = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 to iters) {
+      val sums = qn.withColumn("cluster", assignCol(cents))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(sum(col("v")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val byCluster = sums.groupBy(_._1)
+      cents = Array.tabulate(k) { j =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            val a = new Array[Long](d); rows.foreach { case (_, p, s) => a(p) = s }; a
+          case None => cents(j)
+        }
+      }
+    }
+    qn.withColumn("cluster", assignCol(cents)).select(col("id"), col("cluster"))
+  }
+
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int, nbits: Int = 4): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"),
       signBucket(col("vec"), nbits).as("bucket"))

@@ -24,6 +24,56 @@ object SimilarityQueries extends Catalog {
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), k -> $a[k] * $b[k]), (acc, x) -> acc + x)"
 
+  /** DuckDB replay of Similarity.prepareQuantized + kmeansAssign with
+    * k = 8, TWO Lloyd rounds, d = 64 (the driver embeddings' fixed width):
+    * quantize → init centroids from the 8 lowest vec_ids → two rounds of
+    * [assign (cosine vs centroid, ties to the lowest cluster) → per-dim
+    * int64 centroid sums (empty cluster keeps its previous centroid)] →
+    * final assignment against the round-2 centroids — exactly the
+    * operator's `iters` update rounds + closing assignment. Ends with CTE
+    * `asg(vec_id, q, aa, cl)`.
+    */
+  private def duckKmeansCtes: String = {
+    def assign(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, aa, cl FROM (
+         |    SELECT v.vec_id, v.q, v.aa, c.cl,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(${duckDot("v.q", "c.q")} AS DOUBLE) /
+         |               sqrt(CAST(${duckDot("c.q", "c.q")} AS DOUBLE)) DESC, c.cl) AS rn
+         |    FROM qkn v CROSS JOIN $cents c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def update(src: String, prevCents: String, n: Int) =
+      s"""s$n AS (
+         |  SELECT cl, t.i AS i, SUM(q[t.i]) AS s
+         |  FROM $src CROSS JOIN range(1, 65) AS t(i)
+         |  GROUP BY cl, t.i
+         |), c${n}s AS (
+         |  SELECT cl, list(CAST(s AS BIGINT) ORDER BY i) AS q FROM s$n GROUP BY cl
+         |), c$n AS (
+         |  SELECT cl, q FROM c${n}s
+         |  UNION ALL
+         |  SELECT cl, q FROM $prevCents WHERE cl NOT IN (SELECT cl FROM c${n}s)
+         |)""".stripMargin
+    s"""$duckVecCte, mxk AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS ma
+       |  FROM e
+       |), qkv AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+       |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+       |  FROM mxk
+       |), qkn AS (
+       |  SELECT vec_id, q, ${duckDot("q", "q")} AS aa FROM qkv
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q
+       |  FROM (SELECT vec_id, q FROM qkn ORDER BY vec_id LIMIT 8)
+       |), ${assign("c0", "a1")}, ${update("a1", "c0", 1)},
+       |${assign("c1", "a2")}, ${update("a2", "c1", 2)},
+       |${assign("c2", "asg")}""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q_sim_bruteforce_topk" -> Q(
       t => {
@@ -225,5 +275,58 @@ object SimilarityQueries extends Catalog {
               |SELECT label, dim,
               |       ROUND(sqrt(list_reduce(list_transform(ms, m -> m * m), (acc, x) -> acc + x)), 4) AS centroid_norm
               |FROM packed
-              |ORDER BY label NULLS FIRST, dim NULLS FIRST, centroid_norm NULLS FIRST""".stripMargin)))
+              |ORDER BY label NULLS FIRST, dim NULLS FIRST, centroid_norm NULLS FIRST""".stripMargin)),
+
+    // Quantized spherical k-means (two Lloyd iterations, k = 8): the
+    // clustering behind semantic dedup and IVF cell maps at corpus scale.
+    // See operators/Similarity.kmeansAssign for the scale shape (map-side
+    // assignment against broadcast-literal centroids; one k·d-sized
+    // partial-agg shuffle per iteration) and the integer-sum numeric
+    // contract that makes this oracle-exact across engines.
+    "q_sim_kmeans" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.kmeansAssign(Similarity.prepareQuantized(emb), k = 8, iters = 2)
+          .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+          .orderBy(col("vec_id"), col("cluster"))
+      },
+      Some(s"""$duckKmeansCtes
+               |SELECT vec_id, cl AS cluster FROM asg
+               |ORDER BY vec_id NULLS FIRST, cluster NULLS FIRST""".stripMargin)),
+
+    // Semantic near-dup pairs via k-means blocking: score only same-cluster
+    // pairs — the embedding analogue of LSH banding. At corpus scale the
+    // all-pairs product never materializes; the pair space shrinks from
+    // O(n²) to Σ|cluster|², tuned by k (a real deployment sizes k ≈ n/block
+    // so blocks stay bounded; k = 8 here matches the testdata's size). The
+    // oracle replays clustering AND scoring in one statement, so the
+    // blocked pair set is compared exactly, not statistically.
+    "q_sim_semantic_dedup" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val qn = Similarity.prepareQuantized(emb)
+        val z = qn.join(Similarity.kmeansAssign(qn, k = 8, iters = 2), "id")
+        val x = z.select(col("id").as("a"), col("q").as("qa"),
+          col("aa").as("aaa"), col("cluster"))
+        val y = z.select(col("id").as("b"), col("q").as("qb"),
+          col("aa").as("aab"), col("cluster").as("__clb"))
+        x.join(y, col("cluster") === col("__clb") && col("a") < col("b"))
+          .withColumn("qcos", Similarity.intDot(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("aaa")) * sqrt(col("aab"))))
+          .filter(col("qcos") >= 0.35)
+          .select(col("a"), col("b"), col("cluster").cast("long").as("cluster"),
+            round(col("qcos"), 4).as("qcos"))
+          .orderBy(col("a"), col("b"), col("cluster"), col("qcos"))
+      },
+      Some(s"""$duckKmeansCtes
+               |SELECT x.vec_id AS a, y.vec_id AS b, x.cl AS cluster,
+               |       ROUND(CAST(${duckDot("x.q", "y.q")} AS DOUBLE) /
+               |             (sqrt(x.aa) * sqrt(y.aa)), 4) AS qcos
+               |FROM asg x JOIN asg y ON x.cl = y.cl AND x.vec_id < y.vec_id
+               |WHERE CAST(${duckDot("x.q", "y.q")} AS DOUBLE) /
+               |      (sqrt(x.aa) * sqrt(y.aa)) >= 0.35
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, cluster NULLS FIRST,
+               |         qcos NULLS FIRST""".stripMargin)))
 }
