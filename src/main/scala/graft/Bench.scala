@@ -16,7 +16,8 @@ object Bench {
     * scalar-heavy projection, batch kernel. The first ten are the
     * round-over-round comparable set (unchanged since r4); r6 appends the
     * two newest heavy hitters — iterative CC clustering and the bucketed
-    * range join — so the bench signal covers them too.
+    * range join — and r8 appends the driver-iterative quantized k-means,
+    * so the bench signal covers them too.
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -30,7 +31,8 @@ object Bench {
     "q_sim_bruteforce_topk",
     "q_pipe_iso_trim",
     "q_dedup_cc",
-    "q_join_range_bucketed")
+    "q_join_range_bucketed",
+    "q_sim_kmeans")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
