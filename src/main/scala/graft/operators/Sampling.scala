@@ -102,6 +102,39 @@ object Sampling {
        |       ELSE lower(lpad(hex(CAST($scaled AS BIGINT)), 8, '0')) END""".stripMargin
   }
 
+  /** Domain-mixture resampling — reweight a corpus toward target domain
+    * proportions under a global row budget, the composition-control step
+    * of a training-data pipeline ("keep 60% of the corpus, oversampling
+    * code 3:1 vs web"). Per stratum s with observed count n_s and target
+    * weight w_s: acceptance rate_s = min(1, budgetFrac·N·(w_s/W)/n_s)
+    * (W = Σw over strata), then each row draws deterministically against
+    * rate_s via the [[weighted]] hash predicate (rate 1.0, weight =
+    * rate_s).
+    *
+    * Scale shape: one partial-agg count over the (tiny) stratum domain, a
+    * single-row total, rates broadcast back onto the corpus — the corpus
+    * itself never shuffles; the filter is map-side like every sampler
+    * here, and adding rows never flips an existing row's draw (same
+    * stability-under-growth contract as [[bernoulli]]).
+    *
+    * `weightOf` must be an expression over `stratumCol` (evaluated on the
+    * per-stratum relation). The rate arithmetic is a fixed-association
+    * double expression (`budgetFrac * n * w / (W * n_s)`) so a DuckDB
+    * oracle spelling the same text gets bit-identical rates.
+    */
+  def mixtureResample(df: DataFrame, stratumCol: String, idCol: String,
+      weightOf: Column, budgetFrac: Double, salt: String = "mixture"): DataFrame = {
+    val per = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weightOf)
+    val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__w")).as("__tw"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        expr(s"least(1.0, $budgetFrac * __tn * __w / (__tw * __n))"))
+      .select(col(stratumCol), col("__rate"))
+    weighted(df.join(broadcast(rates), stratumCol), idCol, "__rate", 1.0, salt)
+      .drop("__rate")
+  }
+
   /** Disjoint, exhaustive split (train/val/test): weights are normalized,
     * each row gets the label of the hash bucket it lands in. Adding rows to
     * the dataset never moves an EXISTING row between splits (stability under

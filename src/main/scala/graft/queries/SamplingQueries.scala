@@ -87,5 +87,33 @@ object SamplingQueries extends Catalog {
         .orderBy(col("doc_id"), col("split")),
       Some(s"""SELECT doc_id, ${Sampling.splitSql("doc_id", splitWeights, "s3")} AS split
                |FROM documents
-               |ORDER BY doc_id NULLS FIRST, split NULLS FIRST""".stripMargin)))
+               |ORDER BY doc_id NULLS FIRST, split NULLS FIRST""".stripMargin)),
+
+    // Domain-mixture resampling (operators/Sampling.mixtureResample): keep
+    // 60% of the corpus while oversampling three sources 3:1 over the rest
+    // — the composition-control step of a training-data pipeline. Rates
+    // derive from observed counts + target weights in one fixed-association
+    // double expression; the draw reuses the weighted-sampling hash
+    // predicate, so the oracle replays counts, rates, and draws exactly.
+    "q_sample_mixture" -> Q(
+      t => Sampling.mixtureResample(t.documents, "source", "doc_id",
+        weightOf = expr("CASE WHEN source IN ('src0','src1','src2') THEN 3 ELSE 1 END"),
+        budgetFrac = 0.6)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"), col("n_kept")),
+      Some(s"""WITH per AS (
+               |  SELECT source, COUNT(*) AS __n,
+               |         CASE WHEN source IN ('src0','src1','src2') THEN 3 ELSE 1 END AS __w
+               |  FROM documents GROUP BY source
+               |), tot AS (
+               |  SELECT SUM(__n) AS __tn, SUM(__w) AS __tw FROM per
+               |), rates AS (
+               |  SELECT source, least(1.0, 0.6 * __tn * __w / (__tw * __n)) AS __rate
+               |  FROM per CROSS JOIN tot
+               |)
+               |SELECT d.source, COUNT(*) AS n_kept
+               |FROM documents d JOIN rates r USING (source)
+               |WHERE ${Sampling.weightedSql("d.doc_id", "r.__rate", 1.0, "mixture")}
+               |GROUP BY d.source
+               |ORDER BY source NULLS FIRST, n_kept NULLS FIRST""".stripMargin)))
 }

@@ -51,6 +51,45 @@ object Windows extends Catalog {
     // Full-precision events.value leaves the plan as BIGINT cents (see
     // Catalog.cents): lag/lead/delta over integers are immune to the
     // engine-round .5 divergence that bit q_win_sessionize.
+    // Value window functions (the §2C windows surface q_win_rank leaves
+    // out): first/last/nth over an explicit FULL frame — the default
+    // running frame would make last/nth order-dependent prefixes — plus
+    // cume_dist over the tied bucket. All value columns ride a unique-key
+    // total order, so every output is deterministic; cume_dist is an exact
+    // integer ratio → identical doubles on both engines.
+    "q_win_value_fns" -> Q(
+      t => {
+        val df = t.customer
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long"))
+        val unique = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("bal_bucket"), col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val tied = Window.partitionBy(col("c_nationkey")).orderBy(col("bal_bucket"))
+        df.select(
+          col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+          first(col("c_custkey")).over(unique).as("first_key"),
+          last(col("c_custkey")).over(unique).as("last_key"),
+          nth_value(col("c_custkey"), 2).over(unique).as("second_key"),
+          round(cume_dist().over(tied), 4).as("cdist"))
+          .orderBy(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+            col("first_key"), col("last_key"), col("second_key"), col("cdist"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             |       first_value(c_custkey) OVER w AS first_key,
+             |       last_value(c_custkey) OVER w AS last_key,
+             |       nth_value(c_custkey, 2) OVER w AS second_key,
+             |       ROUND(cume_dist() OVER (PARTITION BY c_nationkey
+             |         ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT)), 4) AS cdist
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |             ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT), c_custkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY c_custkey NULLS FIRST, c_nationkey NULLS FIRST,
+             |         bal_bucket NULLS FIRST, first_key NULLS FIRST,
+             |         last_key NULLS FIRST, second_key NULLS FIRST,
+             |         cdist NULLS FIRST""".stripMargin)),
+
     "q_win_lag_lead" -> Q(
       t => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
