@@ -125,6 +125,75 @@ object Analytics extends Catalog {
               ORDER BY l_returnflag NULLS FIRST, p25 NULLS FIRST, p50 NULLS FIRST,
                        p75 NULLS FIRST, qmin NULLS FIRST, qmax NULLS FIRST""")),
 
+    // Unpivot/melt — the inverse of q_agg_pivot, via the dedicated
+    // Dataset.unpivot operator (wide metric columns → long (metric, value)
+    // rows). Aggregated with the exact cents-as-long money sum so the
+    // per-metric totals are order-independent; the oracle states the melt
+    // as the equivalent UNION ALL.
+    "q_agg_unpivot" -> Q(
+      t => t.lineitem
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(msum(col("value")), 2).as("total"))
+        .orderBy(col("metric"), col("n"), col("total")),
+      Some("""WITH m AS (
+              |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+              |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+              |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+              |)
+              |SELECT metric, COUNT(*) AS n,
+              |       ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+              |FROM m GROUP BY metric
+              |ORDER BY metric NULLS FIRST, n NULLS FIRST, total NULLS FIRST""".stripMargin)),
+
+    // Time-series gap fill with LOCF — per-user daily grid spanning each
+    // user's observed range (sequence + explode generates the missing
+    // days), left-joined to the observed daily aggregate, nulls filled by
+    // last-observation-carried-forward (last(ignoreNulls) over a running
+    // frame). MAX is the daily aggregate because max of doubles is
+    // order-independent (a float SUM would not hash-match). Scale shape:
+    // the daily rollup, the grid join, and the LOCF window all key on
+    // user_id (+day), so the plan is one agg shuffle + one co-keyed join +
+    // an in-partition window — grid size is bounded by span, not events.
+    "q_ts_gapfill" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(max(col("value")).as("v"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), round(col("v"), 4).as("v"),
+            round(last(col("v"), ignoreNulls = true).over(w), 4).as("v_filled"))
+          .orderBy(col("user_id"), col("day"), col("v"), col("v_filled"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         MAX(value) AS v
+              |  FROM events GROUP BY 1, 2
+              |), spans AS (
+              |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+              |), grid AS (
+              |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans
+              |)
+              |SELECT g.user_id, g.day, ROUND(d.v, 4) AS v,
+              |       ROUND(last_value(d.v IGNORE NULLS) OVER (
+              |         PARTITION BY g.user_id ORDER BY g.day
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+              |FROM grid g LEFT JOIN daily d USING (user_id, day)
+              |ORDER BY user_id NULLS FIRST, day NULLS FIRST, v NULLS FIRST,
+              |         v_filled NULLS FIRST""".stripMargin)),
+
     // Weekly cohort retention — users bucketed by first-activity week,
     // counted per (cohort, weeks-since). Week index is exact int64 division
     // of epoch-µs (`div` / `//`), never float math on timestamps. Scale
