@@ -102,6 +102,33 @@ object Relational extends Catalog {
               FROM lineitem GROUP BY l_returnflag
               ORDER BY l_returnflag NULLS FIRST""")),
 
+    // Filtered & boolean aggregates — count_if and bool_and/bool_or on the
+    // Spark side, stated in the oracle as the standard FILTER clause and
+    // the same boolean folds. All order-independent, so no rounding
+    // contract is needed. Grouped over nation/region because its
+    // round-robin key layout gives every flag BOTH outcomes across groups
+    // (thresholds 2/13/22 split the {r, r+5, …, r+20} key sets unevenly);
+    // lineitem's uniform columns would make the booleans constant.
+    "q_agg_filtered" -> Q(
+      t => t.nation
+        .groupBy(col("n_regionkey"))
+        .agg(
+          expr("count_if(n_nationkey >= 13)").as("n_high"),
+          expr("bool_and(n_nationkey >= 2)").as("all_ge2"),
+          expr("bool_or(n_nationkey > 22)").as("any_gt22"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"), col("n_high"), col("all_ge2"),
+          col("any_gt22"), col("n")),
+      Some("""SELECT n_regionkey,
+             |       COUNT(*) FILTER (WHERE n_nationkey >= 13) AS n_high,
+             |       BOOL_AND(n_nationkey >= 2) AS all_ge2,
+             |       BOOL_OR(n_nationkey > 22) AS any_gt22,
+             |       COUNT(*) AS n
+             |FROM nation GROUP BY n_regionkey
+             |ORDER BY n_regionkey NULLS FIRST, n_high NULLS FIRST,
+             |         all_ge2 NULLS FIRST, any_gt22 NULLS FIRST,
+             |         n NULLS FIRST""".stripMargin)),
+
     "q_agg_stats" -> Q(
       t => t.orders
         .groupBy(col("o_orderstatus"))

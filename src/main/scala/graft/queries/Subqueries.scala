@@ -37,6 +37,7 @@ object Subqueries extends Catalog {
       case n @ "customer" => t.customer.createOrReplaceTempView(n)
       case n @ "lineitem" => t.lineitem.createOrReplaceTempView(n)
       case n @ "supplier" => t.supplier.createOrReplaceTempView(n)
+      case n @ "nation"   => t.nation.createOrReplaceTempView(n)
       case n => throw new IllegalArgumentException(s"unregistered table $n")
     }
     t.spark.sql(query)
@@ -91,10 +92,26 @@ object Subqueries extends Catalog {
       |                    AND l2.l_discount >= 0.085)
       |ORDER BY s_suppkey NULLS FIRST, s_name NULLS FIRST""".stripMargin
 
+  /** Correlated LATERAL derived table — per-nation supplier rollup where
+    * the subquery references the outer row. Catalyst plans the aggregate
+    * lateral as a decorrelated aggregate + left outer join (a nation with
+    * no suppliers still yields one row: NULL max, 0 count — DuckDB
+    * agrees); MAX of doubles and COUNT are order-independent, so no
+    * rounding contract is needed.
+    */
+  private val lateralSql =
+    """SELECT n_name, t.top_bal, t.n_supp
+      |FROM nation, LATERAL (
+      |  SELECT MAX(s_acctbal) AS top_bal, COUNT(*) AS n_supp
+      |  FROM supplier WHERE s_nationkey = n_nationkey) t
+      |ORDER BY n_name NULLS FIRST, top_bal NULLS FIRST, n_supp NULLS FIRST""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_subquery_scalar" -> Q(t => sql(t, Seq("part"), scalarSql), Some(scalarSql)),
     "q_subquery_in" -> Q(
       t => sql(t, Seq("orders", "customer", "lineitem"), inSql), Some(inSql)),
     "q_subquery_exists" -> Q(
-      t => sql(t, Seq("supplier", "lineitem"), existsSql), Some(existsSql)))
+      t => sql(t, Seq("supplier", "lineitem"), existsSql), Some(existsSql)),
+    "q_join_lateral" -> Q(
+      t => sql(t, Seq("nation", "supplier"), lateralSql), Some(lateralSql)))
 }
