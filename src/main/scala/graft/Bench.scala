@@ -80,6 +80,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // The JSON line is built with f"...%.3f" interpolators, which format
+    // with the JVM default locale — a comma-decimal locale would emit
+    // `0,123` and break the driver's JSON parse. Pin ROOT once, up front.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -119,8 +119,11 @@ object Sampling {
     *
     * `weightOf` must be an expression over `stratumCol` (evaluated on the
     * per-stratum relation). The rate arithmetic is a fixed-association
-    * double expression (`budgetFrac * n * w / (W * n_s)`) so a DuckDB
-    * oracle spelling the same text gets bit-identical rates.
+    * DOUBLE expression — every literal is explicitly CAST to DOUBLE so
+    * both engines evaluate in IEEE binary64 (without the cast Spark
+    * parses the literals as DECIMAL and rounds at scale 15, while DuckDB
+    * uses DOUBLE; the divergence could flip a threshold draw) — so a
+    * DuckDB oracle spelling the same text gets bit-identical rates.
     */
   def mixtureResample(df: DataFrame, stratumCol: String, idCol: String,
       weightOf: Column, budgetFrac: Double, salt: String = "mixture"): DataFrame = {
@@ -129,7 +132,7 @@ object Sampling {
     val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__w")).as("__tw"))
     val rates = per.crossJoin(broadcast(tot))
       .withColumn("__rate",
-        expr(s"least(1.0, $budgetFrac * __tn * __w / (__tw * __n))"))
+        expr(s"least(CAST(1.0 AS DOUBLE), CAST($budgetFrac AS DOUBLE) * __tn * __w / (__tw * __n))"))
       .select(col(stratumCol), col("__rate"))
     weighted(df.join(broadcast(rates), stratumCol), idCol, "__rate", 1.0, salt)
       .drop("__rate")

@@ -256,12 +256,40 @@ object Similarity {
     * `qn`: prepared quantized vectors from [[prepareQuantized]] →
     * returns (id, cluster int).
     */
+  /** Cluster count for same-cluster blocking: `max(k0, ceil(n /
+    * targetBlockSize))`. Blocking only bounds the candidate-pair space if
+    * the number of blocks grows with the corpus: with k FIXED the expected
+    * block is n/k and Σ|block|² ≈ n²/k — still quadratic in n. Scaling k
+    * with n pins the expected block size at `targetBlockSize`, so the
+    * blocked pair space Σ|block|² ≲ n·targetBlockSize grows linearly
+    * (modulo cluster skew). Driver-side centroid state is k·d scalars =
+    * (n/targetBlockSize)·d — ~2 GB per billion 1k-dim float vectors at the
+    * default block size, within driver heap at 100 TB corpus scale, and
+    * the per-iteration update shuffle stays k·d·partitions rows.
+    */
+  def blockCount(n: Long, k0: Int = 8, targetBlockSize: Long = 4096L): Int = {
+    require(k0 > 0 && targetBlockSize > 0,
+      s"k0 and targetBlockSize must be positive, got $k0 / $targetBlockSize")
+    math.max(k0.toLong, (n + targetBlockSize - 1) / targetBlockSize)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   def kmeansAssign(qn: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    var cents: Array[Array[Long]] = qn.orderBy(col("id")).limit(k)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    // Clamp the cluster count to the seed vectors actually collected: with
+    // fewer than k inputs the surplus clusters could never become non-empty,
+    // and indexing the centroid literal past its length errors under ANSI
+    // mode (and cents(j) would throw in the empty-cluster branch).
+    val kk = math.min(k, cents.length)
+    if (kk == 0) // empty input: keep the (id, cluster) schema, zero rows
+      return qn.select(col("id"), lit(-1).cast("int").as("cluster"))
     def assignCol(cents: Array[Array[Long]]): Column = {
       val centLit = typedLit(cents.map(_.toSeq).toSeq)
       val caaLit = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
       aggregate(
-        sequence(lit(0), lit(k - 1)),
+        sequence(lit(0), lit(kk - 1)),
         struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("j")),
         (acc, j) => {
           val score = intDot(col("q"), element_at(centLit, j + 1)).cast("double") /
@@ -270,8 +298,6 @@ object Similarity {
             struct(score.as("s"), j.cast("int").as("j"))).otherwise(acc)
         }).getField("j")
     }
-    var cents: Array[Array[Long]] = qn.orderBy(col("id")).limit(k)
-      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
     val d = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to iters) {
       val sums = qn.withColumn("cluster", assignCol(cents))
@@ -279,7 +305,7 @@ object Similarity {
         .groupBy(col("cluster"), col("pos")).agg(sum(col("v")).as("s"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
       val byCluster = sums.groupBy(_._1)
-      cents = Array.tabulate(k) { j =>
+      cents = Array.tabulate(kk) { j =>
         byCluster.get(j) match {
           case Some(rows) =>
             val a = new Array[Long](d); rows.foreach { case (_, p, s) => a(p) = s }; a

@@ -108,7 +108,7 @@ object SamplingQueries extends Catalog {
                |), tot AS (
                |  SELECT SUM(__n) AS __tn, SUM(__w) AS __tw FROM per
                |), rates AS (
-               |  SELECT source, least(1.0, 0.6 * __tn * __w / (__tw * __n)) AS __rate
+               |  SELECT source, least(CAST(1.0 AS DOUBLE), CAST(0.6 AS DOUBLE) * __tn * __w / (__tw * __n)) AS __rate
                |  FROM per CROSS JOIN tot
                |)
                |SELECT d.source, COUNT(*) AS n_kept

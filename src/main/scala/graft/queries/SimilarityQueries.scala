@@ -298,16 +298,20 @@ object SimilarityQueries extends Catalog {
     // Semantic near-dup pairs via k-means blocking: score only same-cluster
     // pairs — the embedding analogue of LSH banding. At corpus scale the
     // all-pairs product never materializes; the pair space shrinks from
-    // O(n²) to Σ|cluster|², tuned by k (a real deployment sizes k ≈ n/block
-    // so blocks stay bounded; k = 8 here matches the testdata's size). The
-    // oracle replays clustering AND scoring in one statement, so the
-    // blocked pair set is compared exactly, not statistically.
+    // O(n²) to Σ|cluster|², bounded BY CONSTRUCTION because k scales with
+    // the corpus: k = Similarity.blockCount(n) = max(8, ceil(n/4096)) pins
+    // the expected block size, so Σ|cluster|² grows linearly in n (see the
+    // blockCount scaladoc; KmeansSpec asserts the bound on replicated
+    // data). At the gate scales (500 / 2 000 embeddings) blockCount
+    // resolves to 8, so the pinned k = 8 oracle below replays the blocked
+    // pair set exactly, not statistically.
     "q_sim_semantic_dedup" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),
           Similarity.toDouble(col("embedding")).as("vec"))
         val qn = Similarity.prepareQuantized(emb)
-        val z = qn.join(Similarity.kmeansAssign(qn, k = 8, iters = 2), "id")
+        val k = Similarity.blockCount(qn.count()) // cheap: qn is eagerly checkpointed
+        val z = qn.join(Similarity.kmeansAssign(qn, k, iters = 2), "id")
         val x = z.select(col("id").as("a"), col("q").as("qa"),
           col("aa").as("aaa"), col("cluster"))
         val y = z.select(col("id").as("b"), col("q").as("qb"),

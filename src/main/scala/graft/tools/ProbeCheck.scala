@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeCheck {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder().master("local[32]")

@@ -55,6 +55,56 @@ class KmeansSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("blockCount scales k with n and floors at k0") {
+    assert(Similarity.blockCount(500) == 8)    // sf0.01 gate scale
+    assert(Similarity.blockCount(2000) == 8)   // sf0.1 gate scale
+    assert(Similarity.blockCount(4096) == 8)
+    assert(Similarity.blockCount(4097) == 8)   // ceil(4097/4096)=2 < k0
+    assert(Similarity.blockCount(100000) == 25)          // ceil, not floor
+    assert(Similarity.blockCount(1000000000L) == 244141) // linear in n
+    assert(Similarity.blockCount(100, k0 = 4, targetBlockSize = 10) == 10)
+  }
+
+  test("parameterized k keeps block sizes <= target on replicated data; fixed k does not") {
+    // 16 one-hot directions in 16-d, each replicated r = 50 times (ids
+    // arranged so the k lowest ids cover all directions) — clustering is
+    // exact, so block sizes are deterministic. With targetBlockSize = r,
+    // blockCount(800) = ceil(800/50) = 16 and every block is exactly the
+    // target; a fixed k0 = 8 leaves blocks at 2r — the quadratic pair
+    // space the parameterization exists to prevent.
+    val r = 50
+    val rows = for (rep <- 0 until r; dir <- 0 until 16)
+      yield ((rep * 16 + dir).toLong, Seq.tabulate(16)(i => if (i == dir) 1.0 else 0.0))
+    val qn = prep(rows)
+    val k = Similarity.blockCount(rows.size.toLong, k0 = 8, targetBlockSize = r.toLong)
+    assert(k == 16)
+    val sizes = Similarity.kmeansAssign(qn, k, iters = 1)
+      .groupBy(col("cluster")).count().as[(Int, Long)].collect().toMap
+    assert(sizes.size == 16 && sizes.values.forall(_ <= r),
+      s"every block must stay <= target=$r: $sizes")
+    val pairSpace = sizes.values.map(n => n * n).sum
+    assert(pairSpace <= rows.size.toLong * r,
+      s"blocked pair space must be <= n*target: $pairSpace")
+    val fixedSizes = Similarity.kmeansAssign(qn, 8, iters = 1)
+      .groupBy(col("cluster")).count().as[(Int, Long)].collect().toMap
+    assert(fixedSizes.values.max > r,
+      s"fixed k=8 should exceed the target block size here: $fixedSizes")
+  }
+
+  test("k larger than the input clamps to the collected seed count") {
+    // 3 vectors, k = 10: without the clamp the centroid literal has 3
+    // entries but the fold indexes 10 → ANSI element_at error (r8 advice)
+    val qn = prep(Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0), 2L -> Seq(1.0, 0.1)))
+    val got = Similarity.kmeansAssign(qn, k = 10, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got.values.forall(c => c >= 0 && c < 3), s"clusters must index collected seeds: $got")
+    // empty input keeps the (id, cluster) schema with zero rows
+    val empty = Similarity.kmeansAssign(prep(Seq.empty), k = 4, iters = 2)
+    assert(empty.columns.toSeq == Seq("id", "cluster") && empty.count() == 0)
+  }
+
   test("final assignment plan is map-side: no shuffle, no join") {
     val emb = graft.Graft.table(spark, sf("sf0.001"), "embeddings")
       .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("vec"))
