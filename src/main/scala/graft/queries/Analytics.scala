@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Pivot and statistical aggregates — the remaining common OLAP surface. */
@@ -226,36 +225,44 @@ object Analytics extends Catalog {
 
     // Ordered conversion funnel signup → view → purchase, each step within
     // 3 days of the previous one: users counted by deepest step reached.
-    // Single-pass shape (r7 verdict task 2 — the previous form re-joined
-    // the full event stream once per step, K shuffles/scans of `events` for
-    // a K-step funnel): ONE groupBy(user_id) collects the per-type
-    // timestamp lists (collect_list partial-aggregates map-side, so the
-    // shuffle carries per-user per-type lists, not raw events), then the
-    // conditional-min chain t1→t2→t3 is pure per-row array arithmetic —
-    // array_min over a lambda-filtered window. K-independent: deeper
-    // funnels add scalar expressions, never another shuffle. Per-user event
-    // cardinality bounds the list size (analytics-shaped data, not 100 TB
-    // in one key). Timestamp comparisons and the 3-day interval shift are
-    // exact µs arithmetic on both engines; a null prior step nulls the
-    // lambda comparison → empty filter → null array_min, exactly the
-    // chained-MIN(CASE) semantics of the oracle.
+    // Single-pass AND constant-memory-per-user (r8 verdict task 2 — the r7
+    // collect_list form was single-shuffle but buffered every view/purchase
+    // timestamp of a user in one aggregation buffer, so a hot key with
+    // millions of events blows task memory at corpus scale): ONE
+    // groupBy(user_id) with SORTED group iteration (flatMapSortedGroups =
+    // exchange on user_id + in-partition spillable sort, no group
+    // materialization), then a streaming scan per user. Sorted-by-ts order
+    // makes "first qualifying event" ≡ "min qualifying event", so the scan
+    // carries just three µs timestamps of state regardless of per-user
+    // cardinality, and it short-circuits once the funnel completes.
+    // K-independent: deeper funnels add state variables, never another
+    // shuffle. Timestamp comparisons and the 3-day shift are exact integer
+    // µs arithmetic on both engines; strict > lower bounds and inclusive
+    // upper bounds replay the oracle's chained-MIN(CASE) semantics
+    // (FunnelPlanSpec pins the edges and the hot-key behavior).
     "q_events_funnel" -> Q(
       t => {
-        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
-        def within3d(v: Column, prev: Column): Column =
-          v > prev && v <= prev + expr("INTERVAL 3 DAY")
-        ev.groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "signup", col("ts"))).as("t1"),
-            collect_list(when(col("event_type") === "view", col("ts"))).as("views"),
-            collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
-          .withColumn("t2", array_min(filter(col("views"), within3d(_, col("t1")))))
-          .withColumn("t3", array_min(filter(col("purchases"), within3d(_, col("t2")))))
-          .select(
-          when(col("t3").isNotNull, 3)
-            .when(col("t2").isNotNull, 2)
-            .when(col("t1").isNotNull, 1)
-            .otherwise(0).as("depth"))
+        import t.spark.implicits._
+        val w3d = 259200000000L // 3 days in µs
+        val ev = t.events.select(col("user_id"),
+          when(col("event_type") === "signup", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "purchase", 3)
+            .otherwise(0).as("step"),
+          unix_micros(col("ts")).as("us"))
+        ev.groupBy(col("user_id")).as[Long, (Long, Int, Long)]
+          .flatMapSortedGroups(col("us")) { (_, rows) =>
+            var t1 = 0L; var t2 = 0L
+            var has1 = false; var has2 = false; var has3 = false
+            while (rows.hasNext && !has3) {
+              val (_, step, us) = rows.next()
+              if (step == 1 && !has1) { t1 = us; has1 = true }
+              else if (step == 2 && has1 && !has2 && us > t1 && us <= t1 + w3d) { t2 = us; has2 = true }
+              else if (step == 3 && has2 && us > t2 && us <= t2 + w3d) has3 = true
+            }
+            Iterator.single(if (has3) 3 else if (has2) 2 else if (has1) 1 else 0)
+          }
+          .toDF("depth")
           .groupBy(col("depth"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy(col("depth"), col("n_users"))

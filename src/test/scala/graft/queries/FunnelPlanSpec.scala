@@ -25,6 +25,32 @@ class FunnelPlanSpec extends SparkSpec {
       s"expected exactly 1 user_id shuffle, got $userShuffles:\n$plan")
   }
 
+  test("hot key: one user with 100k events completes without buffering the group") {
+    // The r7 collect_list form buffered every view/purchase timestamp of a
+    // user in one aggregation buffer — a skewed key at corpus scale is a
+    // task-memory blowup. The sorted-group streaming scan keeps three longs
+    // of state however large the group is; this pins that a 100k-event user
+    // (none qualifying: all views precede the signup) still resolves
+    // exactly, alongside normal users.
+    val day = 86400L * 1000000000L
+    val d0 = 1700000000L * 1000000000L
+    val hot = (0 until 100000).map(i => (1L, "view", d0 + i * 1000L)) :+
+      ((1L, "signup", d0 + 2 * day)) // every view is BEFORE t1 → depth 1
+    val rest = Seq(
+      (2L, "signup", d0), (2L, "view", d0 + day), (2L, "purchase", d0 + 2 * day),
+      (3L, "view", d0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-hot").toString
+    try {
+      (hot ++ rest).toDF("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = funnel(dir).as[(Int, Long)].collect().toMap
+      assert(got == Map(0 -> 1L, 1 -> 1L, 3 -> 1L), s"got $got")
+    } finally {
+      scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+
   test("funnel window-edge semantics on hand-built events") {
     val day = 86400L * 1000000000L // ns
     val d0 = 1700000000L * 1000000000L
