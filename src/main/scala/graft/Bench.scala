@@ -233,6 +233,8 @@ object ScaleProbe {
         case "documents" =>
           base.withColumn("doc_id", col("doc_id") + off)
             .withColumn("text", regexp_replace(col("text"), lit("\\s+"), lit(s" r$i ")))
+        case "embeddings" =>
+          base.withColumn("vec_id", col("vec_id") + off)
         case _ => base
       }
     }
@@ -245,7 +247,14 @@ object ScaleProbe {
   def run(spark: SparkSession, sfDir: String, factor: Int): Seq[ProbePoint] = {
     val probeTables = Map(
       "q_join_inner" -> Seq("customer", "orders", "lineitem"),
-      "q_dedup_lsh_pairs" -> Seq("documents")) ++
+      "q_dedup_lsh_pairs" -> Seq("documents"),
+      // The only driver-iterative headline query (Lloyd's rounds collect
+      // k·d centroid sums per iteration): probing it at factor× pins the
+      // scaladoc claim that the driver collect is CONSTANT in corpus size
+      // and the map-side assignment scales linearly — a regression that
+      // made driver state grow with the data would show up here as a
+      // superlinear ratio (r8 verdict task 3).
+      "q_sim_kmeans" -> Seq("embeddings")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
