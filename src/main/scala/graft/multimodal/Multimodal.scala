@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * as batch-shaped partition transforms (the Scala analog of `mapInPandas` —
   * one worker invocation per batch, vectorizable inside).
   *
-  * The image/audio codec libraries are NOT in this container, so the decode
-  * kernel is a clearly-marked deterministic fake ([[FakeDecode]]); the
-  * Spark-side plumbing — schema, magic-byte sniffing, partitioning, batch
-  * shape, feature schema — is real and tested. Swapping [[FakeDecode]] for a
-  * JNI/ffmpeg/ImageIO kernel changes nothing upstream.
+  * PNG and JPEG decode is REAL — `javax.imageio` ships in the JDK
+  * ([[ImageIoDecode]]). The remaining codec libraries (RIFF audio/video,
+  * ffmpeg formats) are NOT in this container, so their decode kernel is a
+  * clearly-marked deterministic fake ([[FakeDecode]]); the Spark-side
+  * plumbing — schema, magic-byte sniffing, partitioning, batch shape,
+  * feature schema — is real and tested for every format. Swapping
+  * [[FakeDecode]] for a JNI/ffmpeg kernel changes nothing upstream.
   */
 object Multimodal {
 
@@ -83,6 +85,73 @@ object Multimodal {
         while (i < FeatureDim) { hist(i) /= payload.length; i += 1 }
       }
       hist
+    }
+  }
+
+  /** Real decode kernel for the two container formats the JDK ships codecs
+    * for — PNG and JPEG via `javax.imageio` (public JDK API, headless-safe):
+    * width / height / channel count come from an ACTUAL decode of the
+    * payload bytes. RIFF and unknown payloads stay on the [[FakeDecode]]
+    * stub path — their codecs are not in this container, and the magic-byte
+    * router ([[sniffFormat]]) already separates them. A payload that sniffs
+    * as png/jpeg but fails to decode yields None (poison tolerance), never
+    * an exception.
+    */
+  object ImageIoDecode {
+    /** (width, height, channels), or None when undecodable. */
+    def dims(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Deterministic real-image encoder (test/oracle harness): a w×h
+      * 3-channel image with a flat caller-chosen color, written through the
+      * JDK's matching writer — REAL container bytes any third-party decoder
+      * accepts. Lets an oracle know the true dimensions without being able
+      * to decode: correctness of [[dims]] is then an exact compare.
+      */
+    def encode(format: String, width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Decoded image dimensions through the same batch-shaped partition
+    * transform as [[extractFeatures]]: png/jpeg payloads go through the
+    * REAL `javax.imageio` decode; riff/unknown (no JDK codec) and poison
+    * payloads yield null dims. Output: (id, width, height, channels).
+    */
+  def decodeDims(df: DataFrame, idCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val inSchema = df.select(col(idCol), col(mediaCol)).schema
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol), col(mediaCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          ImageIoDecode.dims(r.getAs[Array[Byte]](1)) match {
+            case Some((w, h, c)) => Row(r.get(0), w, h, c)
+            case None            => Row(r.get(0), null, null, null)
+          }
+        }
+      }
     }
   }
 

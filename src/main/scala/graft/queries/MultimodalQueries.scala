@@ -51,6 +51,41 @@ object MultimodalQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, format NULLS FIRST,
               |         n_bytes NULLS FIRST, sha NULLS FIRST""".stripMargin)),
 
+    // REAL image decode through javax.imageio (r8 verdict task 4): the
+    // planted-magic payloads above are sniffable but not decodable, so this
+    // query first builds genuine PNG/JPEG containers — dimensions derived
+    // from doc_id, flat doc_id-derived color — through the JDK encoder,
+    // then recovers width/height/channels with the JDK DECODER via the
+    // batch-shaped decodeDims kernel. The oracle replays only the dims
+    // formula; the encode→decode round trip over real codec bytes happens
+    // entirely engine-side, so a decoder returning anything but the true
+    // dimensions (or a router mis-sniffing the real magic bytes) fails the
+    // exact compare.
+    "q_mm_dims" -> Q(
+      t => {
+        val mkImage = udf((id: Long) => Multimodal.ImageIoDecode.encode(
+          if (id % 2 == 0) "png" else "jpeg",
+          (1 + id % 7).toInt, (1 + id % 5).toInt,
+          ((id * 2654435761L) & 0xffffffL).toInt))
+        val m = t.documents.select(col("doc_id"), mkImage(col("doc_id")).as("media"))
+          .localCheckpoint(true) // encode once; feeds both sniff and decode
+        Multimodal.decodeDims(m, "doc_id", "media")
+          .join(m.select(col("doc_id"),
+            Multimodal.sniffFormat(col("media")).as("format")), "doc_id")
+          .select(col("doc_id"), col("format"),
+            col("width"), col("height"), col("channels"))
+          .orderBy(col("doc_id"), col("format"), col("width"), col("height"),
+            col("channels"))
+      },
+      Some("""SELECT doc_id,
+              |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+              |       CAST(1 + doc_id % 7 AS INTEGER) AS width,
+              |       CAST(1 + doc_id % 5 AS INTEGER) AS height,
+              |       CAST(3 AS INTEGER) AS channels
+              |FROM documents
+              |ORDER BY doc_id NULLS FIRST, format NULLS FIRST, width NULLS FIRST,
+              |         height NULLS FIRST, channels NULLS FIRST""".stripMargin)),
+
     // Feature extraction through the batch-shaped partition kernel
     // (Multimodal.extractFeatures over the FakeDecode stub — a 16-bin
     // normalized byte histogram). The oracle replays the kernel EXACTLY in

@@ -60,6 +60,30 @@ class MultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("real PNG/JPEG decode recovers true dimensions; stubs and poison yield nulls") {
+    // genuine container bytes through the JDK encoder, decoded by the JDK
+    // decoder — plus a RIFF payload (no JDK codec) and a poison payload
+    // (PNG magic, garbage body) that must degrade to nulls, not throw
+    val png = Multimodal.ImageIoDecode.encode("png", 7, 3, 0x336699)
+    val jpg = Multimodal.ImageIoDecode.encode("jpeg", 4, 9, 0xAA5511)
+    val poison = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 42.toByte)
+    val df = Seq(
+      (1L, png), (2L, jpg),
+      (3L, Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte, 9.toByte)),
+      (4L, poison)).toDF("id", "media")
+    val got = Multimodal.decodeDims(df, "id", "media")
+      .as[(Long, Option[Int], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(7), Some(3), Some(3))))
+    assert(got(2L) == ((Some(4), Some(9), Some(3))))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((None, None, None)))
+    // the encoded bytes are REAL containers: the magic-byte router agrees
+    val fmts = Multimodal.withMetadata(df, "media")
+      .select($"id", $"media_meta.format").as[(Long, String)].collect().toMap
+    assert(fmts(1L) == "png" && fmts(2L) == "jpeg")
+  }
+
   test("batch-shaped feature extraction: deterministic, normalized, keyed") {
     val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
       .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
