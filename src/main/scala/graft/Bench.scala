@@ -16,8 +16,10 @@ object Bench {
     * scalar-heavy projection, batch kernel. The first ten are the
     * round-over-round comparable set (unchanged since r4); r6 appends the
     * two newest heavy hitters — iterative CC clustering and the bucketed
-    * range join — and r8 appends the driver-iterative quantized k-means,
-    * so the bench signal covers them too.
+    * range join — r8 appends the driver-iterative quantized k-means, and
+    * r9 the five-table star join (the deepest relational anchor: join
+    * order / runtime-broadcast decisions on deep chains are where plans
+    * break at 100×), so the bench signal covers them too.
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -32,7 +34,8 @@ object Bench {
     "q_pipe_iso_trim",
     "q_dedup_cc",
     "q_join_range_bucketed",
-    "q_sim_kmeans")
+    "q_sim_kmeans",
+    "q_join_star")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
@@ -241,20 +244,56 @@ object ScaleProbe {
     copies.reduce(_ union _)
   }
 
-  /** Probe each query at 1× and factor× (see measurement-design scaladoc
+  /** One probe workload: display name, replicated input tables it needs,
+    * plan builder from a data directory, and session-conf overrides applied
+    * (and restored) around its runs.
+    */
+  private final case class ProbeWork(name: String, tables: Seq[String],
+      build: String => DataFrame, conf: Map[String, String] = Map.empty)
+
+  /** The skew pair's shared workload — the exact q_join_salted_skew shape
+    * (even l_orderkey → key 0, so ~50% of rows share one join key; dim side
+    * is one row per key), built salted or unsalted. Probed with broadcast
+    * and AQE skew mitigation disabled on BOTH legs so the measured delta is
+    * salting alone: the utility exists for skew the optimizer cannot see
+    * (post-transform keys) or cannot rescue (non-sort-merge plans), and
+    * without the overrides the tiny dim side would broadcast and hide the
+    * hot reducer entirely.
+    */
+  private def skewWorkload(spark: SparkSession, dir: String, salted: Boolean): DataFrame = {
+    val left = Graft.table(spark, dir, "lineitem").select(
+      when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val dim = left.select(col("k")).distinct().withColumn("grp", col("k") % 97)
+    val joined =
+      if (salted) graft.operators.Partitioning.saltedJoin(left, dim, "k",
+        saltBuckets = 16, saltFrom = Seq("l_orderkey", "l_linenumber"))
+      else left.join(dim, "k")
+    joined.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
+  /** Probe each workload at 1× and factor× (see measurement-design scaladoc
     * above: interleaved pairs, median ratio, raw runs retained).
     */
   def run(spark: SparkSession, sfDir: String, factor: Int): Seq[ProbePoint] = {
-    val probeTables = Map(
-      "q_join_inner" -> Seq("customer", "orders", "lineitem"),
-      "q_dedup_lsh_pairs" -> Seq("documents"),
-      // The only driver-iterative headline query (Lloyd's rounds collect
-      // k·d centroid sums per iteration): probing it at factor× pins the
-      // scaladoc claim that the driver collect is CONSTANT in corpus size
-      // and the map-side assignment scales linearly — a regression that
-      // made driver state grow with the data would show up here as a
-      // superlinear ratio (r8 verdict task 3).
-      "q_sim_kmeans" -> Seq("embeddings")) ++
+    def catalogWork(name: String, tables: String*) = ProbeWork(name, tables,
+      dir => AllQueries.all(name).run(Tables(spark, dir)))
+    val skewConf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")
+    val works: Seq[ProbeWork] =
+      Seq(
+        catalogWork("q_join_inner", "customer", "orders", "lineitem"),
+        catalogWork("q_dedup_lsh_pairs", "documents"),
+        // The only driver-iterative headline query (Lloyd's rounds collect
+        // k·d centroid sums per iteration): probing it at factor× pins the
+        // scaladoc claim that the driver collect is CONSTANT in corpus size
+        // and the map-side assignment scales linearly — a regression that
+        // made driver state grow with the data would show up here as a
+        // superlinear ratio (r8 verdict task 3).
+        catalogWork("q_sim_kmeans", "embeddings")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
@@ -262,11 +301,22 @@ object ScaleProbe {
       // (r6/r7) showed the probe's wall-time fits the driver's budget;
       // disable locally with SPARK_GRAFT_PROBE_CC=0 for quick iterations.
       (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_CC", "1") == "1")
-        Map("q_dedup_cc" -> Seq("documents"))
-      else Map.empty)
+        Seq(catalogWork("q_dedup_cc", "documents"))
+      else Seq.empty) ++
+      // Salted-vs-unsalted on a 50%-hot key (r8 verdict task 6): the
+      // unsalted leg's N× point serializes the hot key through one reducer
+      // while the salted leg spreads it over 16 — the entries pin that the
+      // salted plan's growth ratio stays below the unsalted one on skew.
+      // Disable locally with SPARK_GRAFT_PROBE_SKEW=0.
+      (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_SKEW", "1") == "1") Seq(
+        ProbeWork("skew_join_salted", Seq("lineitem"),
+          dir => skewWorkload(spark, dir, salted = true), skewConf),
+        ProbeWork("skew_join_unsalted", Seq("lineitem"),
+          dir => skewWorkload(spark, dir, salted = false), skewConf))
+      else Seq.empty)
     val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
     try {
-      val allTables = probeTables.values.flatten.toSeq.distinct
+      val allTables = works.flatMap(_.tables).distinct
       for (f <- Seq(1, factor); t <- allTables)
         replicate(spark, sfDir, t, f).write.mode("overwrite")
           .parquet(s"$root/x$f/$t.parquet")
@@ -275,28 +325,34 @@ object ScaleProbe {
       // after its forced-GC boundary — see Bench.quiesce scaladoc
       val gen = new scala.collection.mutable.ArrayBuffer[DataFrame]()
       var prevGen: List[DataFrame] = Nil
-      def once(name: String, dir: String): Double = {
+      def once(w: ProbeWork, dir: String): Double = {
         val t0 = System.nanoTime() // before construction — see runOnce note
-        val df = AllQueries.all(name).run(Tables(spark, dir))
+        val df = w.build(dir)
         df.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         gen += df
         t
       }
-      probeTables.keys.toSeq.sorted.map { q =>
+      works.sortBy(_.name).map { w =>
         prevGen = gen.toList; gen.clear()
-        // warm both scale points (file listing, codegen for each dataset's
-        // plan), flush the warmup's allocation debt, then time 5
-        // interleaved (1×, N×) pairs — observed pauses last 15-20s and hit
-        // single runs at random, so a 5-sample median is the cheapest
-        // estimator that survives two polluted pairs.
-        once(q, s"$root/x1"); once(q, s"$root/x$factor")
-        Bench.quiesce(spark)
-        System.gc()
-        val pairs = Seq.fill(5)((once(q, s"$root/x1"), once(q, s"$root/x$factor")))
-        val ratios = pairs.map { case (a, b) => b / a }.sorted
-        ProbePoint(q, pairs.map(_._1).min, pairs.map(_._2).min,
-          ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2))
+        val saved = w.conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        w.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          // warm both scale points (file listing, codegen for each dataset's
+          // plan), flush the warmup's allocation debt, then time 5
+          // interleaved (1×, N×) pairs — observed pauses last 15-20s and hit
+          // single runs at random, so a 5-sample median is the cheapest
+          // estimator that survives two polluted pairs.
+          once(w, s"$root/x1"); once(w, s"$root/x$factor")
+          Bench.quiesce(spark)
+          System.gc()
+          val pairs = Seq.fill(5)((once(w, s"$root/x1"), once(w, s"$root/x$factor")))
+          val ratios = pairs.map { case (a, b) => b / a }.sorted
+          ProbePoint(w.name, pairs.map(_._1).min, pairs.map(_._2).min,
+            ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2))
+        } finally w.conf.keys.foreach { k =>
+          saved(k).fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
       }
     } finally {
       scala.reflect.io.Path(new java.io.File(root)).deleteRecursively()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOf, RangeJoin}
+import graft.operators.{AsOf, Partitioning, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2C joins row): inner/left/right/full equi-joins,
@@ -252,5 +252,93 @@ object Joins extends Catalog {
               |FROM iv JOIN lineitem
               |  ON epoch_us(l_shipdate) >= lo AND epoch_us(l_shipdate) <= hi
               |GROUP BY iv.o_orderkey
-              |ORDER BY o_orderkey NULLS FIRST, n_items NULLS FIRST, sum_price NULLS FIRST""".stripMargin)))
+              |ORDER BY o_orderkey NULLS FIRST, n_items NULLS FIRST, sum_price NULLS FIRST""".stripMargin)),
+
+    // Deep star-join anchor (r8 verdict task 7) — TPC-H Q10's shape over
+    // five tables: a selective quarter filter on orders, returned-items
+    // filter on lineitem, the lineitem⋈orders fact-fact edge, the
+    // orders⋈customer mid edge, and the customer⋈nation⋈region dim chain,
+    // then revenue per customer and a deterministic top-20 (ties broken on
+    // c_custkey; revenue is psum-exact so the cut line is engine-stable).
+    // Scale shape: both selective filters reach the parquet scans
+    // (PushedFilters); nation⋈region is a forced broadcast (dims are
+    // broadcast-sized at ANY scale factor); the fact-fact and mid edges are
+    // left to AQE — at gated scale the 1/26-quarter orders side broadcasts
+    // at runtime, at 100 TB both degrade to shuffles on their equi-keys
+    // instead of OOMing. StarJoinPlanSpec pins the pushdowns and the
+    // runtime broadcast; the headline bench carries it as the deepest
+    // relational anchor.
+    "q_join_star" -> Q(
+      t => {
+        val o = t.orders
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = t.lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val c = t.customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val nr = t.nation
+          .join(broadcast(t.region.filter(col("r_name") === "ASIA")
+            .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc_nulls_last, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+              |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+              |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+              |  AND r_name = 'ASIA'
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC NULLS LAST, c_custkey
+              |LIMIT 20""".stripMargin)),
+
+    // Skew-safe salted join under the oracle gate: remapping every even
+    // l_orderkey onto one key makes ~50% of lineitem rows share a single
+    // join key — the hot-key shape the explicit salt exists for, when the
+    // optimizer can't see the skew (post-transform keys) or can't rescue it
+    // (non-sort-merge plans). The dim side is one row per key (distinct +
+    // derived attr); saltedJoin spreads key 0 across 16 (key, salt)
+    // reducers; and salting must not change the RESULT — the oracle replays
+    // the same join unsalted in plain SQL. ScaleProbe ships the
+    // salted-vs-unsalted timing pair on this exact shape (r8 verdict
+    // task 6).
+    "q_join_salted_skew" -> Q(
+      t => {
+        val left = t.lineitem.select(
+          when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val dim = left.select(col("k")).distinct()
+          .withColumn("grp", col("k") % 97)
+        Partitioning.saltedJoin(left, dim, "k", saltBuckets = 16,
+          saltFrom = Seq("l_orderkey", "l_linenumber"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), round(msum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("grp"), col("n"), col("qty"))
+      },
+      Some("""WITH l AS (
+              |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS k,
+              |         l_quantity
+              |  FROM lineitem
+              |), d AS (
+              |  SELECT DISTINCT k, k % 97 AS grp FROM l
+              |)
+              |SELECT d.grp, COUNT(*) AS n,
+              |       ROUND(CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS qty
+              |FROM l JOIN d USING (k)
+              |GROUP BY d.grp
+              |ORDER BY grp NULLS FIRST, n NULLS FIRST, qty NULLS FIRST""".stripMargin)))
 }
