@@ -251,26 +251,40 @@ object ScaleProbe {
   private final case class ProbeWork(name: String, tables: Seq[String],
       build: String => DataFrame, conf: Map[String, String] = Map.empty)
 
-  /** The skew pair's shared workload — the exact q_join_salted_skew shape
-    * (even l_orderkey → key 0, so ~50% of rows share one join key; dim side
-    * is one row per key), built salted or unsalted. Probed with broadcast
-    * and AQE skew mitigation disabled on BOTH legs so the measured delta is
-    * salting alone: the utility exists for skew the optimizer cannot see
-    * (post-transform keys) or cannot rescue (non-sort-merge plans), and
-    * without the overrides the tiny dim side would broadcast and hide the
-    * hot reducer entirely.
+  /** The skew pair's shared workload — the q_join_salted_skew key shape
+    * (even l_orderkey → key 0, so ~50% of rows share one join key; bounded
+    * ≤998-key space so the dim side honors saltedJoin's small-right
+    * contract), built salted or unsalted, then a per-row enrich-and-score
+    * kernel (sha2 digest over dim attr + row ids — the standard
+    * join-a-feature-dim-then-score shape). The scoring runs in the
+    * post-shuffle join stage, so the unsalted leg serializes ~50% of all
+    * per-row work through ONE reducer while the salted leg spreads it over
+    * 16 — without it, at bench scale the hot task's merge work is too cheap
+    * to rise above the probe's fixed overheads (measured r9: the plain-join
+    * pair timed salted 2.2s vs unsalted 1.5s at 10×, pure noise).
+    * Probed with broadcast and AQE skew mitigation disabled on BOTH legs so
+    * the measured delta is salting alone: the utility exists for skew the
+    * optimizer cannot see (post-transform keys) or cannot rescue
+    * (non-sort-merge plans), and without the overrides the tiny dim side
+    * would broadcast and hide the hot reducer entirely.
     */
   private def skewWorkload(spark: SparkSession, dir: String, salted: Boolean): DataFrame = {
     val left = Graft.table(spark, dir, "lineitem").select(
-      when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
-      col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    val dim = left.select(col("k")).distinct().withColumn("grp", col("k") % 97)
+      when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(lit(1L) + col("l_orderkey") % 997).as("k"),
+      col("l_orderkey"), col("l_linenumber"))
+    val dim = left.select(col("k")).distinct()
+      .withColumn("attr", sha2(col("k").cast("string"), 256))
     val joined =
       if (salted) graft.operators.Partitioning.saltedJoin(left, dim, "k",
         saltBuckets = 16, saltFrom = Seq("l_orderkey", "l_linenumber"))
       else left.join(dim, "k")
-    joined.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    joined
+      .select((col("k") % 97).as("grp"),
+        sha2(concat_ws(":", col("attr"), col("l_orderkey"), col("l_linenumber")), 256)
+          .as("h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hmax"))
   }
 
   /** Probe each workload at 1× and factor× (see measurement-design scaladoc
@@ -314,9 +328,13 @@ object ScaleProbe {
         ProbeWork("skew_join_unsalted", Seq("lineitem"),
           dir => skewWorkload(spark, dir, salted = false), skewConf))
       else Seq.empty)
+    // local-iteration knob: SPARK_GRAFT_PROBE_ONLY=<regex> probes just the
+    // matching workloads (e.g. "skew_.*") without waiting on the rest
+    val selected = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .fold(works)(rx => works.filter(_.name.matches(rx)))
     val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
     try {
-      val allTables = works.flatMap(_.tables).distinct
+      val allTables = selected.flatMap(_.tables).distinct
       for (f <- Seq(1, factor); t <- allTables)
         replicate(spark, sfDir, t, f).write.mode("overwrite")
           .parquet(s"$root/x$f/$t.parquet")
@@ -333,7 +351,7 @@ object ScaleProbe {
         gen += df
         t
       }
-      works.sortBy(_.name).map { w =>
+      selected.sortBy(_.name).map { w =>
         prevGen = gen.toList; gen.clear()
         val saved = w.conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
         w.conf.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -306,20 +306,22 @@ object Joins extends Catalog {
               |ORDER BY revenue DESC NULLS LAST, c_custkey
               |LIMIT 20""".stripMargin)),
 
-    // Skew-safe salted join under the oracle gate: remapping every even
-    // l_orderkey onto one key makes ~50% of lineitem rows share a single
-    // join key — the hot-key shape the explicit salt exists for, when the
-    // optimizer can't see the skew (post-transform keys) or can't rescue it
-    // (non-sort-merge plans). The dim side is one row per key (distinct +
-    // derived attr); saltedJoin spreads key 0 across 16 (key, salt)
-    // reducers; and salting must not change the RESULT — the oracle replays
-    // the same join unsalted in plain SQL. ScaleProbe ships the
-    // salted-vs-unsalted timing pair on this exact shape (r8 verdict
-    // task 6).
+    // Skew-safe salted join under the oracle gate: every even l_orderkey
+    // maps onto key 0 (≈50% of lineitem rows share one join key), the rest
+    // fold into a ≤998-key space — the hot-key × small-dim shape the
+    // explicit salt exists for, when the optimizer can't see the skew
+    // (post-transform keys) or can't rescue it (non-sort-merge plans). The
+    // dim side is one row per key (distinct + derived attr, honoring
+    // saltedJoin's small-right replication contract); saltedJoin spreads
+    // key 0 across 16 (key, salt) reducers; and salting must not change the
+    // RESULT — the oracle replays the same join unsalted in plain SQL.
+    // ScaleProbe ships the salted-vs-unsalted timing pair on this key shape
+    // (r8 verdict task 6).
     "q_join_salted_skew" -> Q(
       t => {
         val left = t.lineitem.select(
-          when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+          when(col("l_orderkey") % 2 === 0, lit(0L))
+            .otherwise(lit(1L) + col("l_orderkey") % 997).as("k"),
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val dim = left.select(col("k")).distinct()
           .withColumn("grp", col("k") % 97)
@@ -330,7 +332,7 @@ object Joins extends Catalog {
           .orderBy(col("grp"), col("n"), col("qty"))
       },
       Some("""WITH l AS (
-              |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS k,
+              |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 + l_orderkey % 997 END AS k,
               |         l_quantity
               |  FROM lineitem
               |), d AS (
