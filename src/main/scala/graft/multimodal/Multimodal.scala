@@ -88,6 +88,63 @@ object Multimodal {
     }
   }
 
+  private def byteHex(media: Column, pos: Int): Column =
+    hex(substring(media, pos, 1))
+
+  /** Little-endian 16/32-bit reads at a fixed 1-based byte offset — pure
+    * Column arithmetic (substring + hex + conv), fully codegen'd: header
+    * fields of little-endian containers need no decode kernel at all.
+    */
+  def le16(media: Column, pos: Int): Column =
+    conv(concat(byteHex(media, pos + 1), byteHex(media, pos)), 16, 10).cast("int")
+  def le32(media: Column, pos: Int): Column =
+    conv(concat(byteHex(media, pos + 3), byteHex(media, pos + 2),
+      byteHex(media, pos + 1), byteHex(media, pos)), 16, 10).cast("long")
+
+  /** Canonical PCM WAV header (public RIFF/WAVE spec: "RIFF" size "WAVE"
+    * "fmt " 16 fmt fields, then "data" size payload) as a typed struct —
+    * the RIFF branch's REAL metadata extract (sample decode stays with
+    * [[FakeDecode]]; header parsing is byte arithmetic, not a codec).
+    * Null for anything that is not a canonical PCM WAV. All arithmetic is
+    * integer-exact: n_frames = data_size div block_align and duration_ms =
+    * n_frames·1000 div sample_rate replay identically in any engine.
+    */
+  def wavHeader(media: Column): Column = {
+    val isWav = substring(media, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(media, 9, 8) === lit("WAVEfmt ".getBytes("US-ASCII")) &&
+      substring(media, 37, 4) === lit("data".getBytes("US-ASCII")) &&
+      le16(media, 21) === lit(1) // PCM
+    val blockAlign = le16(media, 33)
+    val frames = floor(le32(media, 41).cast("double") / blockAlign).cast("long")
+    val rate = le32(media, 25)
+    when(isWav, struct(
+      le16(media, 23).as("channels"),
+      rate.as("sample_rate"),
+      le16(media, 35).as("bits_per_sample"),
+      frames.as("n_frames"),
+      floor((frames * 1000).cast("double") / rate).cast("long").as("duration_ms")))
+  }
+
+  /** Deterministic canonical PCM WAV encoder (test/oracle harness, public
+    * spec byte layout): real RIFF/WAVE container bytes with a silent
+    * payload, so [[wavHeader]] is verified against known ground truth.
+    */
+  object WavCodec {
+    def encode(channels: Int, sampleRate: Int, bitsPerSample: Int, nFrames: Int): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = nFrames * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bitsPerSample.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      bb.array()
+    }
+  }
+
   /** Real decode kernel for the two container formats the JDK ships codecs
     * for — PNG and JPEG via `javax.imageio` (public JDK API, headless-safe):
     * width / height / channel count come from an ACTUAL decode of the

@@ -342,5 +342,42 @@ object Joins extends Catalog {
               |       ROUND(CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS qty
               |FROM l JOIN d USING (k)
               |GROUP BY d.grp
-              |ORDER BY grp NULLS FIRST, n NULLS FIRST, qty NULLS FIRST""".stripMargin)))
+              |ORDER BY grp NULLS FIRST, n NULLS FIRST, qty NULLS FIRST""".stripMargin)),
+
+    // Aggregate-then-join anchor — TPC-H Q18's shape: group the fact on its
+    // own join key with a HAVING-style filter, then join the survivors back
+    // through orders to customer for a deterministic top-25. Scale shape:
+    // the groupBy(l_orderkey) output is already hash-partitioned on the
+    // join key, so the orders edge reuses that partitioning (one fact
+    // shuffle, not two); the HAVING filter shrinks the agg side to ~1.5% of
+    // orders, so AQE broadcasts it at runtime instead of shuffling orders —
+    // and at 100 TB the same plan degrades to a co-partitioned shuffle join
+    // rather than OOMing. total_qty is msum-exact, ties at the cut break on
+    // the unique o_orderkey.
+    "q_join_agg_having" -> Q(
+      t => {
+        val big = t.lineitem.groupBy(col("l_orderkey"))
+          .agg(round(msum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total_price"), col("total_qty"))
+          .orderBy(col("total_qty").desc_nulls_last, col("o_orderkey"))
+          .limit(25)
+      },
+      Some("""WITH big AS (
+              |  SELECT l_orderkey,
+              |         ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_qty
+              |  FROM lineitem
+              |  GROUP BY l_orderkey
+              |  HAVING ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) > 250
+              |)
+              |SELECT c_custkey, c_name, o_orderkey,
+              |       ROUND(o_totalprice, 2) AS total_price, total_qty
+              |FROM big
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY total_qty DESC NULLS LAST, o_orderkey
+              |LIMIT 25""".stripMargin)))
 }

@@ -51,6 +51,46 @@ object MultimodalQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, format NULLS FIRST,
               |         n_bytes NULLS FIRST, sha NULLS FIRST""".stripMargin)),
 
+    // WAV header metadata through pure Column arithmetic (le16/le32 reads +
+    // magic checks — fully codegen'd; no kernel, no codec library): the
+    // RIFF branch the sniffer routes gains a REAL metadata extract (sample
+    // decode stays stubbed; header parsing is public-spec byte layout, not
+    // a codec). Genuine canonical PCM containers are built with
+    // doc_id-derived parameters through the byte-layout encoder; the oracle
+    // replays the parameter formulas, so a parser that misreads any
+    // little-endian field fails the exact compare.
+    "q_mm_wav" -> Q(
+      t => {
+        val mkWav = udf((id: Long) => Multimodal.WavCodec.encode(
+          channels = (1 + id % 2).toInt,
+          sampleRate = (8000 * (1 + id % 3)).toInt,
+          bitsPerSample = if (id % 5 == 0) 8 else 16,
+          nFrames = (id % 25).toInt))
+        t.documents.select(col("doc_id"), mkWav(col("doc_id")).as("media"))
+          .select(col("doc_id"),
+            Multimodal.sniffFormat(col("media")).as("format"),
+            Multimodal.wavHeader(col("media")).as("w"))
+          .select(col("doc_id"), col("format"),
+            col("w.channels").as("channels"),
+            col("w.sample_rate").as("sample_rate"),
+            col("w.bits_per_sample").as("bits_per_sample"),
+            col("w.n_frames").as("n_frames"),
+            col("w.duration_ms").as("duration_ms"))
+          .orderBy(col("doc_id"), col("format"), col("channels"),
+            col("sample_rate"), col("bits_per_sample"), col("n_frames"),
+            col("duration_ms"))
+      },
+      Some("""SELECT doc_id, 'riff' AS format,
+              |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+              |       CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+              |       CAST(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits_per_sample,
+              |       CAST(doc_id % 25 AS BIGINT) AS n_frames,
+              |       CAST((doc_id % 25) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+              |FROM documents
+              |ORDER BY doc_id NULLS FIRST, format NULLS FIRST, channels NULLS FIRST,
+              |         sample_rate NULLS FIRST, bits_per_sample NULLS FIRST,
+              |         n_frames NULLS FIRST, duration_ms NULLS FIRST""".stripMargin)),
+
     // REAL image decode through javax.imageio (r8 verdict task 4): the
     // planted-magic payloads above are sniffable but not decodable, so this
     // query first builds genuine PNG/JPEG containers — dimensions derived

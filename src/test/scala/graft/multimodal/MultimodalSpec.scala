@@ -84,6 +84,24 @@ class MultimodalSpec extends SparkSpec {
     assert(fmts(1L) == "png" && fmts(2L) == "jpeg")
   }
 
+  test("WAV header parse: round trip through real container bytes, null off-format") {
+    val wav = Multimodal.WavCodec.encode(
+      channels = 2, sampleRate = 44100, bitsPerSample = 16, nFrames = 441)
+    val df = Seq((1L, wav), (2L, "not a wav".getBytes("UTF-8"))).toDF("id", "media")
+    val got = df.select($"id", Multimodal.wavHeader($"media").as("w"))
+      .select($"id", $"w.channels", $"w.sample_rate", $"w.bits_per_sample",
+        $"w.n_frames", $"w.duration_ms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = got(1L)
+    assert(ok.getInt(1) == 2 && ok.getLong(2) == 44100L && ok.getInt(3) == 16)
+    assert(ok.getLong(4) == 441L && ok.getLong(5) == 10L) // 441/44100 s = 10 ms
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(5))
+    // the real container routes through the sniffer as RIFF
+    val fmt = df.filter($"id" === 1)
+      .select(Multimodal.sniffFormat($"media")).as[String].head()
+    assert(fmt == "riff")
+  }
+
   test("batch-shaped feature extraction: deterministic, normalized, keyed") {
     val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
       .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
