@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{ConnectedComponents, Dedup, Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over `documents` (SURVEY.md §2C
@@ -252,6 +253,56 @@ object TextQueries extends Catalog {
               |FROM grams GROUP BY ngram
               |ORDER BY n DESC NULLS FIRST, ngram ASC NULLS FIRST
               |LIMIT 20""".stripMargin)),
+
+    // Inverted index with BOUNDED posting lists: term -> document frequency,
+    // corpus tf, and the top-3 postings by (tf desc, doc_id). The bound is
+    // the scale contract — a full posting list for a stopword is O(corpus)
+    // in ONE reduce group at 100 TB, so the index keeps exact df/tf totals
+    // (partial-agg'd longs) and truncates only the materialized postings
+    // via a per-term window rank. Two key-changing shuffles: (term, doc_id)
+    // for tf, then term for the rank + final rollup (the window and the
+    // groupBy share the term hash partitioning — Catalyst reuses the
+    // exchange rather than shuffling twice).
+    "q_text_inverted_index" -> Q(
+      t => {
+        val tf = t.documents
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id").asc)
+        tf.withColumn("rn", row_number().over(w))
+          .groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("df"),
+            sum(col("tf")).as("total_tf"),
+            concat_ws(",",
+              transform(
+                array_sort(collect_list(when(col("rn") <= 3,
+                  struct(col("rn"), col("doc_id"), col("tf"))))),
+                s => concat(s.getField("doc_id").cast("string"), lit(":"),
+                  s.getField("tf").cast("string")))).as("postings"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH tf AS (
+              |  SELECT term, doc_id, COUNT(*) AS tf
+              |  FROM (SELECT doc_id,
+              |               unnest(string_split_regex(trim(text), '\s+')) AS term
+              |        FROM documents)
+              |  GROUP BY term, doc_id
+              |), ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY term
+              |                               ORDER BY tf DESC, doc_id) AS rn
+              |  FROM tf
+              |)
+              |SELECT term,
+              |       COUNT(*) AS df,
+              |       CAST(SUM(tf) AS BIGINT) AS total_tf,
+              |       string_agg(CASE WHEN rn <= 3 THEN doc_id || ':' || tf END,
+              |                  ',' ORDER BY rn) AS postings
+              |FROM ranked GROUP BY term
+              |ORDER BY term NULLS FIRST""".stripMargin)),
 
     // Per-doc repetition profile (TextAnalysis.repetitionStats): duplicate
     // n-gram occupancy — the Gopher/RefinedWeb "fraction of duplicate
