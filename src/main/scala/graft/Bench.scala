@@ -19,7 +19,9 @@ object Bench {
     * range join — r8 appends the driver-iterative quantized k-means, and
     * r9 the five-table star join (the deepest relational anchor: join
     * order / runtime-broadcast decisions on deep chains are where plans
-    * break at 100×), so the bench signal covers them too.
+    * break at 100×) and the Q21-shaped dual-correlation anchor (semi+anti
+    * joins against the full fact — the decorrelated-subquery plan family),
+    * so the bench signal covers them too.
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -35,7 +37,8 @@ object Bench {
     "q_dedup_cc",
     "q_join_range_bucketed",
     "q_sim_kmeans",
-    "q_join_star")
+    "q_join_star",
+    "q_join_waiting_suppliers")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of

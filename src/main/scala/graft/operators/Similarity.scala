@@ -96,6 +96,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("qdot"), col("qcos"))
   }
 
+  /** Hard-negative mining (the dense-retrieval training-data primitive,
+    * e.g. DPR/ANCE): for each query vector, the top-k most-similar corpus
+    * vectors whose LABEL DIFFERS — the near-miss impostors a contrastive
+    * loss needs. Same quantized-cosine contract as [[quantizedTopK]] (exact
+    * int64 dots of int8 codes → IEEE-deterministic cosine, so the ranking
+    * is engine-portable), same broadcast-queries/stream-corpus scale shape;
+    * the only change is the join predicate: label inequality instead of id
+    * inequality, evaluated before the dot so same-class candidates are
+    * skipped without scoring. `queries`/`corpus`: (id, vec double[], label).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("qid"), col("label").as("qlabel"),
+        quantize(col("vec"), col("__ma")).as("qq"))
+      .withColumn("qaa", intDot(col("qq"), col("qq")))
+    val c = corpus.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("cid"), col("label").as("clabel"),
+        quantize(col("vec"), col("__ma")).as("cq"))
+      .withColumn("caa", intDot(col("cq"), col("cq")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qlabel") =!= col("clabel"))
+      .withColumn("qdot", intDot(col("qq"), col("cq")))
+      .withColumn("qcos",
+        col("qdot").cast("double") / (sqrt(col("qaa")) * sqrt(col("caa"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("clabel"),
+        col("qdot"), col("qcos"))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
     * corpus, rank per query. `queries`/`corpus`: (id, vec double[]).
     */

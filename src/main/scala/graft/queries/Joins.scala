@@ -344,6 +344,76 @@ object Joins extends Catalog {
               |GROUP BY d.grp
               |ORDER BY grp NULLS FIRST, n NULLS FIRST, qty NULLS FIRST""".stripMargin)),
 
+    // Multi-correlation anchor — TPC-H Q21's shape: suppliers who were the
+    // ONLY late shipper in a multi-supplier order. Two correlated
+    // subqueries over the same fact — EXISTS(another supplier in the
+    // order) and NOT EXISTS(another LATE supplier in the order) — written
+    // as the semi/anti joins Catalyst decorrelates them to, because the
+    // DataFrame API states the join form directly (the oracle keeps the
+    // EXISTS/NOT EXISTS spelling). "Late" is l_shipdate > o_orderdate +
+    // 900 days (this lineitem has no receipt/commit dates; the cutoff
+    // keeps the late side ~5% selective like the original predicate).
+    // Scale shape: `late` is distinct-collapsed to (orderkey, suppkey) and
+    // eagerly checkpointed ONCE — it feeds three plan arms (probe, anti
+    // build, and the count) and is tiny relative to the fact; the semi
+    // join against full lineitem shuffles both sides on l_orderkey (at
+    // 100 TB that is the unavoidable fact shuffle — AQE broadcasts the
+    // late side at gated scale instead); the anti join is late-vs-late,
+    // negligible; supplier/nation close the chain as broadcast dims.
+    "q_join_waiting_suppliers" -> Q(
+      t => {
+        val late = t.lineitem
+          .join(t.orders.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 900 DAY"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .distinct()
+          .localCheckpoint(true)
+        val others = t.lineitem.select(
+          col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+        val otherLate = late.select(
+          col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+        val waiting = late
+          .join(others, col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(otherLate, col("l_orderkey") === col("o3_orderkey") &&
+            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        val sn = t.supplier
+          .join(broadcast(t.nation
+            .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        waiting.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc_nulls_last, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH late AS (
+              |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |  WHERE o.o_orderstatus = 'F'
+              |    AND l.l_shipdate > o.o_orderdate + INTERVAL 900 DAY
+              |), waiting AS (
+              |  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+              |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+              |                WHERE l2.l_orderkey = l1.l_orderkey
+              |                  AND l2.l_suppkey <> l1.l_suppkey)
+              |    AND NOT EXISTS (SELECT 1 FROM late l3
+              |                    WHERE l3.l_orderkey = l1.l_orderkey
+              |                      AND l3.l_suppkey <> l1.l_suppkey)
+              |)
+              |SELECT s_name, COUNT(*) AS numwait
+              |FROM waiting
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation   ON s_nationkey = n_nationkey
+              |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+              |GROUP BY s_name
+              |ORDER BY numwait DESC NULLS LAST, s_name
+              |LIMIT 100""".stripMargin)),
+
     // Aggregate-then-join anchor — TPC-H Q18's shape: group the fact on its
     // own join key with a HAVING-style filter, then join the survivors back
     // through orders to customer for a deterministic top-25. Scale shape:

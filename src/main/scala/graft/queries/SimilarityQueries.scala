@@ -332,5 +332,56 @@ object SimilarityQueries extends Catalog {
                |WHERE CAST(${duckDot("x.q", "y.q")} AS DOUBLE) /
                |      (sqrt(x.aa) * sqrt(y.aa)) >= 0.35
                |ORDER BY a NULLS FIRST, b NULLS FIRST, cluster NULLS FIRST,
-               |         qcos NULLS FIRST""".stripMargin)))
+               |         qcos NULLS FIRST""".stripMargin)),
+
+    // Hard-negative mining (operators/Similarity.hardNegatives): for each
+    // of 8 query vectors, the 5 most-cosine-similar vectors with a
+    // DIFFERENT label — the contrastive-training near-miss set. The oracle
+    // replays the int8-quantize → exact-int64-dot → IEEE-cosine contract
+    // (same CTE skeleton as q_sim_quantized_topk); ranking ties are broken
+    // by cid on both engines, and the quantized cosine of exact integers
+    // is bit-identical, so rank order is engine-portable.
+    "q_sim_hard_negatives" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"), col("label"))
+        Similarity.hardNegatives(emb.filter(col("id") < 8), emb, k = 5)
+          .select(col("qid"), col("rank"), col("cid"),
+            col("clabel").cast("long").as("clabel"), col("qdot"),
+            round(col("qcos"), 4).as("qcos"))
+          .orderBy(col("qid"), col("rank"), col("cid"))
+      },
+      Some(s"""$duckVecCte, mxh AS (
+               |  SELECT vec_id, v, label,
+               |         list_max(list_transform(v, y -> abs(y))) AS ma
+               |  FROM e
+               |), qvh AS (
+               |  SELECT vec_id, label,
+               |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+               |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+               |  FROM mxh
+               |), qnh AS (
+               |  SELECT vec_id, label, q,
+               |         list_reduce(list_transform(range(1, len(q) + 1), k -> q[k] * q[k]),
+               |                     (acc, x) -> acc + x) AS aa
+               |  FROM qvh
+               |), scoredh AS (
+               |  SELECT a.vec_id AS qid, b.vec_id AS cid, b.label AS clabel,
+               |         list_reduce(list_transform(range(1, len(a.q) + 1), k -> a.q[k] * b.q[k]),
+               |                     (acc, x) -> acc + x) AS qdot,
+               |         a.aa AS qaa, b.aa AS caa
+               |  FROM qnh a JOIN qnh b ON a.vec_id < 8 AND a.label <> b.label
+               |), rankedh AS (
+               |  SELECT qid, cid, clabel, qdot,
+               |         CAST(qdot AS DOUBLE) / (sqrt(qaa) * sqrt(caa)) AS qcos,
+               |         row_number() OVER (PARTITION BY qid
+               |           ORDER BY CAST(qdot AS DOUBLE) / (sqrt(qaa) * sqrt(caa)) DESC,
+               |                    cid) AS rank
+               |  FROM scoredh
+               |)
+               |SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+               |       CAST(clabel AS BIGINT) AS clabel, qdot,
+               |       ROUND(qcos, 4) AS qcos
+               |FROM rankedh WHERE rank <= 5
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST""".stripMargin)))
 }

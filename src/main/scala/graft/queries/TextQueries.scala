@@ -304,6 +304,138 @@ object TextQueries extends Catalog {
               |FROM ranked GROUP BY term
               |ORDER BY term NULLS FIRST""".stripMargin)),
 
+    // BM25 relevance ranking (Robertson et al., TREC-3) for a fixed term
+    // set, in EXACT integer micro-units so both engines agree bit-for-bit:
+    // with k1 = 6/5 and b = 3/4 multiplied out, the per-term score is two
+    // integer divisions —
+    //   idf_u   = (2N − 2df + 1)·10⁶ div (2df + 1)        [Lucene-style
+    //             (N − df + ½)/(df + ½), log-free: the corpus is filtered
+    //             to a handful of terms, so the log's dynamic-range
+    //             compression buys nothing and costs parity]
+    //   score_u = idf_u · 44·tf·avgdl div (20·tf·avgdl + 6·avgdl + 18·dl)
+    // and the doc score is an exact long sum. Scale shape: dl rides the
+    // explode (size(toks) before the generator), so tf needs NO join back
+    // to a per-doc table — one (doc,term) shuffle + one doc rollup; df and
+    // the 1-row corpus stats are broadcast. Overflow: idf_u·44·tf·avgdl
+    // needs N·tf·avgdl < 2·10¹¹ — at web scale drop the fixed point to 10³.
+    // Bigram language-model quality score — the KenLM-perplexity-filter
+    // shape (CCNet / Gopher quality signal) in exact fixed point: train the
+    // MLE bigram model ON the corpus itself (n2(w1,w2), n1(w1) = Σ_w2 n2),
+    // then score each doc by its mean conditional probability, micro-unit
+    // integers — p_u = n2·10⁶ div n1 — so both engines agree bit-for-bit
+    // (no log, no float accumulation; ranking by mean probability orders
+    // docs the same way mean log-prob would for a quality GATE, and stays
+    // oracle-exact). Scale shape: bigrams ride one map-side explode (slice
+    // + transform, no self-join); the model is two hash aggs (c1 derived
+    // FROM c2, so the raw bigram stream shuffles once for counting); the
+    // score join reuses c2's (w1,w2) partitioning via exchange reuse and
+    // joins c1 unforced — AQE broadcasts the vocab-sized side at gated
+    // scale, and a web-scale vocabulary (where even c1 outgrows the
+    // broadcast threshold) degrades to a hash join on w1, not an error
+    // (the salient-terms lesson: don't pin broadcast). The exploded stream is
+    // deliberately NOT checkpointed: it is a narrow O(tokens) pipeline,
+    // recomputing it per consumer is cheaper at 100 TB than materializing
+    // the token stream to executor disk.
+    "q_text_bigram_lm" -> Q(
+      t => {
+        val toks = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bg = toks.select(col("doc_id"),
+          explode(transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(col("toks"), i + 2).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+        bg.join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .select(col("doc_id"), expr("n2 * 1000000 div n1").as("p_u"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(p_u) div count(1)").as("avg_p_u"))
+          .orderBy(col("avg_p_u").desc_nulls_last, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              |  FROM documents
+              |), bg AS (
+              |  SELECT doc_id, unnest(list_transform(toks[1:len(toks)-1],
+              |           (x, i) -> struct_pack(w1 := x,
+              |                                 w2 := toks[CAST(i AS INTEGER) + 1]))) AS b
+              |  FROM toks WHERE len(toks) >= 2
+              |), bge AS (
+              |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+              |), c2 AS (
+              |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bge GROUP BY 1, 2
+              |), c1 AS (
+              |  SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+              |), sc AS (
+              |  SELECT doc_id, (n2 * 1000000 // n1) AS p_u
+              |  FROM bge JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |       CAST(SUM(p_u) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_p_u
+              |FROM sc GROUP BY doc_id
+              |ORDER BY avg_p_u DESC NULLS LAST, doc_id
+              |LIMIT 50""".stripMargin)),
+
+    "q_text_bm25" -> Q(
+      t => {
+        val toks = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        val stats = toks.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          expr("sum(cast(size(toks) as bigint)) div count(1)").as("avgdl"))
+        val tf = toks
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .filter(col("term").isin("spark", "hash", "window", "vector"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            expr("""((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))
+                    * (44 * tf * avgdl)
+                    div (20 * tf * avgdl + 6 * avgdl + 18 * dl)""").as("score_u"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("score_u")).as("bm25_u"))
+          .orderBy(col("bm25_u").desc_nulls_last, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              |  FROM documents
+              |), stats AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT)
+              |           // CAST(COUNT(*) AS BIGINT) AS avgdl
+              |  FROM toks
+              |), tf AS (
+              |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+              |               unnest(toks) AS term
+              |        FROM toks)
+              |  WHERE term IN ('spark', 'hash', 'window', 'vector')
+              |  GROUP BY 1, 2, 3
+              |), df AS (
+              |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+              |), sc AS (
+              |  SELECT doc_id,
+              |         (((2 * n_docs - 2 * df + 1) * 1000000 // (2 * df + 1))
+              |          * (44 * tf * avgdl))
+              |         // (20 * tf * avgdl + 6 * avgdl + 18 * dl) AS score_u
+              |  FROM tf JOIN df USING (term) CROSS JOIN stats
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+              |       CAST(SUM(score_u) AS BIGINT) AS bm25_u
+              |FROM sc GROUP BY doc_id
+              |ORDER BY bm25_u DESC NULLS LAST, doc_id
+              |LIMIT 50""".stripMargin)),
+
     // Per-doc repetition profile (TextAnalysis.repetitionStats): duplicate
     // n-gram occupancy — the Gopher/RefinedWeb "fraction of duplicate
     // n-grams" filter signal. Counts stay integral; ratios are rounded at

@@ -142,4 +142,23 @@ class SimilaritySpec extends SparkSpec {
     assert(iv.size == 20)
     assert(agree >= 1)
   }
+
+  test("hard negatives exclude the query's own label and rank the near-miss first") {
+    val labeled = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0), 0),   // same label as 1: must never appear
+      (3L, Seq(0.8, 0.2, 0.0, 0.0), 1),   // the hard negative: near, other label
+      (4L, Seq(0.0, 1.0, 0.0, 0.0), 1),
+      (5L, Seq(-1.0, 0.0, 0.0, 0.0), 2)
+    ).toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(labeled.filter($"id" === 1), labeled, k = 3)
+      .select($"rank", $"cid", $"clabel").as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq(3L, 4L, 5L)) // near-miss first, antipode last
+    assert(!got.exists(_._3 == 0))           // own label filtered out
+  }
+
+  test("hard negatives on a single-label corpus are empty") {
+    val one = Seq((1L, Seq(1.0, 0.0), 7), (2L, Seq(0.0, 1.0), 7)).toDF("id", "vec", "label")
+    assert(Similarity.hardNegatives(one, one, k = 5).isEmpty)
+  }
 }
