@@ -414,6 +414,54 @@ object Joins extends Catalog {
               |ORDER BY numwait DESC NULLS LAST, s_name
               |LIMIT 100""".stripMargin)),
 
+    // Global-scalar-filter + anti-join anchor — TPC-H Q22's shape: an
+    // ungrouped aggregate over one table gates a filter on that same table,
+    // whose survivors anti-join the fact. "Above-average-balance customers
+    // with no high-value order", grouped by nation. Numeric contract:
+    // balances become micro-unit BIGINTs via floor(x·100 + 0.5) — one IEEE
+    // multiply+floor, engine-identical — and the global mean is an integer
+    // division, so the > threshold never touches float summation order.
+    // Scale shape: the scalar aggregate reduces to ONE row map-side
+    // (partial sums) and rejoins as a broadcast-literal cross join — no
+    // shuffle of the filtered side; the anti join is the only fact shuffle
+    // (orders pre-filtered on o_totalprice BEFORE the exchange, so only
+    // high-value keys move); customer is scanned twice (scalar + probe),
+    // both scans column-pruned to 3 cols, cheaper at 100 TB than
+    // materializing a checkpoint of the full customer projection.
+    "q_join_dormant_rich" -> Q(
+      t => {
+        val bal = t.customer.select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_u"))
+        val avgU = bal.filter(col("bal_u") > 0)
+          .agg(expr("sum(bal_u) div count(1)").as("avg_u"))
+        val rich = bal.crossJoin(broadcast(avgU))
+          .filter(col("bal_u") > col("avg_u"))
+        val bigOrders = t.orders.filter(col("o_totalprice") > 350000)
+          .select(col("o_custkey"))
+        rich.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_u")).as("totbal_u"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH bal AS (
+              |  SELECT c_custkey, c_nationkey,
+              |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_u
+              |  FROM customer
+              |), avgp AS (
+              |  SELECT CAST(SUM(bal_u) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_u
+              |  FROM bal WHERE bal_u > 0
+              |), rich AS (
+              |  SELECT b.* FROM bal b CROSS JOIN avgp WHERE b.bal_u > avg_u
+              |)
+              |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+              |       CAST(SUM(bal_u) AS BIGINT) AS totbal_u
+              |FROM rich
+              |WHERE NOT EXISTS (SELECT 1 FROM orders o
+              |                  WHERE o.o_custkey = rich.c_custkey
+              |                    AND o.o_totalprice > 350000)
+              |GROUP BY 1
+              |ORDER BY c_nationkey NULLS FIRST""".stripMargin)),
+
     // Aggregate-then-join anchor — TPC-H Q18's shape: group the fact on its
     // own join key with a HAVING-style filter, then join the survivors back
     // through orders to customer for a deterministic top-25. Scale shape:
