@@ -249,5 +249,41 @@ object Windows extends Catalog {
       Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
               FROM orders
               ORDER BY total DESC NULLS LAST, o_orderkey
-              LIMIT 15""")))
+              LIMIT 15""")),
+
+    // SCD Type-2 interval derivation — turn an append-only event stream
+    // into versioned validity ranges (the warehouse dimension-history /
+    // CDC-compaction primitive): per user, each event opens a version
+    // valid [its ts, next event's ts); the last version is open-ended.
+    // One window over (user_id; ts, event_id) serves lead() AND
+    // row_number() — a single exchange + in-partition sort, no second
+    // shuffle. The unique event_id suffix makes equal-ts orders (and so
+    // the version numbering) deterministic on both engines; timestamps
+    // compare as exact integer µs.
+    "q_win_scd2" -> Q(
+      t => {
+        val e = t.events.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("valid_from_us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from_us"), col("event_id"))
+        e.withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from_us"), col("valid_to_us"), col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH e AS (
+              |  SELECT user_id, event_type,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us, event_id
+              |  FROM events
+              |)
+              |SELECT user_id,
+              |       CAST(row_number() OVER w AS BIGINT) AS version,
+              |       event_type, valid_from_us,
+              |       lead(valid_from_us, 1) OVER w AS valid_to_us,
+              |       (lead(valid_from_us, 1) OVER w IS NULL) AS is_current
+              |FROM e
+              |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+              |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin)))
 }
