@@ -664,6 +664,69 @@ object TextQueries extends Catalog {
                |      / len(list_distinct(x.shd || y.shd)) >= 0.5
                |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
 
+    // Cross-document duplicated-substring signal (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // criterion, detected at token-window granularity instead of a suffix
+    // array): every 8-token window is hashed with the same two-level
+    // rolling fold as the shingle family, counted CORPUS-WIDE, and each doc
+    // reports how many of its windows (with multiplicity, unlike the
+    // minhash path's distinct sets) occur elsewhere too. dup_frac stays in
+    // exact micro-units. Scale shape: windows ride one map-side explode
+    // (the 100 TB substitute for a suffix array — O(tokens) rows, no
+    // cross-doc sort); counting is one hash shuffle on the window hash; the
+    // probe join reuses that exchange; the doc rollup is the only other
+    // shuffle. The window stream is recomputed per consumer rather than
+    // checkpointed — narrow map work beats materializing O(corpus tokens).
+    "q_dedup_dup_substrings" -> Q(
+      t => {
+        val w = 8
+        val th = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), Dedup.tokenHashes(col("__toks")).as("th"))
+          .filter(size(col("th")) >= w)
+        val wins = th.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("th")) - (w - 1)),
+            i => aggregate(slice(col("th"), i, lit(w)), lit(0L),
+              (acc, h) => (acc * 31 + h) % TextAnalysis.HashPrime))).as("wh"))
+        val cnt = wins.groupBy(col("wh")).agg(count(lit(1)).as("n"))
+        wins.join(cnt, "wh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("n") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup"),
+            expr("n_dup * 1000000 div n_windows").as("dup_frac_u"))
+          .orderBy(col("dup_frac_u").desc_nulls_last, col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""WITH tok AS (
+               |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               |  FROM documents
+               |), th AS (
+               |  SELECT doc_id,
+               |    list_transform(toks, s -> list_reduce(
+               |      list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+               |      (acc, x) -> (acc * 31 + x) % $P)) AS th
+               |  FROM tok
+               |), win AS (
+               |  SELECT doc_id,
+               |    unnest(list_transform(range(1, len(th) - 6),
+               |      i -> list_reduce(th[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7],
+               |             (acc, x) -> (acc * 31 + x) % $P))) AS wh
+               |  FROM th WHERE len(th) >= 8
+               |), cnt AS (
+               |  SELECT wh, CAST(COUNT(*) AS BIGINT) AS n FROM win GROUP BY 1
+               |), perdoc AS (
+               |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               |         CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+               |  FROM win JOIN cnt USING (wh)
+               |  GROUP BY 1
+               |)
+               |SELECT doc_id, n_windows, n_dup,
+               |       (n_dup * 1000000 // n_windows) AS dup_frac_u
+               |FROM perdoc
+               |ORDER BY dup_frac_u DESC NULLS LAST, doc_id
+               |LIMIT 100""".stripMargin)),
+
     // Benchmark decontamination: docs 0-4 stand in for an eval benchmark;
     // the "train" rest is checked for >= 2 shared 3-shingle hashes. The
     // oracle's all-pairs intersect is exact on the same hash replay; the
