@@ -664,6 +664,63 @@ object TextQueries extends Catalog {
                |      / len(list_distinct(x.shd || y.shd)) >= 0.5
                |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
 
+    // Prefix-filtered exact set-similarity self-join (Bayardo et al.,
+    // WWW'07 "Scaling Up All Pairs Similarity Search" — the AllPairs
+    // index-prefix scheme): ALL document pairs with shingle Jaccard ≥ 0.5,
+    // with NO blocking attribute and NO quadratic candidate space. Each
+    // doc's shingle-hash set is sorted by a global total order (ascending
+    // hash — engine-portable, no frequency table needed) and only its
+    // PREFIX of |s| − ceil(t·|s|) + 1 smallest hashes is indexed; probes
+    // run the full sets against that index. Completeness is exact, not
+    // probabilistic: if J(x,y) ≥ t then |x∩y| ≥ ceil(t·|x|), while x's
+    // suffix holds only ceil(t·|x|) − 1 elements — so x's prefix must
+    // contain a common element, which the full-side probe of y always
+    // carries. (A prefix×prefix join would NOT be complete — the common
+    // element need not sit in both prefixes.) This is the scale-safe exact
+    // twin of the labeled-quadratic q_sim_near_dup / q_dedup_simhash_pairs
+    // baselines: candidate cost is one hash-shuffle join of the prefix
+    // stream (≈ half the shingle volume) against the shingle stream —
+    // inverted-index shape, O(postings), never O(docs²). Ubiquitous
+    // shingles make hot hash keys; a frequency-ascending order (classic
+    // AllPairs) would shrink prefixes further at the price of a df table —
+    // documented tradeoff, hash order keeps the oracle replay exact. The
+    // oracle is the INDEPENDENT all-pairs exact form, so the gate also
+    // proves the completeness theorem on real data. `sh` is checkpointed
+    // once: it feeds the prefix explode, the probe explode, and both
+    // verify joins.
+    "q_dedup_jaccard_prefix" -> Q(
+      t => {
+        val thr = 0.5
+        val sh = t.documents
+          .select(col("doc_id"),
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+          .select(col("doc_id"),
+            array_sort(Dedup.shingleHashesFromTokenHashes(col("__th"))).as("shd"))
+          .localCheckpoint(true)
+        val plen = (size(col("shd"))
+          - ceil(size(col("shd")) * thr) + 1).cast("int")
+        val pref = sh.select(col("doc_id").as("a"),
+          explode(slice(col("shd"), lit(1), plen)).as("ph"))
+        val full = sh.select(col("doc_id").as("b"), explode(col("shd")).as("h"))
+        val cand = pref.join(full, col("ph") === col("h") && col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a"), col("shd").as("sa")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("shd").as("sb")), "b")
+          .withColumn("j", Dedup.jaccard(col("sa"), col("sb")))
+          .filter(col("j") >= thr)
+          .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+          .orderBy(col("a"), col("b"), col("j"))
+      },
+      Some(s"""$duckShingleCtes
+               |SELECT x.doc_id AS a, y.doc_id AS b,
+               |       ROUND(CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+               |             / len(list_distinct(x.shd || y.shd)), 4) AS j
+               |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+               |WHERE CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+               |      / len(list_distinct(x.shd || y.shd)) >= 0.5
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
+
     // Cross-document duplicated-substring signal (Lee et al., "Deduplicating
     // Training Data Makes Language Models Better" — the ExactSubstr
     // criterion, detected at token-window granularity instead of a suffix
