@@ -126,6 +126,39 @@ object MultimodalQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, format NULLS FIRST, width NULLS FIRST,
               |         height NULLS FIRST, channels NULLS FIRST""".stripMargin)),
 
+    // Frame sampling (Multimodal.sampleBytes): n evenly-spaced single
+    // bytes per payload — the video keyframe-sampling shape with byte
+    // offsets standing in for frame seeks. Pure Column arithmetic (one
+    // position formula + substring per sample), fully codegen'd, map-side
+    // only. The oracle rebuilds the identical BLOB and re-reads each
+    // sampled byte from its hex dump at the replayed offset, so an
+    // off-by-one in the spacing formula or a substring misread fails the
+    // exact compare. Positions use floor(i·(len−1)/(n−1)) — endpoints
+    // always included, spacing IEEE-identical on both engines.
+    "q_mm_frame_sample" -> Q(
+      t => withMedia(t.documents)
+        .select(col("doc_id"),
+          posexplode(Multimodal.sampleBytes(col("media"), 5))
+            .as(Seq("frame_idx", "byte_val")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_val").cast("long").as("byte_val"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH m AS (
+              |  SELECT doc_id,
+              |         CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+              |              WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+              |              ELSE encode(text) END AS media
+              |  FROM documents
+              |), s AS (
+              |  SELECT doc_id, media, octet_length(media) AS len FROM m
+              |)
+              |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+              |       CAST(('0x' || substr(hex(media),
+              |              2 * CAST(floor(i * (len - 1) / 4) AS INTEGER) + 1, 2))
+              |            AS BIGINT) AS byte_val
+              |FROM s, range(0, 5) r(i)
+              |ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin)),
+
     // Feature extraction through the batch-shaped partition kernel
     // (Multimodal.extractFeatures over the FakeDecode stub — a 16-bin
     // normalized byte histogram). The oracle replays the kernel EXACTLY in
