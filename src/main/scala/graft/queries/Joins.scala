@@ -356,10 +356,12 @@ object Joins extends Catalog {
     // Scale shape: `late` is distinct-collapsed to (orderkey, suppkey) and
     // eagerly checkpointed ONCE — it feeds three plan arms (probe, anti
     // build, and the count) and is tiny relative to the fact; the semi
-    // join against full lineitem shuffles both sides on l_orderkey (at
-    // 100 TB that is the unavoidable fact shuffle — AQE broadcasts the
-    // late side at gated scale instead); the anti join is late-vs-late,
-    // negligible; supplier/nation close the chain as broadcast dims.
+    // join probes full lineitem (at bench scale AQE broadcasts the 2-col
+    // fact projection — ~10 MB — as the semi join's build side; at 100 TB
+    // that estimate blows the threshold and the plan degrades to the
+    // unavoidable both-sides l_orderkey shuffle, with the small late side
+    // broadcast instead); the anti join is late-vs-late, negligible;
+    // supplier/nation close the chain as broadcast dims.
     "q_join_waiting_suppliers" -> Q(
       t => {
         val late = t.lineitem
