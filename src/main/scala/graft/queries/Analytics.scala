@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 object Analytics extends Catalog {
 
   def queries: Map[String, Q] = Map(
+    // Equi-width histogram anchored on the GLOBAL min/max (the feature-
+    // stats primitive behind outlier gates and quantization ranges):
+    // 16 bins over l_extendedprice, everything in exact cent BIGINTs —
+    // bucket = (cents − min) · 16 div (max − min + 1), clamp-free because
+    // the +1 denominator keeps the max inside bin 15. The one-row min/max
+    // aggregate reduces map-side and rejoins as a broadcast cross join
+    // (same shape as q_join_dormant_rich's scalar gate), so the histogram
+    // costs one fact scan + one 16-row shuffle at any corpus size.
+    "q_agg_histogram" -> Q(
+      t => {
+        val cents = t.lineitem.select(
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+        val mm = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        cents.crossJoin(broadcast(mm))
+          .select(expr("(c - lo) * 16 div (hi - lo + 1)").as("bucket"), col("c"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+            min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH cents AS (
+              |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+              |  FROM lineitem
+              |), mm AS (
+              |  SELECT MIN(c) AS lo, MAX(c) AS hi FROM cents
+              |)
+              |SELECT ((c - lo) * 16 // (hi - lo + 1)) AS bucket,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(c) AS BIGINT) AS sum_cents,
+              |       MIN(c) AS min_cents, MAX(c) AS max_cents
+              |FROM cents CROSS JOIN mm
+              |GROUP BY 1
+              |ORDER BY bucket NULLS FIRST""".stripMargin)),
+
     // pivot: rows → columns on a low-cardinality key (values enumerated
     // explicitly, as any scale-safe pivot must be)
     "q_agg_pivot" -> Q(
