@@ -499,5 +499,62 @@ object Joins extends Catalog {
               |JOIN orders   ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
               |ORDER BY total_qty DESC NULLS LAST, o_orderkey
-              |LIMIT 25""".stripMargin)))
+              |LIMIT 25""".stripMargin)),
+
+    // Per-group-threshold correlated aggregate — TPC-H Q17's shape: revenue
+    // from lineitems whose quantity sits below a fraction of their part's
+    // OWN average quantity. The correlated scalar subquery decorrelates into
+    // a per-part aggregate joined back to the same fact. Numeric contract:
+    // l_quantity is integral (1..50) so qty is an exact BIGINT, and the
+    // threshold qty < 0.2·avg(qty) is evaluated as qty·5·cnt < sum — pure
+    // int64 arithmetic, no float average, engine-identical by construction.
+    // Scale shape: part is brand/size-filtered then BROADCAST, so both the
+    // stats branch and the probe branch scan only matching lines (the
+    // broadcast join prunes before the exchange) with 3-column pruning; the
+    // per-part aggregate shrinks its branch to one row per part BEFORE the
+    // join, so AQE broadcasts it at gated scales, and at 100 TB the same
+    // plan degrades to a co-partitioned join on l_partkey — both sides
+    // already hash on that key, no extra fact shuffle (pinned by
+    // SmallQtyPlanSpec). Double-scanning pruned lineitem beats
+    // checkpointing the filtered projection (the q_join_dormant_rich
+    // trade-off, same reasoning).
+    "q_join_small_qty" -> Q(
+      t => {
+        val pk = t.part
+          .filter(col("p_brand").isin("Brand#3", "Brand#7") && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"))
+        val pl = t.lineitem
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("p_brand"),
+            col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+        val stats = pl.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+          .withColumnRenamed("l_partkey", "s_partkey")
+        pl.join(stats, col("l_partkey") === col("s_partkey"))
+          .filter(col("qty") * lit(5L) * col("cnt_qty") < col("sum_qty"))
+          .groupBy(col("p_brand"))
+          .agg(round(psum(col("l_extendedprice")), 2).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH pk AS (
+              |  SELECT p_partkey, p_brand FROM part
+              |  WHERE p_brand IN ('Brand#3', 'Brand#7') AND p_size <= 10
+              |), pl AS (
+              |  SELECT l_partkey, p_brand, CAST(l_quantity AS BIGINT) AS qty,
+              |         l_extendedprice
+              |  FROM lineitem JOIN pk ON l_partkey = p_partkey
+              |), stats AS (
+              |  SELECT l_partkey AS s_partkey,
+              |         CAST(SUM(qty) AS BIGINT) AS sum_qty,
+              |         CAST(COUNT(*) AS BIGINT) AS cnt_qty
+              |  FROM pl GROUP BY 1
+              |)
+              |SELECT p_brand,
+              |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE), 2) AS revenue,
+              |       COUNT(*) AS n_lines
+              |FROM pl JOIN stats ON l_partkey = s_partkey
+              |WHERE qty * 5 * cnt_qty < sum_qty
+              |GROUP BY p_brand
+              |ORDER BY p_brand NULLS FIRST""".stripMargin)))
 }

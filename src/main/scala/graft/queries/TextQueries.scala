@@ -518,6 +518,52 @@ object TextQueries extends Catalog {
                |ORDER BY doc_id NULLS FIRST, wc_ok NULLS FIRST, distinct_ok NULLS FIRST,
                |         mwl_ok NULLS FIRST, stop_ok NULLS FIRST, keep NULLS FIRST""".stripMargin)),
 
+    // Model-based quality scoring — the linear-classifier filter stage of a
+    // curation pipeline (fastText/logistic-regression style): extract
+    // integer features per document, dot them with a weight vector, gate on
+    // a threshold. The weights here are deterministic stand-ins — a real
+    // deployment substitutes trained coefficients — but the engine shape is
+    // exactly what that deployment runs: pure map-side codegen'd feature
+    // extraction + literal weight fold, no shuffle, filter at scan speed.
+    // Numeric contract: features and weights are INTEGERS (milli-logit
+    // scale), so the score is exact int64 arithmetic — no float dot product,
+    // no sigmoid (monotone, so thresholding the logit is equivalent) —
+    // and the oracle hashes identically on any engine.
+    "q_text_quality_score" -> Q(
+      t => {
+        val tkn = TextAnalysis.tokenCount(col("text")).cast("long")
+        val dkn = size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+        val swn = TextAnalysis.stopwordCount(col("text")).cast("long")
+        val chn = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        t.documents
+          .select(col("doc_id"), tkn.as("tk_n"), dkn.as("dk_n"),
+            swn.as("sw_n"), chn.as("ch_n"))
+          .withColumn("score_milli",
+            lit(40L) * col("tk_n") + lit(60L) * col("dk_n") +
+              lit(150L) * col("sw_n") - lit(9L) * col("ch_n"))
+          .withColumn("keep", col("score_milli") > 1400L)
+          .orderBy(col("doc_id"), col("tk_n"), col("dk_n"), col("sw_n"),
+            col("ch_n"), col("score_milli"), col("keep"))
+      },
+      Some(s"""WITH tok AS (
+               |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk, text
+               |  FROM documents
+               |), f AS (
+               |  SELECT doc_id,
+               |         CAST(len(tk) AS BIGINT) AS tk_n,
+               |         CAST(len(list_distinct(tk)) AS BIGINT) AS dk_n,
+               |         CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) AS BIGINT) AS sw_n,
+               |         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS ch_n
+               |  FROM tok
+               |)
+               |SELECT doc_id, tk_n, dk_n, sw_n, ch_n,
+               |       40 * tk_n + 60 * dk_n + 150 * sw_n - 9 * ch_n AS score_milli,
+               |       40 * tk_n + 60 * dk_n + 150 * sw_n - 9 * ch_n > 1400 AS keep
+               |FROM f
+               |ORDER BY doc_id NULLS FIRST, tk_n NULLS FIRST, dk_n NULLS FIRST,
+               |         sw_n NULLS FIRST, ch_n NULLS FIRST, score_milli NULLS FIRST,
+               |         keep NULLS FIRST""".stripMargin)),
+
     // Per-doc salient terms — the inverted-index / TF-IDF shape: term
     // frequency per doc (one partial-agg shuffle on (doc, term)), document
     // frequency per term (second partial-agg shuffle on term), join the
