@@ -222,6 +222,46 @@ object Dedup {
       .select(col("a"), col("b"), col("j"))
   }
 
+  /** Sketch-accuracy audit: every LSH candidate pair with its MinHash
+    * ESTIMATE (count of matching signature slots, /16) next to the EXACT
+    * Jaccard — the measurement a production dedup runs before trusting a
+    * signature configuration (slots/bands trade recall for cost; the audit
+    * quantifies the estimator error ON THE REAL CORPUS rather than the
+    * uniform-hash idealization). Same plan shape and materialization story
+    * as [[lshNearDupPairs]] (one eager signature checkpoint feeding three
+    * branches; candidate-only verify — never all pairs). Numeric contract:
+    * the estimate is an int slot count and the exact Jaccard is emitted in
+    * integer micro-units via int64 floor division, so every output column
+    * hashes engine-identically.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val prepared = prepareSignatures(docs, idCol, textCol, k).localCheckpoint(true)
+    val bands = prepared.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"))).as("band_key"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    candidates
+      .join(prepared.select(col("doc_id").as("a"),
+        col("shd").as("shd_a"), col("sig").as("sig_a")), "a")
+      .join(prepared.select(col("doc_id").as("b"),
+        col("shd").as("shd_b"), col("sig").as("sig_b")), "b")
+      .withColumn("est_16", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), _ + _))
+      .withColumn("j_micro",
+        expr("size(array_intersect(shd_a, shd_b)) * 1000000L div size(array_union(shd_a, shd_b))"))
+      .withColumn("err_micro", col("est_16") * lit(62500L) - col("j_micro"))
+      .select(col("a"), col("b"), col("est_16"), col("j_micro"), col("err_micro"))
+  }
+
   /** Benchmark decontamination: (train doc, benchmark doc) pairs sharing at
     * least `minOverlap` distinct k-shingle hashes — the contamination check
     * run before training so eval data is not memorized from the corpus.

@@ -638,6 +638,31 @@ object TextQueries extends Catalog {
                |      / len(list_distinct(sa.shd || sb.shd)) >= 0.5
                |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
 
+    // Sketch-accuracy audit over the same candidate space as
+    // q_dedup_lsh_pairs: MinHash slot-match estimate vs exact Jaccard in
+    // integer micro-units (Dedup.minhashEstimatePairs scaladoc). The oracle
+    // replays signatures AND slot comparison, so the estimator itself —
+    // not just the candidates — is cross-engine verified.
+    "q_dedup_minhash_est" -> Q(
+      t => Dedup.minhashEstimatePairs(t.documents, "doc_id", "text")
+        .orderBy(col("a"), col("b"), col("est_16"), col("j_micro"),
+          col("err_micro")),
+      Some(s"""$duckShingleCtes$duckBandCandCtes
+               |SELECT a, b,
+               |       CAST(list_sum(list_transform(range(0, 16), j ->
+               |         CASE WHEN sa.sig[j+1] = sb.sig[j+1] THEN 1 ELSE 0 END)) AS BIGINT) AS est_16,
+               |       CAST(len(list_intersect(sa.shd, sb.shd)) AS BIGINT) * 1000000
+               |         // CAST(len(list_distinct(sa.shd || sb.shd)) AS BIGINT) AS j_micro,
+               |       CAST(list_sum(list_transform(range(0, 16), j ->
+               |         CASE WHEN sa.sig[j+1] = sb.sig[j+1] THEN 1 ELSE 0 END)) AS BIGINT) * 62500
+               |         - CAST(len(list_intersect(sa.shd, sb.shd)) AS BIGINT) * 1000000
+               |           // CAST(len(list_distinct(sa.shd || sb.shd)) AS BIGINT) AS err_micro
+               |FROM cand
+               |JOIN sig sa ON cand.a = sa.doc_id
+               |JOIN sig sb ON cand.b = sb.doc_id
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, est_16 NULLS FIRST,
+               |         j_micro NULLS FIRST, err_micro NULLS FIRST""".stripMargin)),
+
     "q_dedup_simhash" -> Q(
       t => t.documents.select(
         col("doc_id"),

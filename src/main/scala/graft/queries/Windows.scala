@@ -285,5 +285,55 @@ object Windows extends Catalog {
               |       (lead(valid_from_us, 1) OVER w IS NULL) AS is_current
               |FROM e
               |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
-              |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin)))
+              |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin)),
+
+    // Changelog compaction — materialize a snapshot from a CDC/changelog
+    // stream (the lakehouse MERGE / "apply changes" primitive): per key the
+    // LATEST change wins, and a terminal delete tombstone removes the key
+    // from the snapshot entirely. Op derivation is deterministic from the
+    // testdata ('error' = delete, else upsert); a real changelog carries the
+    // op column directly — the engine shape is identical. One hash exchange
+    // on the key serves both windows (row_number over the version order +
+    // whole-partition change count share the partitioning; one in-partition
+    // sort), so compaction costs exactly one fact shuffle at any scale —
+    // the same contract flagMapGroupsWithState-style streaming upserts
+    // amortize incrementally. The unique event_id suffix makes equal-ts
+    // versions deterministic; value leaves as exact BIGINT cents.
+    "q_win_cdc_apply" -> Q(
+      t => {
+        val e = t.events.select(col("user_id"), col("event_type"),
+          cents(col("value")).cast("long").as("c"),
+          expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+        val v = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val p = Window.partitionBy(col("user_id"))
+        e.withColumn("rn", row_number().over(v))
+          .withColumn("n_changes", count(lit(1)).over(p))
+          .filter(col("rn") === 1 && col("op") === "U")
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("c").as("last_cents"), col("ts_us").as("last_ts_us"),
+            col("n_changes"))
+          .orderBy(col("user_id"), col("last_type"), col("last_cents"),
+            col("last_ts_us"), col("n_changes"))
+      },
+      Some("""WITH e AS (
+              |  SELECT user_id, event_type,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+              |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+              |  FROM events
+              |), r AS (
+              |  SELECT *,
+              |         row_number() OVER (PARTITION BY user_id
+              |                            ORDER BY ts_us DESC, event_id DESC) AS rn,
+              |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+              |  FROM e
+              |)
+              |SELECT user_id, event_type AS last_type, c AS last_cents,
+              |       ts_us AS last_ts_us, n_changes
+              |FROM r WHERE rn = 1 AND op = 'U'
+              |ORDER BY user_id NULLS FIRST, last_type NULLS FIRST,
+              |         last_cents NULLS FIRST, last_ts_us NULLS FIRST,
+              |         n_changes NULLS FIRST""".stripMargin)))
 }
