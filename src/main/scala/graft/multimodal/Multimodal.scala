@@ -183,6 +183,80 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
     }
+
+    /** [[encode]] with a vertical split: left half `rgbLeft`, right half
+      * `rgbRight` — the smallest image whose perceptual hash is non-trivial
+      * AND analytically predictable (see [[aHash64]]'s bit layout), which is
+      * what lets q_mm_phash put a REAL decode→pixel-feature kernel under the
+      * exact oracle gate.
+      */
+    def encodeHalves(format: String, width: Int, height: Int,
+        rgbLeft: Int, rgbRight: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, if (x < width / 2) rgbLeft else rgbRight)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    /** 64-bit average hash (aHash) — the image near-dup primitive: 8×8
+      * grid of block means over the decoded pixels, bit j = cy·8+cx set iff
+      * cell (cy,cx)'s mean gray STRICTLY exceeds the global mean. All
+      * arithmetic is exact int64 — grays are the fixed-point ITU-R 601
+      * weights 299r+587g+114b (never divided), and the mean comparison is
+      * cross-multiplied (cellSum·totalN > totalSum·cellN) so no float ever
+      * enters — which is what lets an oracle replay the hash analytically
+      * for constructed inputs. Pixels map to cells by floor(x·8/w): ragged
+      * blocks are fine; a dimension < 8 leaves its surplus cells empty
+      * (bit 0). Exact up to ~16-megapixel images (cellSum·totalN < 2^63);
+      * undecodable/empty payloads yield None, never an exception.
+      */
+    def aHash64(payload: Array[Byte]): Option[Long] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val cellSum = new Array[Long](64)
+          val cellN = new Array[Long](64)
+          var totalSum = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              val gray = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              cellSum(cy * 8 + cx) += gray
+              cellN(cy * 8 + cx) += 1
+              totalSum += gray
+              x += 1
+            }
+            y += 1
+          }
+          val totalN = w.toLong * h
+          var hash = 0L
+          var j = 0
+          while (j < 64) {
+            if (cellSum(j) * totalN > totalSum * cellN(j)) hash |= 1L << j
+            j += 1
+          }
+          Some(hash)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decoded image dimensions through the same batch-shaped partition
@@ -206,6 +280,33 @@ object Multimodal {
           ImageIoDecode.dims(r.getAs[Array[Byte]](1)) match {
             case Some((w, h, c)) => Row(r.get(0), w, h, c)
             case None            => Row(r.get(0), null, null, null)
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual hash through the same batch-shaped partition transform as
+    * [[decodeDims]]: png/jpeg payloads run the REAL decode +
+    * [[ImageIoDecode.aHash64]] pixel kernel; undecodable payloads yield a
+    * null hash. Output: (id, phash long). Map-side only — near-dup pairing
+    * over the hashes then rides the same banded/Hamming machinery as
+    * SimHash (q_dedup_simhash_pairs), which is the 100 TB image-dedup path.
+    */
+  def perceptualHash(df: DataFrame, idCol: String, mediaCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val inSchema = df.select(col(idCol), col(mediaCol)).schema
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("phash", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol), col(mediaCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          ImageIoDecode.aHash64(r.getAs[Array[Byte]](1)) match {
+            case Some(hv) => Row(r.get(0), hv)
+            case None     => Row(r.get(0), null)
           }
         }
       }

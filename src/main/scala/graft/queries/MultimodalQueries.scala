@@ -126,6 +126,50 @@ object MultimodalQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, format NULLS FIRST, width NULLS FIRST,
               |         height NULLS FIRST, channels NULLS FIRST""".stripMargin)),
 
+    // REAL perceptual hash under the exact oracle gate: genuine two-tone
+    // 16×16 PNGs (left/right halves in doc_id-derived colors) built by the
+    // JDK encoder, decoded by the JDK decoder, hashed by the exact-integer
+    // aHash kernel (Multimodal.ImageIoDecode.aHash64). PNG is lossless, so
+    // the decoded pixels ARE the constructed ones, and the hash collapses
+    // analytically: every left cell's mean is grayL, every right cell's is
+    // grayR, the global mean is their midpoint — so the hash is the low
+    // nibbles (0x0F0F…) when grayL > grayR, the high nibbles (0xF0F0…)
+    // when grayR > grayL, and 0 on gray ties. The oracle replays only that
+    // closed form from the color formulas; encode→decode→pixel-walk happens
+    // entirely engine-side, so a decoder/layout/bit-order defect fails the
+    // exact compare. (JPEG is lossy and stays out of the oracle path; the
+    // spec covers it with a uniform image, whose hash must be 0 under any
+    // DC-preserving codec.)
+    "q_mm_phash" -> Q(
+      t => {
+        val mkImage = udf((id: Long) => Multimodal.ImageIoDecode.encodeHalves(
+          "png", 16, 16,
+          ((id * 2654435761L) & 0xffffffL).toInt,
+          ((id * 1099087573L + 2654435761L) & 0xffffffL).toInt))
+        val m = t.documents.select(col("doc_id"), mkImage(col("doc_id")).as("media"))
+        Multimodal.perceptualHash(m, "doc_id", "media")
+          .orderBy(col("doc_id"), col("phash"))
+      },
+      Some("""WITH c AS (
+              |  SELECT doc_id,
+              |         (doc_id * 2654435761) % 16777216 AS rgb_l,
+              |         (doc_id * 1099087573 + 2654435761) % 16777216 AS rgb_r
+              |  FROM documents
+              |), g AS (
+              |  SELECT doc_id,
+              |         299 * ((rgb_l // 65536) % 256) + 587 * ((rgb_l // 256) % 256)
+              |           + 114 * (rgb_l % 256) AS gray_l,
+              |         299 * ((rgb_r // 65536) % 256) + 587 * ((rgb_r // 256) % 256)
+              |           + 114 * (rgb_r % 256) AS gray_r
+              |  FROM c
+              |)
+              |SELECT doc_id,
+              |       CASE WHEN gray_l > gray_r THEN CAST(1085102592571150095 AS BIGINT)
+              |            WHEN gray_r > gray_l THEN CAST(-1085102592571150096 AS BIGINT)
+              |            ELSE CAST(0 AS BIGINT) END AS phash
+              |FROM g
+              |ORDER BY doc_id NULLS FIRST, phash NULLS FIRST""".stripMargin)),
+
     // Frame sampling (Multimodal.sampleBytes): n evenly-spaced single
     // bytes per payload — the video keyframe-sampling shape with byte
     // offsets standing in for frame seeks. Pure Column arithmetic (one

@@ -102,6 +102,35 @@ class MultimodalSpec extends SparkSpec {
     assert(fmt == "riff")
   }
 
+  test("aHash64: analytic two-tone PNG, lossy-uniform JPEG, poison") {
+    import Multimodal.ImageIoDecode
+    // left darker than right → high-nibble bits; reversed → low nibbles
+    val darkLeft = ImageIoDecode.encodeHalves("png", 16, 16, 0x101010, 0xf0f0f0)
+    val darkRight = ImageIoDecode.encodeHalves("png", 16, 16, 0xf0f0f0, 0x101010)
+    assert(ImageIoDecode.aHash64(darkLeft).contains(0xF0F0F0F0F0F0F0F0L))
+    assert(ImageIoDecode.aHash64(darkRight).contains(0x0F0F0F0F0F0F0F0FL))
+    // equal halves: no cell strictly exceeds the mean → 0
+    val uniformPng = ImageIoDecode.encode("png", 16, 16, 0x123456)
+    assert(ImageIoDecode.aHash64(uniformPng).contains(0L))
+    // a UNIFORM image survives lossy JPEG with hash 0 (any DC-preserving
+    // codec decodes a flat image to a flat image)
+    val uniformJpeg = ImageIoDecode.encode("jpeg", 16, 16, 0x808080)
+    assert(ImageIoDecode.aHash64(uniformJpeg).contains(0L))
+    // ragged 10×6 blocks still hash exactly via the cross-multiplied compare
+    val ragged = ImageIoDecode.encodeHalves("png", 10, 6, 0x000000, 0xffffff)
+    assert(ImageIoDecode.aHash64(ragged).isDefined)
+    assert(ImageIoDecode.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageIoDecode.aHash64(Array.emptyByteArray).isEmpty)
+    // the batch kernel carries the same values end-to-end, null on poison
+    val df = Seq((1L, darkLeft), (2L, darkRight),
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "media")
+    val got = Multimodal.perceptualHash(df, "id", "media")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(0xF0F0F0F0F0F0F0F0L))
+    assert(got(2L).contains(0x0F0F0F0F0F0F0F0FL))
+    assert(got(3L).isEmpty)
+  }
+
   test("batch-shaped feature extraction: deterministic, normalized, keyed") {
     val f1 = Multimodal.extractFeatures(media, "id", "media", batchSize = 2)
       .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
