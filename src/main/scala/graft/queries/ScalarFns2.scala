@@ -102,5 +102,48 @@ object ScalarFns2 extends Catalog {
               |  FROM documents)
               |SELECT m.doc_id, u.tok
               |FROM m LEFT JOIN LATERAL (SELECT unnest(m.maybe_tokens) AS tok) u ON true
-              |ORDER BY doc_id NULLS FIRST, tok NULLS FIRST""".stripMargin)))
+              |ORDER BY doc_id NULLS FIRST, tok NULLS FIRST""".stripMargin)),
+
+    // ANSI-safe error handling — Spark 4 runs ANSI mode ON by default, so a
+    // dirty-data pipeline MUST route fallible scalar ops through the try_*
+    // family (null-on-failure) or the job dies on the first malformed row
+    // at hour nine of a 100 TB pass. One row per event exercises the four
+    // failure classes: division by a data-dependent zero, out-of-bounds
+    // element access, unparseable timestamp text, non-numeric cast. The
+    // oracle states the expected RESULT (CASE-guarded equivalents /
+    // TRY_CAST) rather than mirroring function names — cross-engine
+    // null-semantics equivalence is exactly what's under test. The divide
+    // emits an IEEE-exact int/int double; the timestamp leaves as integer
+    // µs. All map-side codegen'd — try_* wraps, not UDFs.
+    "q_ansi_try_funcs" -> Q(
+      t => t.events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          cents(col("value")).cast("long").as("c"))
+        .select(
+          col("event_id"),
+          expr("try_divide(c, user_id % 7 - 3)").as("safe_div"),
+          expr("try_element_at(sequence(1L, user_id % 5), 3)").as("elem3"),
+          expr("unix_micros(try_to_timestamp(concat('2024-01-', lpad(cast(user_id % 40 as string), 2, '0'))))")
+            .as("parsed_us"),
+          expr("try_cast(concat(cast(user_id as string), case when event_type = 'error' then 'x' else '' end) as bigint)")
+            .as("parsed_num"))
+        .orderBy(col("event_id"), col("safe_div"), col("elem3"),
+          col("parsed_us"), col("parsed_num")),
+      Some("""WITH e AS (
+              |  SELECT event_id, user_id, event_type,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              |  FROM events
+              |)
+              |SELECT event_id,
+              |       CASE WHEN user_id % 7 - 3 = 0 THEN NULL
+              |            ELSE CAST(c AS DOUBLE) / (user_id % 7 - 3) END AS safe_div,
+              |       CASE WHEN user_id % 5 >= 3 THEN CAST(3 AS BIGINT) ELSE NULL END AS elem3,
+              |       epoch_us(TRY_CAST(('2024-01-' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0'))
+              |                         AS TIMESTAMP)) AS parsed_us,
+              |       TRY_CAST((CAST(user_id AS VARCHAR) ||
+              |                 CASE WHEN event_type = 'error' THEN 'x' ELSE '' END)
+              |                AS BIGINT) AS parsed_num
+              |FROM e
+              |ORDER BY event_id NULLS FIRST, safe_div NULLS FIRST, elem3 NULLS FIRST,
+              |         parsed_us NULLS FIRST, parsed_num NULLS FIRST""".stripMargin)))
 }

@@ -147,6 +147,52 @@ object StreamOps {
       }
   }
 
+  /** One CDC change record: `op` is "U" (upsert) or "D" (delete tombstone);
+    * (tsUs, eventId) is the total version order. */
+  final case class CdcChange(
+    key: Long, tsUs: Long, eventId: Long, op: String, typ: String, cents: Long)
+  /** Internal accumulator: the winning version per key. Public (not
+    * `private`) because the state ENCODER's generated code instantiates it
+    * reflectively — a private case class fails Janino compilation at
+    * runtime ("no applicable constructor"). */
+  final case class CdcState(
+    tsUs: Long, eventId: Long, op: String, typ: String, cents: Long)
+  /** Current snapshot row for a key; `deleted` = the latest change is a
+    * tombstone (downstream drops the key, mirroring the batch filter). */
+  final case class CdcSnapshotRow(
+    key: Long, lastType: String, lastCents: Long, lastTsUs: Long, deleted: Boolean)
+
+  /** Streaming twin of the batch changelog compaction (q_win_cdc_apply):
+    * latest-wins-per-key materialization as an INCREMENTAL
+    * `mapGroupsWithState` accumulator — each trigger emits the key's
+    * current snapshot row instead of recomputing a window over history.
+    * State per key is one fixed-size record (the winning version), so the
+    * store is bounded by live keys, not changes seen; the keyed shuffle is
+    * the same single exchange the batch plan pays. Out-of-order delivery is
+    * absorbed by the version compare: a stale change (smaller
+    * (tsUs, eventId)) never overwrites a newer state, so arrival order
+    * cannot change the snapshot — the property CdcStreamSpec pins by
+    * replaying the same changes in shuffled batch splits.
+    */
+  def cdcSnapshot(changes: Dataset[CdcChange]): Dataset[CdcSnapshotRow] = {
+    import changes.sparkSession.implicits._
+    val ord = Ordering[(Long, Long)]
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[CdcState, CdcSnapshotRow](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          val best = rows.foldLeft(state.getOption) { (acc, r) =>
+            val cand = CdcState(r.tsUs, r.eventId, r.op, r.typ, r.cents)
+            acc match {
+              case Some(b) if ord.gteq((b.tsUs, b.eventId), (cand.tsUs, cand.eventId)) => acc
+              case _ => Some(cand)
+            }
+          }.get // rows is non-empty for a non-timed-out group
+          state.update(best)
+          CdcSnapshotRow(key, best.typ, best.cents, best.tsUs, best.op == "D")
+      }
+  }
+
   /** Watermarked stream-stream equi-join with an event-time interval bound
     * — the one Structured-Streaming join shape the rest of this file doesn't
     * cover (enrichWithStatic is stream-STATIC). Correlates two live streams
