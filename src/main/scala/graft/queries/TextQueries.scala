@@ -623,6 +623,56 @@ object TextQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, rk NULLS FIRST, term NULLS FIRST,
               |         tf NULLS FIRST, df NULLS FIRST, tf_over_df NULLS FIRST""".stripMargin)),
 
+    // Vocabulary build + corpus encoding — the tokenize-to-ids prep step of
+    // an LLM training pipeline: top-V terms by corpus frequency get dense
+    // ids (1..V, OOV → 0) and every document becomes its id sequence.
+    // Scale shape: the term count is one partial-agg'd shuffle; the global
+    // ORDER BY/LIMIT + row_number run over the VOCABULARY-sized relation
+    // (V rows after the limit — the single-partition window is V-bounded,
+    // never corpus-bounded); the id map is broadcast so encoding is
+    // map-side; the only corpus-sized exchange is the doc_id reassembly
+    // groupBy, whose collect_list is bounded by document length. Ties at
+    // the V boundary are deterministic ((cnt DESC, term ASC) on both
+    // engines). ids arrays compare cell-exact under the gate — order
+    // restored from posexplode positions via array_sort on (pos, tid).
+    "q_text_vocab_encode" -> Q(
+      t => {
+        val toks = t.documents.select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+        val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(64)
+        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        val vocab = top.withColumn("tid", row_number().over(w).cast("long"))
+        toks.join(broadcast(vocab.select(col("term"), col("tid"))), Seq("term"), "left")
+          .withColumn("tid", coalesce(col("tid"), lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+              s => s.getField("tid")).as("ids"),
+            sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"))
+          .orderBy(col("doc_id"), col("n_oov"))
+      },
+      Some("""WITH tok AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+              |), toks AS (
+              |  SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS pos
+              |  FROM tok
+              |), top AS (
+              |  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+              |  ORDER BY cnt DESC, term ASC LIMIT 64
+              |), vocab AS (
+              |  SELECT term,
+              |         CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS tid
+              |  FROM top
+              |), enc AS (
+              |  SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+              |  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+              |)
+              |SELECT doc_id, list(tid ORDER BY pos) AS ids,
+              |       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              |FROM enc GROUP BY doc_id
+              |ORDER BY doc_id NULLS FIRST, n_oov NULLS FIRST""".stripMargin)),
+
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
