@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pivot and statistical aggregates — the remaining common OLAP surface. */
@@ -328,5 +329,45 @@ object Analytics extends Catalog {
               |            ELSE 0 END AS depth,
               |       COUNT(*) AS n_users
               |FROM s3 GROUP BY 1
-              |ORDER BY depth NULLS FIRST, n_users NULLS FIRST""".stripMargin)))
+              |ORDER BY depth NULLS FIRST, n_users NULLS FIRST""".stripMargin)),
+
+    // First-order Markov transition matrix over per-user event sequences —
+    // the behavioral sequence-model primitive (session modeling, anomaly
+    // scoring, next-event prediction features). lag() over one (user_id;
+    // ts, event_id) exchange derives transitions in-partition; the
+    // transition matrix itself is |types|² ≈ 25 rows, so the per-prev
+    // normalizing window costs nothing. Probabilities leave as exact
+    // floor'd micro-units (BIGINT), immune to float division divergence.
+    // At 100 TB: one fact shuffle for the lag, then a partial-agg'd
+    // count shuffle of 25 keys — nothing else grows with the data.
+    "q_events_markov" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t.events
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        trans
+          .withColumn("p_micro",
+            expr("n * 1000000L div sum(n) OVER (PARTITION BY prev_type)"))
+          .select(col("prev_type"), col("next_type"), col("n"), col("p_micro"))
+          .orderBy(col("prev_type"), col("next_type"), col("n"), col("p_micro"))
+      },
+      Some("""WITH seq AS (
+              |  SELECT user_id, event_type,
+              |         lag(event_type, 1) OVER (PARTITION BY user_id
+              |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+              |  FROM events
+              |), trans AS (
+              |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+              |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+              |)
+              |SELECT prev_type, next_type, n,
+              |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+              |FROM trans
+              |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST,
+              |         n NULLS FIRST, p_micro NULLS FIRST""".stripMargin)))
 }

@@ -1080,5 +1080,41 @@ object TextQueries extends Catalog {
            |FROM packed
            |ORDER BY doc_id NULLS FIRST, split NULLS FIRST, shard NULLS FIRST,
            |         tok_offset NULLS FIRST, chunk NULLS FIRST""".stripMargin
-      }))
+      }),
+
+    // Sliding-window chunking with overlap — the RAG / context-window
+    // splitter (every retrieval corpus and long-document training set
+    // chunks this way: fixed window, fixed stride, trailing remainder
+    // kept). Chunk starts are sequence(1, n, stride); each chunk is a
+    // token slice [start, start+W). Entirely narrow — sequence + explode
+    // + slice are codegen'd per row, no shuffle at ANY scale (the final
+    // orderBy is the verify sink's, not the operator's); output size is
+    // the ~W/S expansion a real chunker pays. The chunk text itself is
+    // re-joined so the oracle verifies content, not just offsets.
+    "q_text_chunk_overlap" -> Q(
+      t => {
+        val W = 30
+        val S = 20
+        val toks = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("tk"))
+        toks
+          .withColumn("start", explode(sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(S))))
+          .select(col("doc_id"), col("start").cast("long").as("start"),
+            least(lit(W), size(col("tk")) - col("start") + 1).cast("long").as("n_ck"),
+            concat_ws(" ", slice(col("tk"), col("start"), lit(W))).as("chunk"))
+          .orderBy(col("doc_id"), col("start"), col("n_ck"), col("chunk"))
+      },
+      Some("""WITH tok AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+              |), starts AS (
+              |  SELECT doc_id, tk,
+              |         unnest(generate_series(1, greatest(len(tk), 1), 20)) AS start
+              |  FROM tok
+              |)
+              |SELECT doc_id, CAST(start AS BIGINT) AS start,
+              |       CAST(least(30, len(tk) - start + 1) AS BIGINT) AS n_ck,
+              |       array_to_string(tk[start : start + 29], ' ') AS chunk
+              |FROM starts
+              |ORDER BY doc_id NULLS FIRST, start NULLS FIRST,
+              |         n_ck NULLS FIRST, chunk NULLS FIRST""".stripMargin)))
 }

@@ -335,5 +335,51 @@ object Windows extends Catalog {
               |FROM r WHERE rn = 1 AND op = 'U'
               |ORDER BY user_id NULLS FIRST, last_type NULLS FIRST,
               |         last_cents NULLS FIRST, last_ts_us NULLS FIRST,
-              |         n_changes NULLS FIRST""".stripMargin)))
+              |         n_changes NULLS FIRST""".stripMargin)),
+
+    // Time-based RANGE frames — the rolling-time-window aggregate every
+    // other frame in the catalog leaves out (they are all ROWS frames or
+    // the unbounded default). Per user: trailing-7-day event count and
+    // exact cents spend, plus a forward-1-day count (the "activity burst"
+    // lookahead). Ordering by integer epoch SECONDS makes the numeric
+    // RANGE frame identical on both engines (Spark rangeBetween and
+    // DuckDB RANGE both take value offsets over the sort key), and makes
+    // equal-second peers frame-identical by definition — RANGE includes
+    // all peers, so no unique-key suffix is needed for determinism. Both
+    // frames share one (user_id; sec) exchange + in-partition sort: at
+    // 100 TB this is a single fact shuffle and two streaming frame scans,
+    // never a per-row self-join (the naive SQL formulation of a time
+    // window, O(rows·window) at best).
+    "q_win_range_time" -> Q(
+      t => {
+        val e = t.events.select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          cents(col("value")).cast("long").as("c"))
+        val back = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-7L * 86400, 0L)
+        val fwd = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(1L, 86400L)
+        e.select(col("event_id"), col("user_id"), col("sec"),
+            count(lit(1)).over(back).as("w7_cnt"),
+            sum(col("c")).over(back).as("w7_cents"),
+            count(lit(1)).over(fwd).as("next1d_cnt"))
+          .orderBy(col("event_id"), col("user_id"), col("sec"),
+            col("w7_cnt"), col("w7_cents"), col("next1d_cnt"))
+      },
+      Some("""WITH e AS (
+              |  SELECT event_id, user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              |  FROM events
+              |)
+              |SELECT event_id, user_id, sec,
+              |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+              |              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS w7_cnt,
+              |       CAST(sum(c) OVER (PARTITION BY user_id ORDER BY sec
+              |              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS w7_cents,
+              |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+              |              RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING) AS BIGINT) AS next1d_cnt
+              |FROM e
+              |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, sec NULLS FIRST,
+              |         w7_cnt NULLS FIRST, w7_cents NULLS FIRST, next1d_cnt NULLS FIRST""".stripMargin)))
 }
