@@ -987,6 +987,52 @@ object TextQueries extends Catalog {
                |GROUP BY d.lang
                |ORDER BY lang NULLS FIRST, n_docs NULLS FIRST""".stripMargin)),
 
+    // Quality-aware survivor selection — keepCanonical's production twin:
+    // instead of the min-id document per near-dup cluster, keep the BEST
+    // document (longest token count, min-id tie-break) — what a real
+    // curation pipeline does so a truncated copy never shadows the full
+    // one. Same CC labeling (log-round star contraction), then one
+    // (component)-keyed window picking the argmax; both window functions
+    // share the exchange. Scale: clusters are near-dup groups (small by
+    // construction), so the per-component sort is bounded; everything else
+    // is the CC cost already probed at 10× data.
+    "q_dedup_keep_best" -> Q(
+      t => {
+        val pairs = Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
+        val comp = ConnectedComponents.labelAll(t.documents, "doc_id", pairs, "a", "b")
+        val scored = t.documents
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .join(comp, col("doc_id") === col("id")).drop("id")
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)
+        scored
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("component"))).cast("long"))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("doc_id").as("kept_doc_id"),
+            col("n_tokens").as("kept_n_tokens"), col("n_members"))
+          .orderBy(col("component"), col("kept_doc_id"), col("kept_n_tokens"),
+            col("n_members"))
+      },
+      Some(s"""$duckCcCtes
+               |, lab AS (
+               |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               |         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+               |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+               |), r AS (
+               |  SELECT component, doc_id, n_tokens,
+               |         row_number() OVER (PARTITION BY component
+               |                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+               |         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+               |  FROM lab
+               |)
+               |SELECT component, doc_id AS kept_doc_id,
+               |       n_tokens AS kept_n_tokens, n_members
+               |FROM r WHERE rn = 1
+               |ORDER BY component NULLS FIRST, kept_doc_id NULLS FIRST,
+               |         kept_n_tokens NULLS FIRST, n_members NULLS FIRST""".stripMargin)),
+
     // End-to-end corpus curation — the integration query proving the LLM
     // operators COMPOSE (each is individually oracle-green; composition is
     // where column-name, cache-lifetime, and determinism bugs hide):
