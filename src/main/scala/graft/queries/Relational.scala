@@ -220,6 +220,42 @@ object Relational extends Catalog {
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
               ORDER BY rf NULLS FIRST, ls NULLS FIRST, n NULLS FIRST, sum_qty NULLS FIRST""")),
 
+    // Exact mode with a DETERMINISTIC tie-break — built-in mode() leaves
+    // tie order unspecified on both engines (Spark picks an arbitrary
+    // bucket, DuckDB the first seen), so the catalog states the mode
+    // relationally: count per value, rank (count DESC, value ASC), keep
+    // rank 1. Two partial-agg'd shuffles of |groups|·|distinct values|
+    // keys — the grouped-count table is tiny at any corpus size, so the
+    // window costs nothing. The same shape yields top-k frequent values
+    // by raising the rank bound.
+    "q_agg_mode" -> Q(
+      t => {
+        val cnt = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+            col("n").as("n_mode"))
+          .orderBy(col("l_returnflag"), col("mode_qty"), col("n_mode"))
+      },
+      Some("""WITH cnt AS (
+              |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+              |  FROM lineitem GROUP BY 1, 2
+              |), r AS (
+              |  SELECT l_returnflag, l_quantity, n,
+              |         row_number() OVER (PARTITION BY l_returnflag
+              |                            ORDER BY n DESC, l_quantity ASC) AS rn
+              |  FROM cnt
+              |)
+              |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode
+              |FROM r WHERE rn = 1
+              |ORDER BY l_returnflag NULLS FIRST, mode_qty NULLS FIRST,
+              |         n_mode NULLS FIRST""".stripMargin)),
+
     // HLL sketch: engine-to-engine sketches differ by design → rows-only check
     // (tolerance covered by ApproxSpec against exact counts).
     "q_agg_approx_distinct" -> Q(

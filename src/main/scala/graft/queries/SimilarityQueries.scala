@@ -383,5 +383,70 @@ object SimilarityQueries extends Catalog {
                |       CAST(clabel AS BIGINT) AS clabel, qdot,
                |       ROUND(qcos, 4) AS qcos
                |FROM rankedh WHERE rank <= 5
-               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST""".stripMargin)))
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST""".stripMargin)),
+
+    // ANN quality audit — recall@3 of the sign-bucketed index against the
+    // brute-force ground truth, per query, as exact integer micro-units
+    // (the q_dedup_minhash_est discipline applied to vector search: the
+    // approximation ITSELF is under the oracle gate, so a silent recall
+    // regression — bucketing bug, tie-break drift — fails correctness, not
+    // just quality). Both arms reuse the existing operators; the semi-join
+    // intersects per-query top-3 sets, and queries with zero hits are kept
+    // through the left join. Scale: the audit runs on a sampled query set
+    // (here the 20-query side), so the brute-force arm is bounded — the
+    // standard recall-estimation shape at any corpus size.
+    "q_sim_recall_audit" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val qs = emb.filter(col("id") < 20)
+        val bf = Similarity.bruteForceTopK(qs, emb, k = 3)
+          .select(col("qid"), col("cid"))
+        val iv = Similarity.bucketedTopK(qs, emb, k = 3, nbits = 4)
+          .select(col("qid").as("iqid"), col("cid").as("icid"))
+        val hits = bf
+          .join(iv, col("qid") === col("iqid") && col("cid") === col("icid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        qs.select(col("id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_micro", expr("n_hit * 1000000L div 3"))
+          .orderBy(col("qid"), col("n_hit"), col("recall_micro"))
+      },
+      Some(s"""$duckVecCte, scored_bf AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+               |), bf AS (
+               |  SELECT qid, cid FROM (
+               |    SELECT qid, cid,
+               |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |    FROM scored_bf) WHERE rank <= 3
+               |), b AS (
+               |  SELECT vec_id, v, nrm,
+               |         CAST(list_sum(list_transform(range(0, 4), i ->
+               |           CASE WHEN v[i + 1] >= 0 THEN CAST(pow(2, i) AS BIGINT)
+               |                ELSE 0 END)) AS BIGINT) AS bucket
+               |  FROM n
+               |), scored_iv AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM b q JOIN b c ON q.bucket = c.bucket
+               |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+               |), iv AS (
+               |  SELECT qid, cid FROM (
+               |    SELECT qid, cid,
+               |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |    FROM scored_iv) WHERE rank <= 3
+               |), hits AS (
+               |  SELECT bf.qid, COUNT(*) AS n_hit
+               |  FROM bf JOIN iv ON bf.qid = iv.qid AND bf.cid = iv.cid
+               |  GROUP BY bf.qid
+               |)
+               |SELECT q.vec_id AS qid,
+               |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               |       CAST(COALESCE(h.n_hit, 0) * 1000000 // 3 AS BIGINT) AS recall_micro
+               |FROM n q LEFT JOIN hits h ON q.vec_id = h.qid
+               |WHERE q.vec_id < 20
+               |ORDER BY qid NULLS FIRST, n_hit NULLS FIRST, recall_micro NULLS FIRST""".stripMargin)))
 }
