@@ -56,4 +56,34 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join (closed intervals: `lLo <= rHi AND
+    * rLo <= lHi`) — the validity-window / concurrency primitive
+    * (point-in-interval's two-sided sibling). Both sides explode to their
+    * covering buckets and hash-join on bucket id; the exact predicate
+    * re-checks each candidate. Exactly-once WITHOUT a distinct pass: an
+    * overlapping pair shares every bucket covering the intersection, so
+    * only the bucket containing `greatest(lLo, rLo)` — the intersection's
+    * left edge, which both sides cover by definition — "claims" the pair
+    * (the standard one-bucket-claims trick from binned spatial joins).
+    * Cost is O(overlapping bucket pairs) with an ordinary hash shuffle —
+    * never the nested-loop O(|L|·|R|) a raw overlap predicate plans to.
+    * Column names must not collide; keep `__bucket` out of both inputs.
+    */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val l = left.withColumn("__bucket",
+      explode(sequence(bucketOf(col(lLoCol), bucketWidth),
+        bucketOf(col(lHiCol), bucketWidth))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(rLoCol), bucketWidth),
+        bucketOf(col(rHiCol), bucketWidth))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(lLoCol), col(rLoCol)), bucketWidth))
+      .drop("__bucket")
+  }
 }

@@ -556,5 +556,56 @@ object Joins extends Catalog {
               |FROM pl JOIN stats ON l_partkey = s_partkey
               |WHERE qty * 5 * cnt_qty < sum_qty
               |GROUP BY p_brand
-              |ORDER BY p_brand NULLS FIRST""".stripMargin)))
+              |ORDER BY p_brand NULLS FIRST""".stripMargin)),
+
+    // Interval × interval OVERLAP join — "which shipments were in transit
+    // during each audit window": transit windows derived per lineitem
+    // (shipdate + deterministic 1-13 day transit), audit windows per
+    // supplier. No equi-key exists, so a naive formulation is a nested
+    // loop over |lineitem|·|windows| — [[RangeJoin.intervalOverlap]]
+    // buckets both interval sets to epoch-day/16 cells, hash-joins on the
+    // cell, re-checks exactly, and claims each pair in the single bucket
+    // holding the intersection's left edge (exactly-once, no distinct).
+    // The oracle is the INDEPENDENT naive overlap join, so the bucketing
+    // + claim logic is gate-proven, not self-compared. Day arithmetic is
+    // all BIGINT.
+    "q_join_interval_overlap" -> Q(
+      t => {
+        val ship = t.lineitem.select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')")
+            .cast("long").as("t_lo"),
+          col("l_quantity").cast("long").as("qty"))
+          .withColumn("t_hi",
+            col("t_lo") + lit(1L) + (col("l_orderkey") * 7 + col("l_linenumber")) % 13)
+        val win = t.supplier.select(col("s_suppkey"),
+          (lit(9131L) + (col("s_suppkey") * 37) % 2400).as("w_lo"))
+          .withColumn("w_hi", col("w_lo") + lit(5L) + col("s_suppkey") % 10)
+        RangeJoin.intervalOverlap(ship, "t_lo", "t_hi", win, "w_lo", "w_hi",
+            bucketWidth = 16)
+          .groupBy(col("s_suppkey"), col("w_lo"), col("w_hi"))
+          .agg(count(lit(1)).as("n_transit"), sum(col("qty")).as("sum_qty"))
+          .orderBy(col("s_suppkey"), col("w_lo"), col("w_hi"),
+            col("n_transit"), col("sum_qty"))
+      },
+      Some("""WITH ship AS (
+              |  SELECT l_orderkey, l_linenumber,
+              |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t_lo,
+              |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              |           + 1 + (l_orderkey * 7 + l_linenumber) % 13 AS t_hi,
+              |         CAST(l_quantity AS BIGINT) AS qty
+              |  FROM lineitem
+              |), win AS (
+              |  SELECT s_suppkey,
+              |         9131 + (s_suppkey * 37) % 2400 AS w_lo,
+              |         9131 + (s_suppkey * 37) % 2400 + 5 + s_suppkey % 10 AS w_hi
+              |  FROM supplier
+              |)
+              |SELECT w.s_suppkey, w.w_lo, w.w_hi,
+              |       COUNT(*) AS n_transit,
+              |       CAST(SUM(s.qty) AS BIGINT) AS sum_qty
+              |FROM win w JOIN ship s ON s.t_lo <= w.w_hi AND w.w_lo <= s.t_hi
+              |GROUP BY 1, 2, 3
+              |ORDER BY s_suppkey NULLS FIRST, w_lo NULLS FIRST, w_hi NULLS FIRST,
+              |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)))
 }

@@ -63,4 +63,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("interval overlap matches the naive join exactly once per pair") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(120) { i =>
+      val lo = rnd.nextInt(800) - 400
+      (i.toLong, lo.toLong, (lo + rnd.nextInt(50)).toLong)
+    }
+    val right = Seq.tabulate(40) { i =>
+      val lo = rnd.nextInt(800) - 400
+      (1000L + i, lo.toLong, (lo + rnd.nextInt(120)).toLong)
+    }
+    val expect = (for {
+      (lid, llo, lhi) <- left
+      (rid, rlo, rhi) <- right
+      if llo <= rhi && rlo <= lhi
+    } yield (lid, rid)).sorted
+    assert(expect.nonEmpty)
+    for (w <- Seq(5L, 17L, 64L, 500L)) {
+      // sorted LIST, not set: a pair emitted twice (bucket-claim bug)
+      // would survive a set comparison — exactly-once is the contract.
+      val got = RangeJoin.intervalOverlap(
+        left.toDF("lid", "llo", "lhi"), "llo", "lhi",
+        right.toDF("rid", "rlo", "rhi"), "rlo", "rhi", w)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == expect, s"width $w")
+    }
+  }
+
+  test("interval overlap plans as a hash join on the bucket key") {
+    val l = spark.range(500).select($"id".as("lid"), ($"id" * 5).as("llo"), ($"id" * 5 + 9).as("lhi"))
+    val r = spark.range(50).select($"id".as("rid"), ($"id" * 40).as("rlo"), ($"id" * 40 + 30).as("rhi"))
+    val plan = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
