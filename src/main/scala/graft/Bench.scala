@@ -38,7 +38,8 @@ object Bench {
     "q_join_range_bucketed",
     "q_sim_kmeans",
     "q_join_star",
-    "q_join_waiting_suppliers")
+    "q_join_waiting_suppliers",
+    "q_graph_pagerank")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
@@ -310,7 +311,15 @@ object ScaleProbe {
         // and the map-side assignment scales linearly — a regression that
         // made driver state grow with the data would show up here as a
         // superlinear ratio (r8 verdict task 3).
-        catalogWork("q_sim_kmeans", "embeddings")) ++
+        catalogWork("q_sim_kmeans", "embeddings"),
+        // Pregel-shaped superstep iteration (the graph sibling of the CC
+        // probe): per superstep only the O(nodes) rank table reshuffles,
+        // edges stay checkpointed — a regression that reshuffled edges
+        // per round would surface as a superlinear ratio here. Replicated
+        // lineitem offsets orderkeys but shares partkeys, so edges grow
+        // linearly-in-factor while part-node degrees densify — the harder
+        // (skewed-growth) version of the linearity claim.
+        catalogWork("q_graph_pagerank", "lineitem")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
