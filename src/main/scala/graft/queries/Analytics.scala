@@ -369,5 +369,48 @@ object Analytics extends Catalog {
               |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
               |FROM trans
               |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST,
-              |         n NULLS FIRST, p_micro NULLS FIRST""".stripMargin)))
+              |         n NULLS FIRST, p_micro NULLS FIRST""".stripMargin)),
+
+    // Per-user statistical outlier flag with ZERO float arithmetic — the
+    // "2σ rule" (c − μ)² > 4·σ² restated over integer cents as
+    // (c·n − sum)² > 4·(n·sumsq − sum²): multiplying through by n²
+    // eliminates both the mean's division and the variance's, so the flag
+    // is exact BIGINT algebra with no engine-rounding boundary (the
+    // data-dependent-gate class the as-of/mixture fixes removed — here
+    // removed by construction). One whole-partition window over the
+    // (user_id) exchange computes n/sum/sumsq; the comparison is map-side.
+    // Magnitudes: cents ≤ ~1e5, per-user n ≤ ~1e3 ⇒ (c·n)² ≤ 1e16 < 2⁶³.
+    "q_events_outliers" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id"))
+        t.events
+          .select(col("event_id"), col("user_id"),
+            cents(col("value")).cast("long").as("c"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s", sum(col("c")).over(w))
+          .withColumn("s2", sum(col("c") * col("c")).over(w))
+          .select(col("event_id"), col("user_id"), col("c"),
+            ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
+              lit(4L) * (col("n") * col("s2") - col("s") * col("s")))
+              .as("is_outlier"))
+          .filter(col("is_outlier"))
+          .orderBy(col("event_id"), col("user_id"), col("c"), col("is_outlier"))
+      },
+      Some("""WITH e AS (
+              |  SELECT event_id, user_id,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+              |  FROM events
+              |), st AS (
+              |  SELECT event_id, user_id, c,
+              |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+              |         CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+              |         CAST(sum(c * c) OVER (PARTITION BY user_id) AS BIGINT) AS s2
+              |  FROM e
+              |)
+              |SELECT event_id, user_id, c,
+              |       (c * n - s) * (c * n - s) > 4 * (n * s2 - s * s) AS is_outlier
+              |FROM st
+              |WHERE (c * n - s) * (c * n - s) > 4 * (n * s2 - s * s)
+              |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
+              |         c NULLS FIRST, is_outlier NULLS FIRST""".stripMargin)))
 }
