@@ -761,6 +761,63 @@ object TextQueries extends Catalog {
                |WHERE bit_count(xor(x.sim, y.sim)) <= 2
                |ORDER BY a NULLS FIRST, b NULLS FIRST, hamming NULLS FIRST""".stripMargin)),
 
+    // Scale-safe SimHash Hamming dedup (Manku, Jain & Sarma, WWW'07 —
+    // Google's near-dup detection): ALL corpus pairs at Hamming distance
+    // ≤ 2 over the 30-bit SimHash, with NO blocking attribute and NO
+    // quadratic pair space. Pigeonhole completeness: split the 30 bits
+    // into 3 bands of 10; ≤ 2 differing bits touch ≤ 2 bands, so at least
+    // one band is bit-identical and the pair meets in that band's bucket —
+    // exact, not probabilistic. Candidate cost is Σ_bucket |bucket|² over
+    // 3·2¹⁰ hash buckets (an equi-join shuffle on (band, value)), never
+    // O(n²): this is the scale-safe exact twin of the labeled-quadratic
+    // q_dedup_simhash_pairs baseline, the same upgrade q_dedup_jaccard_prefix
+    // gives q_sim_near_dup. Rows carry their simhash through the band
+    // explode, so verification is a map-side bit_count on the joined row —
+    // no join-back; distinct() runs only over surviving pairs (pairs agreeing
+    // in multiple bands dedupe there). At 100 TB: widen to a 64-bit simhash
+    // and k+1 bands for Hamming ≤ k (Manku's 64-bit/6-band production
+    // setting); bucket skew is bounded because near-identical boilerplate
+    // collapses to FEW DISTINCT simhash values whose buckets grow linearly,
+    // which is exactly the duplication the query exists to find. The oracle
+    // is the INDEPENDENT brute-force all-pairs form, so the oracle gate also
+    // proves the pigeonhole completeness theorem on real data at both SFs.
+    "q_dedup_simhash_bands" -> Q(
+      t => {
+        val sims = t.documents.select(
+          col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+          .localCheckpoint(true)
+        val bands = sims.select(col("doc_id"), col("sim"),
+            explode(sequence(lit(0), lit(2))).as("bi"))
+          .select(col("doc_id"), col("sim"), col("bi"),
+            expr("shiftright(sim, CAST(bi * 10 AS INT)) & 1023").as("bv"))
+        bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            expr("bit_count(x.sim ^ y.sim)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .distinct()
+          .orderBy(col("a"), col("b"), col("hamming"))
+      },
+      Some(s"""WITH sims AS (
+               |  SELECT doc_id,
+               |         CAST(list_sum(list_transform(range(0, 30), i ->
+               |           CASE WHEN list_sum(list_transform(hs, x ->
+               |                  (x // CAST(pow(2, i) AS BIGINT) % 2) * 2 - 1)) > 0
+               |                THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sim
+               |  FROM (SELECT doc_id,
+               |               list_transform(string_split_regex(trim(text), '\\s+'), s ->
+               |                 list_reduce(list_transform(string_split(s, ''),
+               |                                            ch -> CAST(ascii(ch) AS BIGINT)),
+               |                             (acc, x) -> (acc * 31 + x) % $P)) AS hs
+               |        FROM documents)
+               |)
+               |SELECT x.doc_id AS a, y.doc_id AS b,
+               |       CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+               |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+               |WHERE bit_count(xor(x.sim, y.sim)) <= 2
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, hamming NULLS FIRST""".stripMargin)),
+
     "q_dedup_ngram_jaccard" -> Q(
       t => {
         val sh = t.documents
