@@ -412,5 +412,49 @@ object Analytics extends Catalog {
               |FROM st
               |WHERE (c * n - s) * (c * n - s) > 4 * (n * s2 - s * s)
               |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
-              |         c NULLS FIRST, is_outlier NULLS FIRST""".stripMargin)))
+              |         c NULLS FIRST, is_outlier NULLS FIRST""".stripMargin)),
+
+    // TPC-H Q11's shape — group value share against a global scalar gate:
+    // per-part inventory value restricted to one nation's suppliers,
+    // keeping parts whose value exceeds 1/1000 of the filtered total.
+    // The share test is stated MULTIPLICATIVELY on exact cent BIGINTs
+    // (value·1000 > total — no division, no float, no rounding boundary
+    // for the gate to sit on). Scale shape: the one-row total reduces
+    // map-side and rejoins as a broadcast cross join (the
+    // q_join_dormant_rich scalar-gate pattern), the per-part aggregate is
+    // one partial-agg'd shuffle on partkey, and the nation-filtered
+    // supplier dim broadcasts. The HAVING filter runs post-broadcast,
+    // map-side on the aggregated rows.
+    "q_agg_value_share" -> Q(
+      t => {
+        val sn = t.supplier.join(
+            broadcast(t.nation.filter(col("n_name") === "NATION_7")
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val per = t.lineitem
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(sum(cents(col("l_extendedprice")).cast("long")).as("value_cents"))
+        val tot = per.agg(sum(col("value_cents")).as("total_cents"))
+        per.crossJoin(broadcast(tot))
+          .filter(col("value_cents") * 1000 > col("total_cents"))
+          .select(col("p_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc_nulls_last, col("p_partkey"))
+      },
+      Some("""WITH per AS (
+              |  SELECT l_partkey AS p_partkey,
+              |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+              |  FROM lineitem
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation   ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_7'
+              |  GROUP BY 1
+              |), tot AS (
+              |  SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per
+              |)
+              |SELECT p_partkey, value_cents
+              |FROM per CROSS JOIN tot
+              |WHERE value_cents * 1000 > total_cents
+              |ORDER BY value_cents DESC NULLS LAST, p_partkey NULLS FIRST""".stripMargin)))
 }

@@ -306,6 +306,67 @@ object Joins extends Catalog {
               |ORDER BY revenue DESC NULLS LAST, c_custkey
               |LIMIT 20""".stripMargin)),
 
+    // TPC-H Q2's shape — minimum-cost supplier per part with ties KEPT:
+    // a selective dim filter (p_size ≤ 3, pushed to the part scan), a
+    // supplier⋈nation⋈region dim chain restricted to one region, a
+    // per-(part, supplier) cost aggregate over the fact table, and the
+    // correlated "= (SELECT MIN(...))" decorrelated the way Catalyst
+    // plans it: a per-part min aggregate joined back on
+    // (partkey, cost) — equality on exact cent BIGINTs, so tie survival
+    // is engine-stable by construction (every supplier AT the min
+    // survives on both engines; no float boundary to disagree on).
+    // Scale shape: part filter and region chain are broadcast dims
+    // (forced for nation⋈region — broadcast-sized at any SF; part and
+    // supplier edges left to AQE, degrading to equi-shuffles at 100 TB);
+    // the join-back side is one row per qualifying part, which AQE
+    // broadcasts at runtime. Cost = MIN over the fact rows, a map-side
+    // partial-agg'd shuffle on the (part, supplier) pair key.
+    "q_join_min_cost_supplier" -> Q(
+      t => {
+        val sn = t.supplier
+          .join(broadcast(t.nation
+              .join(broadcast(t.region.filter(col("r_name") === "EUROPE")
+                .select(col("r_regionkey"))),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val cost = t.lineitem
+          .join(t.part.filter(col("p_size") <= 3)
+            .select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .join(sn, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_partkey"), col("p_type"), col("s_suppkey"),
+            col("s_name"), col("n_name"))
+          .agg(min(cents(col("l_extendedprice")).cast("long")).as("cost_cents"))
+        val best = cost.groupBy(col("p_partkey").as("bk"))
+          .agg(min(col("cost_cents")).as("best_cents"))
+        cost.join(best, col("p_partkey") === col("bk") &&
+            col("cost_cents") === col("best_cents"))
+          .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+            col("s_name"), col("n_name"), col("cost_cents"))
+          .orderBy(col("p_partkey"), col("p_type"), col("s_suppkey"),
+            col("s_name"), col("n_name"), col("cost_cents"))
+      },
+      Some("""WITH cost AS (
+              |  SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+              |         MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+              |  FROM lineitem
+              |  JOIN part     ON l_partkey = p_partkey AND p_size <= 3
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation   ON s_nationkey = n_nationkey
+              |  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+              |  GROUP BY 1, 2, 3, 4, 5
+              |), best AS (
+              |  SELECT p_partkey AS bk, MIN(cost_cents) AS best_cents
+              |  FROM cost GROUP BY 1
+              |)
+              |SELECT p_partkey, p_type, s_suppkey, s_name, n_name, cost_cents
+              |FROM cost JOIN best ON p_partkey = bk AND cost_cents = best_cents
+              |ORDER BY p_partkey NULLS FIRST, p_type NULLS FIRST,
+              |         s_suppkey NULLS FIRST, s_name NULLS FIRST,
+              |         n_name NULLS FIRST, cost_cents NULLS FIRST""".stripMargin)),
+
     // Skew-safe salted join under the oracle gate: every even l_orderkey
     // maps onto key 0 (≈50% of lineitem rows share one join key), the rest
     // fold into a ≤998-key space — the hot-key × small-dim shape the
