@@ -74,4 +74,35 @@ object Partitioning {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedL.join(replicatedR, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Null-skew-safe LEFT OUTER equi-join. A null join key can never match,
+    * but outer-join semantics must keep the row — so in a plain shuffle
+    * plan every null-key row hashes to the SINGLE hash(null) reducer. On
+    * fact tables where the foreign key is sparsely populated (clickstreams
+    * with mostly-anonymous user ids, logs with optional order ids) that
+    * one reducer receives 90%+ of the data and the stage runs at 1× no
+    * matter how many executors exist — the classic null-skew incident.
+    *
+    * Fix by construction: route null-key rows AROUND the shuffle entirely.
+    * They cannot match, so their joined shape is known without joining —
+    * left columns + all-null right columns. The non-null stream shuffles
+    * evenly; the null stream stays map-side and unions back narrow.
+    * Result is EXACTLY the left join's (proven by q_join_null_skew's
+    * oracle, which replays the plain LEFT JOIN in SQL).
+    *
+    * Catalyst does not perform this rewrite itself (it only strips nulls
+    * from inner/semi sides via IsNotNull inference — for outer joins the
+    * null rows must flow through the join), and AQE's skew-join splitting
+    * rescues only sort-merge joins AFTER the skewed shuffle is already
+    * materialized; this rewrite removes that shuffle's input instead.
+    */
+  def nullSkewLeftJoin(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    val rightCols = right.columns.filterNot(_ == key)
+    val matched = left.filter(col(key).isNotNull)
+      .join(right, Seq(key), "left")
+    val unmatched = rightCols.foldLeft(left.filter(col(key).isNull)) {
+      case (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    matched.unionByName(unmatched.select(matched.columns.map(col).toIndexedSeq: _*))
+  }
 }

@@ -367,6 +367,38 @@ object Joins extends Catalog {
               |         s_suppkey NULLS FIRST, s_name NULLS FIRST,
               |         n_name NULLS FIRST, cost_cents NULLS FIRST""".stripMargin)),
 
+    // Null-skew-safe LEFT OUTER join under the oracle gate: 90% of the
+    // fact rows carry a NULL foreign key (o_custkey blanked unless
+    // o_orderkey % 10 = 0 — the sparse-FK shape of clickstreams with
+    // anonymous users). A plain shuffle plan sends every null-key row to
+    // the single hash(null) reducer; `Partitioning.nullSkewLeftJoin`
+    // routes them around the join entirely (they cannot match — their
+    // joined shape is left columns + null right columns by construction)
+    // and shuffles only the 10% matchable stream. The oracle replays the
+    // PLAIN LEFT JOIN in SQL, so the gate proves the rewrite is
+    // result-identical on real data; NullSkewJoinSpec pins the synthetic
+    // edge shapes (all-null, no-null, unmatched non-null keys).
+    "q_join_null_skew" -> Q(
+      t => {
+        val l = t.orders.select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, col("o_custkey")).as("k"),
+          cents(col("o_totalprice")).cast("long").as("price_cents"))
+        val r = t.customer.select(col("c_custkey").as("k"), col("c_name"))
+        Partitioning.nullSkewLeftJoin(l, r, "k")
+          .select(col("o_orderkey"), col("k"), col("c_name"), col("price_cents"))
+          .orderBy(col("o_orderkey"), col("k"), col("c_name"), col("price_cents"))
+      },
+      Some("""WITH l AS (
+              |  SELECT o_orderkey,
+              |         CASE WHEN o_orderkey % 10 = 0 THEN o_custkey END AS k,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+              |  FROM orders
+              |)
+              |SELECT l.o_orderkey, l.k, c.c_name, l.price_cents
+              |FROM l LEFT JOIN customer c ON l.k = c.c_custkey
+              |ORDER BY o_orderkey NULLS FIRST, k NULLS FIRST,
+              |         c_name NULLS FIRST, price_cents NULLS FIRST""".stripMargin)),
+
     // Skew-safe salted join under the oracle gate: every even l_orderkey
     // maps onto key 0 (≈50% of lineitem rows share one join key), the rest
     // fold into a ≤998-key space — the hot-key × small-dim shape the
