@@ -21,7 +21,10 @@ object Bench {
     * order / runtime-broadcast decisions on deep chains are where plans
     * break at 100×) and the Q21-shaped dual-correlation anchor (semi+anti
     * joins against the full fact — the decorrelated-subquery plan family),
-    * so the bench signal covers them too.
+    * so the bench signal covers them too. Late-r9 appends the band-blocked
+    * SimHash dedup (the Σ|bucket|² candidate join), the Q2-shaped
+    * min-cost join-back, and the z-order layout planner (a 60-term
+    * codegen'd bit expression over the full fact — pure map throughput).
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -39,7 +42,10 @@ object Bench {
     "q_sim_kmeans",
     "q_join_star",
     "q_join_waiting_suppliers",
-    "q_graph_pagerank")
+    "q_graph_pagerank",
+    "q_dedup_simhash_bands",
+    "q_join_min_cost_supplier",
+    "q_layout_zorder")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of

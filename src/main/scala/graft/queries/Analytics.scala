@@ -414,6 +414,31 @@ object Analytics extends Catalog {
               |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
               |         c NULLS FIRST, is_outlier NULLS FIRST""".stripMargin)),
 
+    // Bitwise aggregates — bit_and/bit_or/bit_xor over group members
+    // (the bitmap-index / flag-set primitives): fully associative and
+    // commutative integer ops, so partial-agg merge order cannot affect
+    // the result on any engine at any parallelism — the best-case
+    // aggregate for the 100 TB map-side-combine path.
+    "q_agg_bitwise" -> Q(
+      t => t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_orderkey)").as("k_and"),
+          expr("bit_or(l_orderkey)").as("k_or"),
+          expr("bit_xor(l_orderkey)").as("k_xor"),
+          expr("bit_count(bit_or(l_orderkey))").cast("long").as("or_bits"))
+        .orderBy(col("l_returnflag"), col("k_and"), col("k_or"),
+          col("k_xor"), col("or_bits")),
+      Some("""SELECT l_returnflag,
+              |       bit_and(l_orderkey) AS k_and,
+              |       bit_or(l_orderkey) AS k_or,
+              |       bit_xor(l_orderkey) AS k_xor,
+              |       CAST(bit_count(bit_or(l_orderkey)) AS BIGINT) AS or_bits
+              |FROM lineitem
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag NULLS FIRST, k_and NULLS FIRST,
+              |         k_or NULLS FIRST, k_xor NULLS FIRST,
+              |         or_bits NULLS FIRST""".stripMargin)),
+
     // TPC-H Q11's shape — group value share against a global scalar gate:
     // per-part inventory value restricted to one nation's suppliers,
     // keeping parts whose value exceeds 1/1000 of the filtered total.
