@@ -414,6 +414,63 @@ object Analytics extends Catalog {
               |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST,
               |         c NULLS FIRST, is_outlier NULLS FIRST""".stripMargin)),
 
+    // RFM segmentation — the classic behavioral scoring: per user,
+    // Recency (whole days since last event, against the corpus max-ts
+    // anchor), Frequency (event count), Monetary (exact cents sum), each
+    // banded 1-3 by fixed thresholds and fused into one segment code.
+    // All integer arithmetic: recency in whole days via integer µs
+    // division, monetary in cents — no float banding boundary. Scale
+    // shape: ONE partial-agg'd shuffle on user_id computes all three
+    // (max/count/sum are algebraic), the one-row anchor rejoins as a
+    // broadcast cross join, and banding is map-side on the aggregate.
+    "q_events_rfm" -> Q(
+      t => {
+        val per = t.events.groupBy(col("user_id")).agg(
+          max(expr("unix_micros(ts)")).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("value")).cast("long")).as("monetary_cents"))
+        val anchor = per.agg(max(col("last_us")).as("anchor_us"))
+        per.crossJoin(broadcast(anchor))
+          .withColumn("recency_days",
+            expr("(anchor_us - last_us) div 86400000000"))
+          .withColumn("r_score",
+            when(col("recency_days") <= 7, 3L).when(col("recency_days") <= 30, 2L).otherwise(1L))
+          .withColumn("f_score",
+            when(col("freq") >= 20, 3L).when(col("freq") >= 5, 2L).otherwise(1L))
+          .withColumn("m_score",
+            when(col("monetary_cents") >= 100000, 3L)
+              .when(col("monetary_cents") >= 10000, 2L).otherwise(1L))
+          .select(col("user_id"), col("recency_days"), col("freq"),
+            col("monetary_cents"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+          .orderBy(col("user_id"), col("recency_days"), col("freq"),
+            col("monetary_cents"), col("segment"))
+      },
+      Some("""WITH per AS (
+              |  SELECT user_id,
+              |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+              |         CAST(COUNT(*) AS BIGINT) AS freq,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+              |  FROM events GROUP BY user_id
+              |), anchor AS (
+              |  SELECT MAX(last_us) AS anchor_us FROM per
+              |), scored AS (
+              |  SELECT user_id, (anchor_us - last_us) // 86400000000 AS recency_days,
+              |         freq, monetary_cents
+              |  FROM per CROSS JOIN anchor
+              |)
+              |SELECT user_id, recency_days, freq, monetary_cents,
+              |       CAST((CASE WHEN recency_days <= 7 THEN 3
+              |             WHEN recency_days <= 30 THEN 2 ELSE 1 END) * 100
+              |       + (CASE WHEN freq >= 20 THEN 3
+              |               WHEN freq >= 5 THEN 2 ELSE 1 END) * 10
+              |       + (CASE WHEN monetary_cents >= 100000 THEN 3
+              |               WHEN monetary_cents >= 10000 THEN 2 ELSE 1 END) AS BIGINT) AS segment
+              |FROM scored
+              |ORDER BY user_id NULLS FIRST, recency_days NULLS FIRST,
+              |         freq NULLS FIRST, monetary_cents NULLS FIRST,
+              |         segment NULLS FIRST""".stripMargin)),
+
     // Bitwise aggregates — bit_and/bit_or/bit_xor over group members
     // (the bitmap-index / flag-set primitives): fully associative and
     // commutative integer ops, so partial-agg merge order cannot affect

@@ -399,6 +399,61 @@ object Joins extends Catalog {
               |ORDER BY o_orderkey NULLS FIRST, k NULLS FIRST,
               |         c_name NULLS FIRST, price_cents NULLS FIRST""".stripMargin)),
 
+    // Lakehouse MERGE INTO (upsert + delete), stated relationally: base
+    // table ⟕⟖ changes on the key, matched 'U' rows take the update's
+    // values, matched 'D' rows vanish, unmatched 'U' rows insert,
+    // unmatched 'D' tombstones no-op — every branch of the MERGE spec in
+    // one full-outer join + one filter + coalesce projection, with a
+    // change-type audit column. Both sides derive deterministically from
+    // orders (base = keys ∤3, changes = keys ∣2, deletes = keys ∣10).
+    // Scale shape: ONE shuffle on the merge key for both sides — a full
+    // outer join admits no broadcast, which is why production MERGE
+    // engines prune to touched files/partitions first (the q_layout_*
+    // planners' stats are exactly what that pruning consults) and why the
+    // streaming twin (StreamOps.cdcSnapshot) compacts per microbatch
+    // instead of re-merging history.
+    "q_merge_upsert" -> Q(
+      t => {
+        val base = t.orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("b_status"),
+            cents(col("o_totalprice")).cast("long").as("b_cents"))
+        val upd = t.orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+            lit("U").as("u_status"),
+            (cents(col("o_totalprice")).cast("long") + 50).as("u_cents"))
+        base.join(upd, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") === "U")
+          .select(col("k"),
+            coalesce(col("u_status"), col("b_status")).as("status"),
+            coalesce(col("u_cents"), col("b_cents")).as("price_cents"),
+            when(col("op").isNull, "kept")
+              .when(col("b_status").isNull, "inserted")
+              .otherwise("updated").as("change"))
+          .orderBy(col("k"), col("status"), col("price_cents"), col("change"))
+      },
+      Some("""WITH base AS (
+              |  SELECT o_orderkey AS k, o_orderstatus AS b_status,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS b_cents
+              |  FROM orders WHERE o_orderkey % 3 <> 0
+              |), upd AS (
+              |  SELECT o_orderkey AS k,
+              |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+              |         'U' AS u_status,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 50 AS u_cents
+              |  FROM orders WHERE o_orderkey % 2 = 0
+              |)
+              |SELECT COALESCE(b.k, u.k) AS k,
+              |       COALESCE(u_status, b_status) AS status,
+              |       COALESCE(u_cents, b_cents) AS price_cents,
+              |       CASE WHEN op IS NULL THEN 'kept'
+              |            WHEN b_status IS NULL THEN 'inserted'
+              |            ELSE 'updated' END AS change
+              |FROM base b FULL JOIN upd u ON b.k = u.k
+              |WHERE op IS NULL OR op = 'U'
+              |ORDER BY k NULLS FIRST, status NULLS FIRST,
+              |         price_cents NULLS FIRST, change NULLS FIRST""".stripMargin)),
+
     // Skew-safe salted join under the oracle gate: every even l_orderkey
     // maps onto key 0 (≈50% of lineitem rows share one join key), the rest
     // fold into a ≤998-key space — the hot-key × small-dim shape the

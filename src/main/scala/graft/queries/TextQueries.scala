@@ -635,6 +635,43 @@ object TextQueries extends Catalog {
     // the V boundary are deterministic ((cnt DESC, term ASC) on both
     // engines). ids arrays compare cell-exact under the gate — order
     // restored from posexplode positions via array_sort on (pos, tid).
+    // BPE training's inner-loop statistic: corpus-wide counts of ADJACENT
+    // SYMBOL PAIRS within words (the quantity each merge step of
+    // byte-pair-encoding tokenizer training maximizes), reported as the
+    // deterministic top-50 (count desc, pair asc — the tie order makes
+    // the cut line engine-stable). Scale shape: two narrow explodes
+    // (tokens, then intra-token pairs — no shuffle), one partial-agg'd
+    // count shuffle over the pair vocabulary (bounded by |charset|², not
+    // corpus size), and a TakeOrdered top-k. This is the full map-reduce
+    // step of distributed BPE training; iterating it with a merge table
+    // is the production loop.
+    "q_text_bpe_pairs" -> Q(
+      t => {
+        val toks = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        toks.select(explode(expr(
+            """CASE WHEN length(tok) >= 2
+              |     THEN transform(sequence(1, length(tok) - 1),
+              |                    i -> substring(tok, i, 2))
+              |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+              |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+              |  FROM documents
+              |), pairs AS (
+              |  SELECT unnest(list_transform(range(1, length(tok)),
+              |                               i -> substring(tok, i, 2))) AS pair
+              |  FROM toks
+              |)
+              |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+              |FROM pairs GROUP BY pair
+              |ORDER BY n DESC, pair
+              |LIMIT 50""".stripMargin)),
+
     "q_text_vocab_encode" -> Q(
       t => {
         val toks = t.documents.select(col("doc_id"),
