@@ -497,7 +497,10 @@ object Analytics extends Catalog {
               |         or_bits NULLS FIRST""".stripMargin)),
 
     // TPC-H Q11's shape — group value share against a global scalar gate:
-    // per-part inventory value restricted to one nation's suppliers,
+    // per-part inventory value restricted to one region's suppliers
+    // (region rather than Q11's single nation: the smallest test SF has
+    // nations with zero suppliers, and a surface whose flagship rows>0
+    // smoke depends on dim-row luck is a flaky contract),
     // keeping parts whose value exceeds 1/1000 of the filtered total.
     // The share test is stated MULTIPLICATIVELY on exact cent BIGINTs
     // (value·1000 > total — no division, no float, no rounding boundary
@@ -510,7 +513,10 @@ object Analytics extends Catalog {
     "q_agg_value_share" -> Q(
       t => {
         val sn = t.supplier.join(
-            broadcast(t.nation.filter(col("n_name") === "NATION_7")
+            broadcast(t.nation
+              .join(broadcast(t.region.filter(col("r_name") === "EUROPE")
+                .select(col("r_regionkey"))),
+                col("n_regionkey") === col("r_regionkey"))
               .select(col("n_nationkey"))),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
@@ -530,7 +536,8 @@ object Analytics extends Catalog {
               |  FROM lineitem
               |  JOIN supplier ON l_suppkey = s_suppkey
               |  JOIN nation   ON s_nationkey = n_nationkey
-              |  WHERE n_name = 'NATION_7'
+              |  JOIN region   ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'EUROPE'
               |  GROUP BY 1
               |), tot AS (
               |  SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per
