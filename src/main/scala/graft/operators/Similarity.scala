@@ -360,4 +360,51 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
   }
+
+  /** Product-quantization codes (Jégou, Douze & Schmid, TPAMI 2011 — the
+    * FAISS-style memory-bound ANN structure): the int8 vector is split
+    * into `m` subvectors of `subDim` dims, and EACH SUBSPACE is clustered
+    * independently with the same exact-integer spherical k-means as
+    * [[kmeansAssign]] (within one subspace, cosine against an int64
+    * SUM-centroid equals cosine against the mean — scale cancels — so the
+    * per-subspace assignment is exact, deterministic, and oracle-
+    * replayable as-is). A vector's PQ code is its m cluster ids: m·log₂k
+    * bits instead of d floats — at 100 TB the corpus side of a search
+    * touches ONLY these codes (m longs here; m bytes packed), which is
+    * the entire point of PQ.
+    *
+    * Returns (id, m, code) in long form — one row per (vector, subspace),
+    * the shape the ADC scoring join consumes directly.
+    */
+  def pqCodes(qn: DataFrame, m: Int, subDim: Int, k: Int, iters: Int): DataFrame =
+    (0 until m).map { i =>
+      val sub = qn.select(col("id"),
+        slice(col("q"), i * subDim + 1, subDim).as("q"))
+      kmeansAssign(sub, k, iters)
+        .select(col("id"), lit(i).cast("int").as("m"),
+          col("cluster").cast("int").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** Per-(subspace, code) codebook centroids as exact MICRO-UNIT means:
+    * floor(sum·10⁶ / count) per dimension — a fixed sequence of exactly-
+    * representable IEEE ops over exact int64 sums (|sum·10⁶| < 2⁵³), so
+    * both engines floor identically (a `div`/`//` integer division would
+    * NOT be portable here: negative sums truncate on Spark but floor on
+    * DuckDB). Means, not sums: the ADC score mixes subspaces, and a
+    * sum-centroid would weight each term by its cluster's member count.
+    */
+  def pqCodebook(qn: DataFrame, codes: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = (0 until m).map { i =>
+      qn.select(col("id"), lit(i).cast("int").as("m"),
+        slice(col("q"), i * subDim + 1, subDim).as("qs"))
+    }.reduce(_ unionByName _)
+    subs.join(codes, Seq("id", "m"))
+      .select(col("m"), col("code"), posexplode(col("qs")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        floor(col("s") * 1000000 / col("cnt")).as("cv")))).as("pcs"))
+      .select(col("m"), col("code"), transform(col("pcs"), _.getField("cv")).as("cv"))
+  }
 }

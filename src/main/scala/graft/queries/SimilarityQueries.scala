@@ -74,7 +74,140 @@ object SimilarityQueries extends Catalog {
        |${assign("c2", "asg")}""".stripMargin
   }
 
+  /** DuckDB replay of the full PQ pipeline (q_sim_pq_topk): per subspace
+    * mm over dims [mm·16+1, mm·16+16] — slice → deterministic init from
+    * the 8 lowest vec_ids → two Lloyd rounds of the SAME exact-integer
+    * spherical k-means as duckKmeansCtes → micro-unit mean codebook
+    * (floor(sum·10⁶/count) as a double floor, the engine-portable form —
+    * integer `//` would floor while Spark's `div` truncates on negative
+    * sums) → per-query LUT dots → ADC sum over the 4 code rows.
+    */
+  private def duckPqCtes: String = {
+    def sub(mm: Int): String = {
+      val p = s"s$mm"
+      val lo = mm * 16 + 1
+      val hi = mm * 16 + 16
+      def assign(cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, q, cl FROM (
+           |    SELECT v.vec_id, v.q, c.cl,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             CAST(${duckDot("v.q", "c.q")} AS DOUBLE) /
+           |               sqrt(CAST(${duckDot("c.q", "c.q")} AS DOUBLE)) DESC, c.cl) AS rn
+           |    FROM ${p}q v CROSS JOIN $cents c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def update(src: String, prevCents: String, n: Int) =
+        s"""${p}u$n AS (
+           |  SELECT cl, t.i AS i, SUM(q[t.i]) AS s
+           |  FROM $src CROSS JOIN range(1, 17) AS t(i)
+           |  GROUP BY cl, t.i
+           |), ${p}c${n}s AS (
+           |  SELECT cl, list(CAST(s AS BIGINT) ORDER BY i) AS q FROM ${p}u$n GROUP BY cl
+           |), ${p}c$n AS (
+           |  SELECT cl, q FROM ${p}c${n}s
+           |  UNION ALL
+           |  SELECT cl, q FROM $prevCents WHERE cl NOT IN (SELECT cl FROM ${p}c${n}s)
+           |)""".stripMargin
+      s"""${p}q AS (
+         |  SELECT vec_id, q[$lo:$hi] AS q FROM qkv
+         |), ${p}c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q
+         |  FROM (SELECT vec_id, q FROM ${p}q ORDER BY vec_id LIMIT 8)
+         |), ${assign(s"${p}c0", s"${p}a1")}, ${update(s"${p}a1", s"${p}c0", 1)},
+         |${assign(s"${p}c1", s"${p}a2")}, ${update(s"${p}a2", s"${p}c1", 2)},
+         |${assign(s"${p}c2", s"${p}asg")}, ${p}cb AS (
+         |  SELECT cl, list(CAST(floor(CAST(s * 1000000 AS DOUBLE) / cnt) AS BIGINT)
+         |                  ORDER BY i) AS cv
+         |  FROM (SELECT cl, t.i AS i, SUM(q[t.i]) AS s, COUNT(*) AS cnt
+         |        FROM ${p}asg CROSS JOIN range(1, 17) AS t(i)
+         |        GROUP BY cl, t.i)
+         |  GROUP BY cl
+         |), ${p}lut AS (
+         |  SELECT v.vec_id AS qid, c.cl, CAST(${duckDot("v.q", "c.cv")} AS BIGINT) AS dotv
+         |  FROM ${p}q v CROSS JOIN ${p}cb c
+         |  WHERE v.vec_id < 5
+         |)""".stripMargin
+    }
+    s"""$duckVecCte, mxk AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS ma
+       |  FROM e
+       |), qkv AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+       |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+       |  FROM mxk
+       |), ${sub(0)}, ${sub(1)}, ${sub(2)}, ${sub(3)},
+       |codes AS (
+       |  SELECT vec_id, 0 AS m, cl FROM s0asg UNION ALL
+       |  SELECT vec_id, 1, cl FROM s1asg UNION ALL
+       |  SELECT vec_id, 2, cl FROM s2asg UNION ALL
+       |  SELECT vec_id, 3, cl FROM s3asg
+       |), luts AS (
+       |  SELECT qid, 0 AS m, cl, dotv FROM s0lut UNION ALL
+       |  SELECT qid, 1, cl, dotv FROM s1lut UNION ALL
+       |  SELECT qid, 2, cl, dotv FROM s2lut UNION ALL
+       |  SELECT qid, 3, cl, dotv FROM s3lut
+       |)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
+
+    // Product-quantization ANN (Jégou et al.; the FAISS memory-bound
+    // structure) with asymmetric-distance (ADC) scoring, END-TO-END under
+    // the exact oracle gate: int8 quantize → 4 independent 16-dim
+    // subspace k-means (exact-integer spherical Lloyd's, two rounds) →
+    // micro-unit mean codebooks → per-query 4×8-entry LUT of integer
+    // dots → document score = Σ over its 4 CODE rows of LUT lookups —
+    // an all-BIGINT ranking with no float boundary anywhere. Scale
+    // shape: the corpus side of the scoring join carries ONLY (id,
+    // subspace, code) — m·log₂k bits of payload per vector instead of d
+    // floats (the entire point of PQ at 100 TB: the vector table stays
+    // on disk, the scan reads codes); the LUT is nq·m·k rows and
+    // broadcast; training state is m·k·subDim integers on the driver —
+    // constant in corpus size, same contract as q_sim_kmeans.
+    "q_sim_pq_topk" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val qn = Similarity.prepareQuantized(emb)
+        val codes = Similarity.pqCodes(qn, m = 4, subDim = 16, k = 8, iters = 2)
+          .localCheckpoint(true) // feeds the codebook AND the scoring join
+        val cb = Similarity.pqCodebook(qn, codes, m = 4, subDim = 16)
+        val qsub = (0 until 4).map { i =>
+          qn.filter(col("id") < 5).select(col("id").as("qid"),
+            lit(i).cast("int").as("m"), slice(col("q"), i * 16 + 1, 16).as("qs"))
+        }.reduce(_ unionByName _)
+        val lut = qsub.join(cb, Seq("m"))
+          .select(col("qid"), col("m"), col("code"),
+            Similarity.intDot(col("qs"), col("cv")).as("dotv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("adc_dot").desc, col("cid"))
+        codes.join(broadcast(lut), Seq("m", "code"))
+          .filter(col("id") =!= col("qid"))
+          .groupBy(col("qid"), col("id"))
+          .agg(sum(col("dotv")).as("adc_dot"))
+          .withColumnRenamed("id", "cid")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("cid"), col("adc_dot"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("adc_dot"))
+      },
+      Some(s"""$duckPqCtes, scored AS (
+               |  SELECT l.qid, c.vec_id AS cid, CAST(SUM(l.dotv) AS BIGINT) AS adc_dot
+               |  FROM codes c JOIN luts l ON c.m = l.m AND c.cl = l.cl
+               |  WHERE c.vec_id <> l.qid
+               |  GROUP BY l.qid, c.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, adc_dot,
+               |         row_number() OVER (PARTITION BY qid
+               |                            ORDER BY adc_dot DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, adc_dot FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST,
+               |         adc_dot NULLS FIRST""".stripMargin)),
+
     "q_sim_bruteforce_topk" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),

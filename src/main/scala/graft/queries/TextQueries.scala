@@ -936,6 +936,60 @@ object TextQueries extends Catalog {
                |      / len(list_distinct(x.shd || y.shd)) >= 0.5
                |ORDER BY a NULLS FIRST, b NULLS FIRST, j NULLS FIRST""".stripMargin)),
 
+    // Asymmetric CONTAINMENT dedup — |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 with
+    // the SMALL side in the denominator: catches near-supersets (a doc
+    // quoted or embedded inside a longer one) that symmetric Jaccard
+    // misses (the union denominator dilutes a perfect subset to a low J).
+    // Stated scale-safe from the start via the same AllPairs prefix
+    // scheme as q_dedup_jaccard_prefix, adapted to the one-sided bound:
+    // if |a∩b| ≥ ceil(t·|a|), a's sorted prefix of |a| − ceil(t·|a|) + 1
+    // smallest hashes must share an element with b's FULL set — so only
+    // the CONTAINED side explodes its prefix, the candidate join is an
+    // inverted-index hash join within the lang block, and the pair space
+    // is O(postings), never O(docs²). Directionality falls out for free:
+    // pair (a,b) surfaces through a's prefix exactly when a-in-b is the
+    // containment being tested. The gate and score are exact BIGINTs
+    // (inter·5 ≥ |a|·4; micro-units via integer div); the oracle is the
+    // INDEPENDENT all-pairs form, so the gate proves the one-sided prefix
+    // theorem on real data.
+    "q_dedup_containment" -> Q(
+      t => {
+        val thr = 0.8
+        val sh = t.documents
+          .select(col("doc_id"), col("lang"),
+            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+          .select(col("doc_id"), col("lang"),
+            array_sort(Dedup.shingleHashesFromTokenHashes(col("__th"))).as("shd"))
+          .localCheckpoint(true)
+        val plen = (size(col("shd"))
+          - ceil(size(col("shd")) * thr) + 1).cast("int")
+        val pref = sh.select(col("doc_id").as("a"), col("lang"),
+          explode(slice(col("shd"), lit(1), plen)).as("ph"))
+        val full = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+          explode(col("shd")).as("h"))
+        val cand = pref.join(full,
+            col("ph") === col("h") && col("lang") === col("lang_b") &&
+              col("a") =!= col("b"))
+          .select(col("a"), col("b")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("a"), col("shd").as("sa")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("shd").as("sb")), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+            size(col("sa")).cast("long").as("na"))
+          .filter(col("inter") * 5 >= col("na") * 4)
+          .select(col("a"), col("b"), expr("inter * 1000000 div na").as("c_micro"))
+          .orderBy(col("a"), col("b"), col("c_micro"))
+      },
+      Some(s"""$duckShingleCtes
+               |SELECT x.doc_id AS a, y.doc_id AS b,
+               |       CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) * 1000000
+               |         // CAST(len(x.shd) AS BIGINT) AS c_micro
+               |FROM sh x JOIN sh y ON x.lang = y.lang AND x.doc_id <> y.doc_id
+               |WHERE CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) * 5
+               |      >= CAST(len(x.shd) AS BIGINT) * 4
+               |ORDER BY a NULLS FIRST, b NULLS FIRST, c_micro NULLS FIRST""".stripMargin)),
+
     // Cross-document duplicated-substring signal (Lee et al., "Deduplicating
     // Training Data Makes Language Models Better" — the ExactSubstr
     // criterion, detected at token-window granularity instead of a suffix
