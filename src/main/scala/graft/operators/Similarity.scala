@@ -393,6 +393,75 @@ object Similarity {
     * DuckDB). Means, not sums: the ADC score mixes subspaces, and a
     * sum-centroid would weight each term by its cluster's member count.
     */
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR 1998):
+    * greedily select `selectK` results per query maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — relevance traded
+    * against redundancy, the standard diversity rerank between retrieval
+    * and a context window.
+    *
+    * Scale shape: stage 1 is the quantized brute-force pass (broadcast
+    * queries, stream the corpus — the only corpus-sized work); everything
+    * after runs on the per-query SHORTLIST (nq·shortlistK rows) — the
+    * pairwise sim matrix is nq·K², and the greedy loop is `selectK`
+    * driver-coordinated rounds over shortlist-sized frames, each
+    * checkpointed so plans stay flat. The corpus is touched exactly once
+    * regardless of selectK.
+    *
+    * Numeric contract: rel and sim are the quantized-cosine of
+    * [[quantizedTopK]] (exact int64 dots, then a fixed IEEE op sequence);
+    * the MMR combination uses double literals CAST on both engines, ties
+    * break on cid — deterministic, oracle-exact.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                shortlistK: Int, selectK: Int): DataFrame = {
+    val q = queries.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("qid"), quantize(col("vec"), col("__ma")).as("qq"))
+      .withColumn("qaa", intDot(col("qq"), col("qq")))
+    val c = corpus.withColumn("__ma", maxAbs(col("vec")))
+      .select(col("id").as("cid"), quantize(col("vec"), col("__ma")).as("cq"))
+      .withColumn("caa", intDot(col("cq"), col("cq")))
+    val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("rel",
+        intDot(col("qq"), col("cq")).cast("double") /
+          (sqrt(col("qaa")) * sqrt(col("caa"))))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= shortlistK)
+      .select(col("qid"), col("cid"), col("rel"), col("cq"), col("caa"))
+      .localCheckpoint(true)
+    val pa = shortlist.select(col("qid"), col("cid").as("a"),
+      col("cq").as("aq"), col("caa").as("aaa"))
+    val pb = shortlist.select(col("qid"), col("cid").as("b"),
+      col("cq").as("bq"), col("caa").as("baa"))
+    val pairSims = pa.join(pb, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        (intDot(col("aq"), col("bq")).cast("double") /
+          (sqrt(col("aaa")) * sqrt(col("baa")))).as("sim"))
+      .localCheckpoint(true)
+    val slim = shortlist.select(col("qid"), col("cid"), col("rel"))
+    val wPick = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    var selected = slim
+      .withColumn("score", lit(0.7) * col("rel"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("step"), col("score"))
+      .localCheckpoint(true)
+    for (s <- 2 to selectK) {
+      val ms = pairSims
+        .join(selected.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("cid"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = slim
+        .join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+        .join(ms, Seq("qid", "cid"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(s.toLong).as("step"), col("score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   def pqCodebook(qn: DataFrame, codes: DataFrame, m: Int, subDim: Int): DataFrame = {
     val subs = (0 until m).map { i =>
       qn.select(col("id"), lit(i).cast("int").as("m"),

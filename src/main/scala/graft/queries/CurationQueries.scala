@@ -21,6 +21,11 @@ object CurationQueries extends Catalog {
   private val SegW = 3
   private val BoilerplateFreq = 3
 
+  /** Per-source keep quota for q_curate_source_quota — 5 of the testdata's
+    * 25 docs/source survive, non-degenerate in both directions.
+    */
+  private val SourceCap = 5
+
   def queries: Map[String, Q] = Map(
 
     // Corpus-frequency boilerplate removal (CCNet-style line dedup, with
@@ -118,5 +123,50 @@ object CurationQueries extends Catalog {
              |         AS redacted,
              |       'u:' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseudo
              |FROM events
-             |ORDER BY event_id NULLS FIRST""".stripMargin)))
+             |ORDER BY event_id NULLS FIRST""".stripMargin)),
+
+    // Per-source quota — the CommonCrawl-style "cap documents per domain"
+    // curation rule: rank every document within its source by the same
+    // exact milli-logit quality score as q_text_quality_score (higher =
+    // keep first; doc_id breaks ties deterministically) and keep at most
+    // `SourceCap` per source. Plan shape at 100 TB: the rank<=k filter on
+    // a row_number window lets Spark insert WindowGroupLimit — each map
+    // task pre-prunes to its local top-k per source BEFORE the shuffle, so
+    // the shuffle carries O(sources·k·tasks) rows, not the corpus, and a
+    // hot domain holding half the crawl still lands at most k·tasks rows
+    // on its reducer (CurationQueriesSpec pins the WindowGroupLimit node).
+    "q_curate_source_quota" -> Q(
+      t => {
+        val tkn = TextAnalysis.tokenCount(col("text")).cast("long")
+        val dkn = size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long")
+        val swn = TextAnalysis.stopwordCount(col("text")).cast("long")
+        val chn = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("score_milli").desc, col("doc_id"))
+        t.documents
+          .select(col("doc_id"), col("source"),
+            (lit(40L) * tkn + lit(60L) * dkn + lit(150L) * swn
+              - lit(9L) * chn).as("score_milli"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= SourceCap)
+          .orderBy(col("source"), col("rnk"), col("doc_id"), col("score_milli"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source,
+              |         40 * CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              |       + 60 * CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+              |       + 150 * CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.StopwordPattern}')) AS BIGINT)
+              |       - 9 * CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+              |         AS score_milli
+              |  FROM documents
+              |), r AS (
+              |  SELECT doc_id, source, score_milli,
+              |         row_number() OVER (PARTITION BY source
+              |                            ORDER BY score_milli DESC, doc_id) AS rnk
+              |  FROM f
+              |)
+              |SELECT doc_id, source, score_milli, rnk FROM r WHERE rnk <= $SourceCap
+              |ORDER BY source NULLS FIRST, rnk NULLS FIRST, doc_id NULLS FIRST,
+              |         score_milli NULLS FIRST""".stripMargin)))
 }

@@ -208,6 +208,99 @@ object SimilarityQueries extends Catalog {
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST,
                |         adc_dot NULLS FIRST""".stripMargin)),
 
+    // MMR diversity rerank (Carbonell & Goldstein 1998): greedy 3-pick from
+    // a quantized-cosine top-10 shortlist per query, score = 0.7·rel −
+    // 0.3·max-sim-to-selected. The oracle replays the greedy loop as three
+    // CHAINED argmax CTEs (selectK is a fixed 3, so the recursion unrolls
+    // into plain SQL — no recursive CTE needed) over the same integer-dot
+    // cosine arithmetic; step 1's score is 0.7·rel on both sides, so no
+    // −0.0 can arise to split the exact hash. The corpus is scanned once
+    // (stage-1 shortlist); all greedy work is shortlist-sized.
+    "q_sim_mmr_rerank" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.mmrRerank(emb.filter(col("id") < 5), emb,
+            shortlistK = 10, selectK = 3)
+          .select(col("qid"), col("step"), col("cid"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("qid"), col("step"), col("cid"), col("score"))
+      },
+      Some(s"""$duckVecCte, mx AS (
+               |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS ma
+               |  FROM e
+               |), qv AS (
+               |  SELECT vec_id,
+               |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+               |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+               |  FROM mx
+               |), qnn AS (
+               |  SELECT vec_id, q, ${duckDot("q", "q")} AS aa FROM qv
+               |), sl AS (
+               |  SELECT qid, cid, rel FROM (
+               |    SELECT a.vec_id AS qid, b.vec_id AS cid,
+               |           CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+               |             / (sqrt(a.aa) * sqrt(b.aa)) AS rel,
+               |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               |             CAST(${duckDot("a.q", "b.q")} AS DOUBLE)
+               |               / (sqrt(a.aa) * sqrt(b.aa)) DESC, b.vec_id) AS rn
+               |    FROM qnn a JOIN qnn b ON a.vec_id < 5 AND a.vec_id <> b.vec_id)
+               |  WHERE rn <= 10
+               |), ps AS (
+               |  SELECT x.qid, x.cid AS a, y.cid AS b,
+               |         CAST(${duckDot("xa.q", "ya.q")} AS DOUBLE)
+               |           / (sqrt(xa.aa) * sqrt(ya.aa)) AS sim
+               |  FROM sl x JOIN sl y ON x.qid = y.qid AND x.cid <> y.cid
+               |  JOIN qnn xa ON xa.vec_id = x.cid
+               |  JOIN qnn ya ON ya.vec_id = y.cid
+               |), sel1 AS (
+               |  SELECT qid, cid, CAST(1 AS BIGINT) AS step, score FROM (
+               |    SELECT qid, cid, CAST(0.7 AS DOUBLE) * rel AS score,
+               |           row_number() OVER (PARTITION BY qid
+               |             ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, cid) AS rn
+               |    FROM sl)
+               |  WHERE rn = 1
+               |), ms2 AS (
+               |  SELECT p.qid, p.a AS cid, max(p.sim) AS maxsim
+               |  FROM ps p JOIN sel1 s ON p.qid = s.qid AND p.b = s.cid
+               |  GROUP BY p.qid, p.a
+               |), sel2 AS (
+               |  SELECT qid, cid, CAST(2 AS BIGINT) AS step, score FROM (
+               |    SELECT c.qid, c.cid,
+               |           CAST(0.7 AS DOUBLE) * c.rel
+               |             - CAST(0.3 AS DOUBLE) * m.maxsim AS score,
+               |           row_number() OVER (PARTITION BY c.qid
+               |             ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+               |               - CAST(0.3 AS DOUBLE) * m.maxsim DESC, c.cid) AS rn
+               |    FROM sl c JOIN ms2 m ON c.qid = m.qid AND c.cid = m.cid
+               |    WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+               |                      WHERE s.qid = c.qid AND s.cid = c.cid))
+               |  WHERE rn = 1
+               |), sel12 AS (
+               |  SELECT qid, cid, step, score FROM sel1
+               |  UNION ALL SELECT qid, cid, step, score FROM sel2
+               |), ms3 AS (
+               |  SELECT p.qid, p.a AS cid, max(p.sim) AS maxsim
+               |  FROM ps p JOIN sel12 s ON p.qid = s.qid AND p.b = s.cid
+               |  GROUP BY p.qid, p.a
+               |), sel3 AS (
+               |  SELECT qid, cid, CAST(3 AS BIGINT) AS step, score FROM (
+               |    SELECT c.qid, c.cid,
+               |           CAST(0.7 AS DOUBLE) * c.rel
+               |             - CAST(0.3 AS DOUBLE) * m.maxsim AS score,
+               |           row_number() OVER (PARTITION BY c.qid
+               |             ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+               |               - CAST(0.3 AS DOUBLE) * m.maxsim DESC, c.cid) AS rn
+               |    FROM sl c JOIN ms3 m ON c.qid = m.qid AND c.cid = m.cid
+               |    WHERE NOT EXISTS (SELECT 1 FROM sel12 s
+               |                      WHERE s.qid = c.qid AND s.cid = c.cid))
+               |  WHERE rn = 1
+               |)
+               |SELECT qid, step, cid, ROUND(score, 4) AS score
+               |FROM (SELECT * FROM sel12 UNION ALL SELECT * FROM sel3)
+               |ORDER BY qid NULLS FIRST, step NULLS FIRST, cid NULLS FIRST,
+               |         score NULLS FIRST""".stripMargin)),
+
     "q_sim_bruteforce_topk" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),

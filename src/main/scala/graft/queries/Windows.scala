@@ -12,6 +12,49 @@ import org.apache.spark.sql.functions._
 object Windows extends Catalog {
 
   def queries: Map[String, Q] = Map(
+
+    // Distribution window functions — ntile quartiles, percent_rank, and
+    // exact share-of-partition. Numeric contract: the ordering key and the
+    // share arithmetic run on BIGINT cents (double window sums are not
+    // order-defined cross-engine — see q_win_running_frames), the share is
+    // integer micro-units (`div`; values are positive so truncating and
+    // flooring division agree on both engines), and percent_rank's
+    // (rank−1)/(n−1) is the same IEEE division of exact small ints on both.
+    // ntile orders over a unique key suffix: bucket assignment depends on
+    // the total order, so the SQL-spec ceiling split is only deterministic
+    // with ties broken. One shuffle on the partition key; all four window
+    // functions share the single sorted pass.
+    "q_win_ntile_dist" -> Q(
+      t => {
+        val wp = Window.partitionBy(col("o_orderpriority"))
+        val w = wp.orderBy(col("c").desc, col("o_orderkey"))
+        t.orders
+          .withColumn("c", cents(col("o_totalprice")).cast("long"))
+          .withColumn("total_c", sum(col("c")).over(wp))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("c"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            expr("c * 1000000 div total_c").as("share_micro"))
+          .orderBy(col("o_orderkey"), col("o_orderpriority"), col("c"),
+            col("quartile"), col("pr"), col("share_micro"))
+      },
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders
+             |)
+             |SELECT o_orderkey, o_orderpriority, c,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       percent_rank() OVER w AS pr,
+             |       CAST(c * 1000000 //
+             |            CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+             |            AS BIGINT) AS share_micro
+             |FROM f
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY c DESC, o_orderkey)
+             |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+             |         c NULLS FIRST, quartile NULLS FIRST, pr NULLS FIRST,
+             |         share_micro NULLS FIRST""".stripMargin)),
+
     "q_win_rank" -> Q(
       t => {
         val df = t.customer

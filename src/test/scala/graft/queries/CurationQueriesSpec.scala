@@ -57,4 +57,20 @@ class CurationQueriesSpec extends SparkSpec {
       assert(counts.getLong(0) == counts.getLong(1))
     } finally joined.unpersist()
   }
+
+  test("source quota keeps at most the cap per source and pre-prunes map-side") {
+    val out = CurationQueries.queries("q_curate_source_quota").run(t).cache()
+    try {
+      val per = out.groupBy(col("source")).agg(
+        count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+      assert(per.filter(col("n") > 5 || col("mx") > 5).count() == 0)
+      assert(out.count() > 0)
+
+      // The rank<=k filter must reach the physical plan as WindowGroupLimit
+      // so each map task prunes to its local top-k BEFORE the shuffle —
+      // the property that keeps a hot domain from flooding one reducer.
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    } finally out.unpersist()
+  }
 }
