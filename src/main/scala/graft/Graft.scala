@@ -41,10 +41,22 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // ns → µs truncation, matching DuckDB's CAST(ts_ns AS TIMESTAMP):
-      // the oracle side must cast identically (FIXTURES.md §4).
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      // The driver has shipped two physical types for events.ts across
+      // testdata generations: TIMESTAMP(NANOS) (surfaced as a nanos LONG via
+      // nanosAsLong) and plain TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ).
+      // Normalize BOTH to a µs TimestampType so every downstream plan and the
+      // DuckDB oracle (`CAST(ts AS TIMESTAMP)` — a no-op on µs, a truncation
+      // on ns) see identical values (FIXTURES.md §4).
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Session TZ is pinned to UTC, so this cast is wall-clock-preserving.
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     else df
   }
 }
