@@ -278,7 +278,7 @@ object Joins extends Catalog {
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         val c = t.customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
         val nr = t.nation
-          .join(broadcast(t.region.filter(col("r_name") === "ASIA")
+          .join(broadcast(t.region.filter(col("r_name") === "EUROPE")
             .select(col("r_regionkey"))),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"))
@@ -301,7 +301,7 @@ object Joins extends Catalog {
               |WHERE l_returnflag = 'R'
               |  AND o_orderdate >= TIMESTAMP '1996-10-01'
               |  AND o_orderdate <  TIMESTAMP '1997-01-01'
-              |  AND r_name = 'ASIA'
+              |  AND r_name = 'EUROPE'
               |GROUP BY c_custkey, c_name, n_name
               |ORDER BY revenue DESC NULLS LAST, c_custkey
               |LIMIT 20""".stripMargin)),
@@ -755,5 +755,171 @@ object Joins extends Catalog {
               |FROM win w JOIN ship s ON s.t_lo <= w.w_hi AND w.w_lo <= s.t_hi
               |GROUP BY 1, 2, 3
               |ORDER BY s_suppkey NULLS FIRST, w_lo NULLS FIRST, w_hi NULLS FIRST,
-              |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)))
+              |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)),
+
+    // Two-alias dimension join — TPC-H Q7's shape: the SAME nation dim
+    // enters the plan twice under different roles (supplier's nation vs
+    // customer's nation) with a disjunctive pair predicate. Stated as two
+    // independently-filtered broadcast dims rather than a post-join OR:
+    // each side keeps only the two named nations BEFORE its join, so the
+    // pair predicate collapses to one anti-symmetric `supp_nation <>
+    // cust_nation` filter and the OR never blocks pushdown. Scale shape:
+    // supplier+nation and the date-pruned fact projection are map-side;
+    // lineitem↔orders on l_orderkey is the single fact-fact shuffle; the
+    // nation-filtered customer side (2/25 of customers) is AQE-broadcast
+    // at gated scale and degrades to a co-keyed o_custkey shuffle at
+    // 100 TB. Revenue is psum-exact (price·(1−disc) is exactly 4-dp).
+    "q_join_volume_shipping" -> Q(
+      t => {
+        val pair = Seq("NATION_19", "NATION_20")
+        val supp = t.supplier
+          .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = t.customer
+          .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("cust_nation"))
+        t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(psum(col("volume")).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_20')
+              |    OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_19'))
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3
+              |ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST,
+              |         l_year NULLS FIRST""".stripMargin)),
+
+    // Aggregate-reuse anchor — TPC-H Q15's shape: one derived aggregate
+    // (per-supplier quarterly revenue) feeds BOTH the max-scalar gate and
+    // the probe side. The revenue subplan is computed once and eagerly
+    // localCheckpoint'ed — without it Spark re-executes the full fact
+    // aggregation for each consumer (no automatic common-subplan reuse
+    // across actions); with it the second consumer reads a few KB of
+    // checkpoint blocks. The max rejoins as a broadcast-literal cross
+    // join (one row), and the equality survivors (a handful of rows) are
+    // the BUILD side of the supplier join — the dim never shuffles.
+    // Revenue equality is safe on doubles here: both engines compare the
+    // identical decimal-sum-cast value against the max picked from the
+    // same set.
+    "q_join_top_supplier" -> Q(
+      t => {
+        val rev = t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(psum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("total_rev"))
+          .localCheckpoint(true)
+        val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+        val top = rev.crossJoin(broadcast(maxRev))
+          .filter(col("total_rev") === col("max_rev"))
+          .select(col("l_suppkey"), col("total_rev"))
+        t.supplier.join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("total_rev"), 2).as("total_rev"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+              |  SELECT l_suppkey,
+              |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS total_rev
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+              |  GROUP BY 1
+              |)
+              |SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_rev
+              |FROM supplier
+              |JOIN revenue ON s_suppkey = l_suppkey
+              |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+              |ORDER BY s_suppkey NULLS FIRST""".stripMargin)),
+
+    // Conditional-share aggregate — TPC-H Q8's shape: one nation's share
+    // of regional promo revenue per year, a ratio of two conditional sums
+    // over the same joined fact. Both sums are decimal-exact before the
+    // single double division (identical operands → identical IEEE result
+    // on both engines), then rounded once. Scale shape: part (type
+    // filter), supplier+nation, and region→nation are all broadcast dims
+    // pruning the fact BEFORE its one shuffle against orders; the
+    // region-filtered customer side joins co-keyed on o_custkey. The
+    // CASE lives inside the aggregate, so the share needs no second pass
+    // over the join.
+    "q_join_market_share" -> Q(
+      t => {
+        val promoParts = t.part.filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val suppNat = t.supplier
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val asiaCust = t.customer
+          .join(broadcast(t.nation
+            .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("an_key"))),
+            col("c_nationkey") === col("an_key"))
+          .select(col("c_custkey"))
+        t.lineitem
+          .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("supp_nation"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          .join(t.orders
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_year"))
+          .agg(round(
+            psum(when(col("supp_nation") === "NATION_19", col("volume"))
+              .otherwise(lit(0))) / psum(col("volume")), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              |       ROUND(
+              |         CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_19'
+              |                            THEN l_extendedprice * (1 - l_discount)
+              |                            ELSE 0 END AS DECIMAL(22,6))) AS DOUBLE)
+              |         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE),
+              |         6) AS mkt_share
+              |FROM lineitem
+              |JOIN part     ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |JOIN region   ON n2.n_regionkey = r_regionkey
+              |WHERE p_type = 'PROMO'
+              |  AND r_name = 'EUROPE'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+              |GROUP BY 1
+              |ORDER BY o_year NULLS FIRST""".stripMargin)))
 }
