@@ -1310,5 +1310,53 @@ object TextQueries extends Catalog {
               |       array_to_string(tk[start : start + 29], ' ') AS chunk
               |FROM starts
               |ORDER BY doc_id NULLS FIRST, start NULLS FIRST,
-              |         n_ck NULLS FIRST, chunk NULLS FIRST""".stripMargin)))
+              |         n_ck NULLS FIRST, chunk NULLS FIRST""".stripMargin)),
+
+    // BPE tokenizer TRAINING — [[graft.operators.Bpe.train]]'s iterative
+    // merge-rule induction (q_text_bpe_pairs counts pairs once; this runs
+    // the actual loop). Five merges over the corpus word-frequency table;
+    // each iteration's driver traffic is ONE row (the argmax pair), same
+    // constant-collect contract as q_sim_kmeans. The oracle replays all
+    // five iterations as chained CTEs — possible because merge application
+    // is defined as left-to-right `replace` on the spaced-symbol string,
+    // semantics both engines share exactly (Bpe scaladoc documents the
+    // odd-run divergence from simultaneous-scan BPE).
+    "q_text_bpe_train" -> Q(
+      t => {
+        val words = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("f"))
+        graft.operators.Bpe.train(words, 5).orderBy(col("merge_rank"))
+      },
+      Some {
+        def stage(i: Int): String =
+          s"""p$i AS (
+             |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(SUM(f) AS BIGINT) AS pair_count
+             |  FROM (
+             |    SELECT f, unnest(list_transform(syms[1:len(syms)-1],
+             |             (x, j) -> struct_pack(w1 := x, w2 := syms[CAST(j AS INTEGER) + 1]))) AS b
+             |    FROM (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS syms FROM w$i)
+             |    WHERE len(syms) >= 2
+             |  ) GROUP BY 1, 2
+             |), m$i AS (
+             |  SELECT w1, w2, pair_count FROM p$i ORDER BY pair_count DESC, w1, w2 LIMIT 1
+             |), w${i + 1} AS (
+             |  SELECT word, f, replace(s, ' ' || m.w1 || ' ' || m.w2 || ' ',
+             |                             ' ' || m.w1 || m.w2 || ' ') AS s
+             |  FROM w$i, m$i m
+             |)""".stripMargin
+        s"""WITH wf AS (
+           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+           |        FROM documents)
+           |  GROUP BY 1
+           |), w1 AS (
+           |  SELECT word, f, regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS s
+           |  FROM wf
+           |), ${(1 to 5).map(stage).mkString(",\n")}
+           |${(1 to 5).map(i =>
+              s"SELECT $i AS merge_rank, w1, w2, w1 || w2 AS merged, pair_count FROM m$i")
+              .mkString("\nUNION ALL\n")}
+           |ORDER BY merge_rank""".stripMargin
+      }))
 }
