@@ -86,4 +86,19 @@ object Bpe {
     }
     merges.toSeq.toDF("merge_rank", "w1", "w2", "merged", "pair_count")
   }
+
+  /** Segment a word-frequency table with an already-learned merge list:
+    * apply each `(w1, w2)` rule in rank order as one codegen'd `replace`
+    * (same left-to-right semantics as training), then split the spaced
+    * string back into the piece array. Merges arrive as a driver-side list
+    * (vocab-rule-count-sized — constant w.r.t. the corpus), so application
+    * is a pure narrow map over the vocab: no joins, no shuffles.
+    */
+  def segment(wordFreq: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val s0 = spaced(col("word"))
+    val s = merges.foldLeft(s0) { case (acc, (w1, w2)) =>
+      replace(acc, lit(s" $w1 $w2 "), lit(s" $w1$w2 "))
+    }
+    wordFreq.select(col("word"), col("f"), split(trim(s), " ").as("pieces"))
+  }
 }

@@ -1328,35 +1328,73 @@ object TextQueries extends Catalog {
           .groupBy(col("word")).agg(count(lit(1)).as("f"))
         graft.operators.Bpe.train(words, 5).orderBy(col("merge_rank"))
       },
-      Some {
-        def stage(i: Int): String =
-          s"""p$i AS (
-             |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(SUM(f) AS BIGINT) AS pair_count
-             |  FROM (
-             |    SELECT f, unnest(list_transform(syms[1:len(syms)-1],
-             |             (x, j) -> struct_pack(w1 := x, w2 := syms[CAST(j AS INTEGER) + 1]))) AS b
-             |    FROM (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS syms FROM w$i)
-             |    WHERE len(syms) >= 2
-             |  ) GROUP BY 1, 2
-             |), m$i AS (
-             |  SELECT w1, w2, pair_count FROM p$i ORDER BY pair_count DESC, w1, w2 LIMIT 1
-             |), w${i + 1} AS (
-             |  SELECT word, f, replace(s, ' ' || m.w1 || ' ' || m.w2 || ' ',
-             |                             ' ' || m.w1 || m.w2 || ' ') AS s
-             |  FROM w$i, m$i m
-             |)""".stripMargin
-        s"""WITH wf AS (
-           |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
-           |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-           |        FROM documents)
-           |  GROUP BY 1
-           |), w1 AS (
-           |  SELECT word, f, regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS s
-           |  FROM wf
-           |), ${(1 to 5).map(stage).mkString(",\n")}
+      Some(
+        s"""$bpeTrainCtes
            |${(1 to 5).map(i =>
               s"SELECT $i AS merge_rank, w1, w2, w1 || w2 AS merged, pair_count FROM m$i")
               .mkString("\nUNION ALL\n")}
-           |ORDER BY merge_rank""".stripMargin
-      }))
+           |ORDER BY merge_rank""".stripMargin)),
+
+    // BPE corpus ENCODING — the tokenizer loop's output side: segment the
+    // vocabulary with the five trained merge rules ([[Bpe.segment]] — the
+    // driver-collected rule list is constant-sized, so application is a
+    // pure narrow map, no joins) and emit the frequency-weighted piece
+    // histogram. The oracle reuses the training CTE chain: after five
+    // merge stages, w6 already IS the segmented vocabulary, so encoding
+    // is one unnest + aggregate over it.
+    "q_text_bpe_encode" -> Q(
+      t => {
+        val words = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(true)
+        val merges = graft.operators.Bpe.train(words, 5)
+          .orderBy(col("merge_rank"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Bpe.segment(words, merges)
+          .select(explode(col("pieces")).as("piece"), col("f"))
+          .groupBy(col("piece")).agg(sum(col("f")).as("n"))
+          .orderBy(col("n").desc_nulls_last, col("piece"))
+          .limit(30)
+      },
+      Some(
+        s"""$bpeTrainCtes
+           |SELECT piece, CAST(SUM(f) AS BIGINT) AS n
+           |FROM (SELECT f, unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS piece
+           |      FROM w6)
+           |GROUP BY 1
+           |ORDER BY n DESC NULLS LAST, piece NULLS FIRST
+           |LIMIT 30""".stripMargin)))
+
+  /** Shared oracle prefix for the BPE queries: word frequencies, spaced
+    * symbol strings, and five chained merge stages — after stage i, `m$i`
+    * holds the round-i rule and `w${i+1}` the rewritten vocabulary.
+    */
+  private def bpeTrainCtes: String = {
+    def stage(i: Int): String =
+      s"""p$i AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(SUM(f) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT f, unnest(list_transform(syms[1:len(syms)-1],
+         |             (x, j) -> struct_pack(w1 := x, w2 := syms[CAST(j AS INTEGER) + 1]))) AS b
+         |    FROM (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS syms FROM w$i)
+         |    WHERE len(syms) >= 2
+         |  ) GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT w1, w2, pair_count FROM p$i ORDER BY pair_count DESC, w1, w2 LIMIT 1
+         |), w${i + 1} AS (
+         |  SELECT word, f, replace(s, ' ' || m.w1 || ' ' || m.w2 || ' ',
+         |                             ' ' || m.w1 || m.w2 || ' ') AS s
+         |  FROM w$i, m$i m
+         |)""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1
+       |), w1 AS (
+       |  SELECT word, f, regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS s
+       |  FROM wf
+       |), ${(1 to 5).map(stage).mkString(",\n")}""".stripMargin
+  }
 }

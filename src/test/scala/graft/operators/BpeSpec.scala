@@ -32,6 +32,18 @@ class BpeSpec extends SparkSpec {
       (2, "a", "a", "aa", 1L)))
   }
 
+  test("segment applies learned rules in rank order") {
+    val words = Seq("low" -> 5L, "lower" -> 2L).toDF("word", "f")
+    val merges = Bpe.train(words, 2)
+      .as[(Int, String, String, String, Long)].collect().toList
+      .map(m => (m._2, m._3))
+    val got = Bpe.segment(words, merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, f, p) => w -> ((f, p)) }.toMap
+    assert(got("low") == ((5L, Seq("low"))))
+    assert(got("lower") == ((2L, Seq("low", "e", "r"))))
+  }
+
   test("exhaustion stops early: single-symbol words have no pairs") {
     assert(train(Seq("a" -> 9L, "b" -> 3L), 4).isEmpty)
     // one mergeable word: after its symbols fuse there is nothing left
