@@ -120,9 +120,21 @@ object Dedup {
 
   /** 30-bit SimHash over token hashes: bit i = sign of Σ_tokens (±1 by the
     * token hash's i-th bit). Near-dups have small Hamming distance.
+    * Backed by the native codegen [[graft.functions.SimHashExpression]] —
+    * the composed-HOF form it replaced re-aggregated the token array once
+    * per bit through interpreted lambdas and dominated every simhash
+    * query's cost; [[simhashComposed]] keeps that form as the parity
+    * reference (DedupSpec asserts bit-identical outputs on real testdata).
     */
   val SimHashBits = 30
-  def simhash(c: Column): Column = {
+  def simhash(c: Column): Column =
+    graft.functions.SimHashExpression.column(c)
+
+  /** The original composed-HOF SimHash — retained ONLY as the spec-level
+    * parity oracle for the native expression (and as documentation of the
+    * exact semantics the DuckDB oracle replays).
+    */
+  def simhashComposed(c: Column): Column = {
     val hs = transform(TextAnalysis.tokens(c), polyHash(_))
     aggregate(
       transform(

@@ -90,6 +90,20 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 4)
   }
 
+  test("native simhash expression is bit-identical to the composed form") {
+    // real corpus text plus the edge shapes where trim/split semantics
+    // could diverge: empty, all-space, inner runs, non-space whitespace
+    // (Spark trim strips U+0020 only — Java String.trim would differ)
+    val edges = Seq("", "   ", "a  b", " a\tb ", "x\ny", "a b\n", "\tlead")
+      .zipWithIndex.map { case (s, i) => (100000L + i, s) }
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val df = (docs ++ edges).toDF("doc_id", "text")
+      .select(Dedup.simhash($"text").as("fast"),
+        Dedup.simhashComposed($"text").as("slow"))
+    assert(df.filter($"fast" =!= $"slow").count() == 0)
+  }
+
   test("jaccard: exact set semantics") {
     val got = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
       .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).as[Double].head()
