@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHashKernel {
   val Bits = 30
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   def simhash(s: UTF8String): Long = {
     val str = s.toString
@@ -37,7 +38,7 @@ object SimHashKernel {
     var e = str.length
     while (b < e && str.charAt(b) == ' ') b += 1
     while (e > b && str.charAt(e - 1) == ' ') e -= 1
-    val toks = str.substring(b, e).split("\\s+", -1)
+    val toks = Whitespace.split(str.substring(b, e), -1)
     val cnt = new Array[Int](Bits)
     var ti = 0
     while (ti < toks.length) {

@@ -64,6 +64,14 @@ object Dedup {
     * the string form's behavior.
     */
   def shingleHashesFromTokenHashes(th: Column, k: Int = 3): Column =
+    if (k == 3) graft.functions.MinHashExpressions.shingleHashes(th)
+    else shingleHashesFromTokenHashesComposed(th, k)
+
+  /** The composed-HOF shingle fold — the parity reference for the native
+    * [[graft.functions.ShingleHashesExpression]] (k = 3 routes there) and
+    * the general-k fallback; semantics documented above.
+    */
+  def shingleHashesFromTokenHashesComposed(th: Column, k: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(th) - (k - 1), lit(1))),
       i => aggregate(slice(th, i, lit(k)), lit(0L),
@@ -86,17 +94,28 @@ object Dedup {
   def polyHash(s: Column): Column =
     graft.functions.PolyHashExpression.column(s)
 
-  /** Deterministic universal-hash parameters for the signature rows. */
-  val NumHashes = 16
-  val HashA: Seq[Long] = Seq.tabulate(NumHashes)(j => (2L * j + 1) * 1000003L % HashPrime)
-  val HashB: Seq[Long] = Seq.tabulate(NumHashes)(j => (j.toLong * 777767777L + 12345L) % HashPrime)
+  /** Deterministic universal-hash parameters for the signature rows —
+    * canonical values live in [[graft.functions.MinHashKernels]] (the
+    * native kernel must agree with the oracle SQL's literals).
+    */
+  val NumHashes: Int = graft.functions.MinHashKernels.NumHashes
+  val HashA: Seq[Long] = graft.functions.MinHashKernels.HashA.toSeq
+  val HashB: Seq[Long] = graft.functions.MinHashKernels.HashB.toSeq
 
   /** MinHash signature: sig[j] = min over shingle hashes x of (a_j·x+b_j)
-    * mod P. Statically unrolled over j so each row of the signature is one
-    * array_min over constant-folded per-hash literals (no per-element
-    * constant-array rebuild).
+    * mod P, evaluated by the native codegen
+    * [[graft.functions.MinHashSignatureExpression]] — the composed form
+    * ([[minhashSignatureComposed]], kept as the parity reference) walked
+    * the shingle set once per hash row through interpreted lambdas.
     */
   def minhashSignature(shingleHashSet: Column): Column =
+    graft.functions.MinHashExpressions.minhashSignature(shingleHashSet)
+
+  /** The composed-HOF signature — parity reference for the native form:
+    * statically unrolled over j so each row is one array_min over
+    * constant-folded per-hash literals.
+    */
+  def minhashSignatureComposed(shingleHashSet: Column): Column =
     array(Seq.tabulate(NumHashes) { j =>
       array_min(transform(shingleHashSet,
         x => (lit(HashA(j)) * x + lit(HashB(j))) % HashPrime))

@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
     assert(df.filter($"fast" =!= $"slow").count() == 0)
   }
 
+  test("native shingle/signature expressions are bit-identical to the composed forms") {
+    // real corpus plus short-doc edges (fewer tokens than the shingle
+    // width folds one clamped window; empty text hashes the [""] token)
+    val edges = Seq("", "one", "one two", "a a a a a")
+      .zipWithIndex.map { case (s, i) => (100000L + i, s) }
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val th = (docs ++ edges).toDF("doc_id", "text")
+      .select(Dedup.tokenHashes(graft.operators.TextAnalysis.tokens($"text")).as("th"))
+    val shd = th.select(
+      Dedup.shingleHashesFromTokenHashes($"th").as("fast"),
+      Dedup.shingleHashesFromTokenHashesComposed($"th").as("slow"))
+    assert(shd.filter($"fast" =!= $"slow").count() == 0)
+    val sig = th.select(Dedup.shingleHashesFromTokenHashes($"th").as("shd"))
+      .select(Dedup.minhashSignature($"shd").as("fast"),
+        Dedup.minhashSignatureComposed($"shd").as("slow"))
+    assert(sig.filter($"fast" =!= $"slow").count() == 0)
+  }
+
   test("jaccard: exact set semantics") {
     val got = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
       .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).as[Double].head()
