@@ -24,6 +24,31 @@ object MinHashKernels {
   val HashB: Array[Long] =
     Array.tabulate(NumHashes)(j => (j.toLong * 777767777L + 12345L) % Prime)
 
+  /** Per-token polynomial hashes straight from text: Spark-semantics
+    * tokenization (space-only trim, regex `\s+` split with limit -1 — an
+    * empty or all-space input yields the single empty token, hash 0) with
+    * [[PolyHashKernel]] applied in the same loop — replaces the
+    * `transform(split(trim(text)), polyHash)` form whose lambda ran
+    * interpreted once per token.
+    */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  def tokenHashes(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toString
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    val toks = Whitespace.split(str.substring(b, e), -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = PolyHashKernel.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Distinct k-shingle rolling hashes over a token-hash array, preserving
     * first-occurrence order (exactly `array_distinct(transform(...))`): for
     * each of max(n−k+1, 1) windows, fold (acc·31 + h) mod P over the
@@ -92,6 +117,27 @@ private[functions] trait LongArrayToLongArray extends UnaryExpression {
     }
 }
 
+/** Native codegen form of `Dedup.tokenHashes(TextAnalysis.tokens(text))` —
+  * text in, per-token polynomial hashes out, one generated loop.
+  */
+case class TokenHashesExpression(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"token_hashes requires STRING input, got ${t.sql}")
+    }
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashKernels.tokenHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernels.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashesExpression =
+    copy(child = newChild)
+}
+
 /** Native codegen form of [[graft.operators.Dedup.shingleHashesFromTokenHashes]]
   * at the default k = 3.
   */
@@ -122,6 +168,9 @@ case class MinHashSignatureExpression(child: Expression)
 
 object MinHashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def tokenHashes(c: Column): Column =
+    ColumnBridge.column(TokenHashesExpression(ColumnBridge.expression(c)))
 
   def shingleHashes(c: Column): Column =
     ColumnBridge.column(ShingleHashesExpression(ColumnBridge.expression(c)))

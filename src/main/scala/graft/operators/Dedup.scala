@@ -48,6 +48,17 @@ object Dedup {
     */
   def tokenHashes(toks: Column): Column = transform(toks, c => polyHash(c))
 
+  /** Per-token polynomial hashes straight from TEXT, fused into one native
+    * codegen loop ([[graft.functions.TokenHashesExpression]]: Spark's
+    * space-only trim + `\s+` split + [[polyHash]] per token) — replaces
+    * `tokenHashes(TextAnalysis.tokens(text))`, whose outer transform lambda
+    * ran interpreted once per token. Semantically identical (DedupSpec
+    * parity case); keep [[tokenHashes]] for pre-materialized token arrays
+    * that other columns also consume.
+    */
+  def tokenHashesFromText(text: Column): Column =
+    graft.functions.MinHashExpressions.tokenHashes(text)
+
   /** Distinct k-shingle hash set from PRE-MATERIALIZED token hashes: the
     * hash of a shingle is the SAME rolling fold used for strings
     * ([[polyHash]]) applied over the window's token hashes —
@@ -81,7 +92,7 @@ object Dedup {
     * materializing [[tokenHashes]] first in hot paths (see there).
     */
   def shingleHashes(c: Column, k: Int = 3): Column =
-    shingleHashesFromTokenHashes(tokenHashes(TextAnalysis.tokens(c)), k)
+    shingleHashesFromTokenHashes(tokenHashesFromText(c), k)
 
   /** Distinct shingle hash set from a materialized tokens column. */
   def shingleHashesFromTokens(toks: Column, k: Int = 3): Column =
@@ -233,7 +244,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        tokenHashes(TextAnalysis.tokens(col(textCol))).as("__th"))
+        tokenHashesFromText(col(textCol)).as("__th"))
       .select(col("doc_id"), shingleHashesFromTokenHashes(col("__th"), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
 
@@ -309,7 +320,7 @@ object Dedup {
       bench: DataFrame, benchId: String, benchText: String,
       minOverlap: Int = 2, k: Int = 3): DataFrame = {
     def sh(df: DataFrame, id: String, text: String, as: String) = df
-      .select(col(id).as(as), tokenHashes(TextAnalysis.tokens(col(text))).as("__th"))
+      .select(col(id).as(as), tokenHashesFromText(col(text)).as("__th"))
       .select(col(as), explode(shingleHashesFromTokenHashes(col("__th"), k)).as("h"))
     val tSh = sh(train, trainId, trainText, "train_id")
     val bSh = sh(bench, benchId, benchText, "bench_id")

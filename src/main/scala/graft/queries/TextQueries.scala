@@ -204,7 +204,7 @@ object TextQueries extends Catalog {
         // would recompute the shingle fold per row
         .select(col("doc_id"),
           Dedup.shingleHashesFromTokenHashes(
-            Dedup.tokenHashes(TextAnalysis.tokens(col("text")))).as("__shd"))
+            Dedup.tokenHashesFromText(col("text"))).as("__shd"))
         .select(
           col("doc_id"),
           concat_ws(",",
@@ -859,7 +859,7 @@ object TextQueries extends Catalog {
       t => {
         val sh = t.documents
           .select(col("doc_id"), col("lang"),
-            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+            Dedup.tokenHashesFromText(col("text")).as("__th"))
           .select(col("doc_id"), col("lang"),
             Dedup.shingleHashesFromTokenHashes(col("__th")).as("shd"))
         sh.as("x").join(sh.as("y"),
@@ -908,7 +908,7 @@ object TextQueries extends Catalog {
         val thr = 0.5
         val sh = t.documents
           .select(col("doc_id"),
-            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+            Dedup.tokenHashesFromText(col("text")).as("__th"))
           .select(col("doc_id"),
             array_sort(Dedup.shingleHashesFromTokenHashes(col("__th"))).as("shd"))
           .localCheckpoint(true)
@@ -957,7 +957,7 @@ object TextQueries extends Catalog {
         val thr = 0.8
         val sh = t.documents
           .select(col("doc_id"), col("lang"),
-            Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("__th"))
+            Dedup.tokenHashesFromText(col("text")).as("__th"))
           .select(col("doc_id"), col("lang"),
             array_sort(Dedup.shingleHashesFromTokenHashes(col("__th"))).as("shd"))
           .localCheckpoint(true)

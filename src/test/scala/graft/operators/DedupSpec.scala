@@ -111,7 +111,12 @@ class DedupSpec extends SparkSpec {
       .zipWithIndex.map { case (s, i) => (100000L + i, s) }
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
-    val th = (docs ++ edges).toDF("doc_id", "text")
+    val corpus = (docs ++ edges).toDF("doc_id", "text")
+    val tokenParity = corpus.select(
+      Dedup.tokenHashesFromText($"text").as("fast"),
+      Dedup.tokenHashes(graft.operators.TextAnalysis.tokens($"text")).as("slow"))
+    assert(tokenParity.filter($"fast" =!= $"slow").count() == 0)
+    val th = corpus
       .select(Dedup.tokenHashes(graft.operators.TextAnalysis.tokens($"text")).as("th"))
     val shd = th.select(
       Dedup.shingleHashesFromTokenHashes($"th").as("fast"),
