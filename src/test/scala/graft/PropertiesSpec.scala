@@ -39,6 +39,38 @@ class PropertiesSpec extends SparkSpec {
     assert(exploded.count() == sizes.map(_.toLong).sum)
   }
 
+  test("native dedup kernels match composed forms on generated text (whitespace fuzz)") {
+    // alphabet deliberately includes every divergence surface: space runs,
+    // tabs/newlines (space-only trim!), repeated tokens, unicode, empties
+    val tokenGen = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.oneOf("a", "aa", "κόσμος", "日本", "", "x"))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val docGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0) + 2, sepGen)
+    } yield seps.head + toks.zip(seps.tail).map { case (t, s) => t + s }.mkString
+    val docs = Gen.listOfN(300, docGen).sample.get
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val th = df.select(
+      Dedup.tokenHashesFromText($"text").as("fast_th"),
+      Dedup.tokenHashes(graft.operators.TextAnalysis.tokens($"text")).as("slow_th"))
+    assert(th.filter($"fast_th" =!= $"slow_th").count() == 0)
+    val rest = df
+      .select($"id", Dedup.tokenHashes(graft.operators.TextAnalysis.tokens($"text")).as("th"), $"text")
+      .select(
+        Dedup.shingleHashesFromTokenHashes($"th").as("fast_shd"),
+        Dedup.shingleHashesFromTokenHashesComposed($"th").as("slow_shd"),
+        Dedup.simhash($"text").as("fast_sim"),
+        Dedup.simhashComposed($"text").as("slow_sim"))
+      .withColumn("fast_sig", Dedup.minhashSignature($"fast_shd"))
+      .withColumn("slow_sig", Dedup.minhashSignatureComposed($"slow_shd"))
+    assert(rest.filter(
+      $"fast_shd" =!= $"slow_shd" || $"fast_sim" =!= $"slow_sim" ||
+        $"fast_sig" =!= $"slow_sig").count() == 0)
+  }
+
   test("exact dedup is idempotent and keeps one representative per key") {
     val samples = Gen.listOfN(300, Gen.chooseNum(0, 30)).sample.get
     val df = samples.zipWithIndex.map { case (k, i) => (i.toLong, s"key$k") }.toDF("id", "k")
