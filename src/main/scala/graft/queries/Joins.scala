@@ -921,5 +921,52 @@ object Joins extends Catalog {
               |  AND o_orderdate >= TIMESTAMP '1996-01-01'
               |  AND o_orderdate <  TIMESTAMP '1998-01-01'
               |GROUP BY 1
-              |ORDER BY o_year NULLS FIRST""".stripMargin)))
+              |ORDER BY o_year NULLS FIRST""".stripMargin)),
+
+    // Disjunctive-bracket join — TPC-H Q19's shape: an OR of three
+    // conjunctive brackets, each constraining BOTH join sides (part's
+    // brand/size and lineitem's quantity), so no single conjunct is common
+    // to all branches and naive pushdown gets nothing. Stated scale-safely
+    // by splitting each bracket at the table boundary: part pre-filters on
+    // the union of its bracket halves (brand+size) BEFORE the broadcast —
+    // the scan prunes to the three brands — and the cross-bracket
+    // consistency (brand ↔ quantity range) re-checks after the join, where
+    // the brand column is already local. The oracle keeps the plain OR
+    // spelling, proving the split form equivalent. Quantity is integral
+    // (1..50), so bracket bounds are exact; revenue is psum-exact.
+    "q_join_bracket_disjunction" -> Q(
+      t => {
+        val pk = t.part
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+          .select(col("p_partkey"), col("p_brand"))
+        t.lineitem
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+          .groupBy(col("p_brand"))
+          .agg(round(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand,
+              |       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE), 2) AS revenue,
+              |       COUNT(*) AS n_lines
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 20 AND 30)
+              |GROUP BY p_brand
+              |ORDER BY p_brand NULLS FIRST""".stripMargin)))
 }
