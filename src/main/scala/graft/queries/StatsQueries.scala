@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-analytics shapes: Pareto skyline, marketing attribution, and an
+  * A/B significance test. Each pairs a scale-safe Spark plan with an oracle
+  * stated in a DIFFERENT formulation (quadratic NOT EXISTS, argmax join),
+  * so the gate proves the rewrite, not just the arithmetic.
+  */
+object StatsQueries extends Catalog {
+
+  def queries: Map[String, Q] = Map(
+
+    // 2-D Pareto skyline (minimize price, maximize size) — the textbook
+    // formulation is a quadratic NOT EXISTS self-join (kept as the
+    // oracle); the engine plans it O(n log n): collapse ties to one row
+    // per price (a hash agg), a running strictly-preceding max over the
+    // price order (window, 1 PRECEDING upper bound excludes the tie
+    // group), and a co-keyed join back. A part survives iff no part with
+    // strictly lower price has a strictly larger size. Scale shape: one
+    // agg shuffle on price + ONE single-partition window over the
+    // price-group rows (|distinct prices| rows, not |parts| — the only
+    // serial step, bounded by price cardinality; range-partition the
+    // window with a two-pass running max if prices are unbounded) + one
+    // shuffle join back on price. Doubles: 2-dp prices group and compare
+    // exactly; sizes are ints.
+    "q_win_skyline" -> Q(
+      t => {
+        val parts = t.part.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        val perPrice = parts.groupBy(col("p_retailprice").as("price"))
+          .agg(max(col("p_size")).as("gmax"))
+        val wPrev = Window.orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withPrev = perPrice.withColumn("prev_max", max(col("gmax")).over(wPrev))
+        parts.join(withPrev, col("p_retailprice") === col("price"))
+          .filter(col("prev_max").isNull || col("prev_max") <= col("p_size"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size
+              |FROM part x
+              |WHERE NOT EXISTS (
+              |  SELECT 1 FROM part y
+              |  WHERE y.p_retailprice < x.p_retailprice
+              |    AND y.p_size > x.p_size)
+              |ORDER BY p_partkey NULLS FIRST""".stripMargin)),
+
+    // Last-touch attribution — every purchase credits the user's most
+    // recent strictly-preceding marketing touch (click/view; ties on ts
+    // broken by event_id, so "preceding" is a total lexicographic order
+    // and the result is engine-stable). The engine does it in ONE window
+    // pass over the user's event stream: last(touch_type, ignoreNulls)
+    // over rows UNBOUNDED PRECEDING..1 PRECEDING in (ts, event_id) order
+    // — no self-join, no fan-out, constant memory per row. The oracle is
+    // the classic formulation: purchases × touches per user, ROW_NUMBER
+    // argmax — quadratic per user, which is exactly why the window form
+    // is the one that survives 100 TB (cost = one sort per user
+    // partition). Unattributed purchases surface as touch_type 'none'.
+    // Revenue in exact integer cents (events.value is full-precision).
+    "q_events_attribution" -> Q(
+      t => {
+        val touch = col("event_type").isin("click", "view")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.events
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+          .withColumn("last_touch",
+            last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(cents(col("value")).cast("long")).as("revenue_cents"))
+          .orderBy(col("touch_type"))
+      },
+      Some("""WITH purchases AS (
+              |  SELECT event_id, user_id, ts, value FROM events
+              |  WHERE event_type = 'purchase'
+              |), touches AS (
+              |  SELECT event_id, user_id, ts, event_type FROM events
+              |  WHERE event_type IN ('click', 'view')
+              |), attributed AS (
+              |  SELECT p.event_id AS pid, p.value, t.event_type AS last_touch,
+              |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+              |           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+              |  FROM purchases p
+              |  JOIN touches t ON t.user_id = p.user_id
+              |   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+              |), best AS (
+              |  SELECT pid, last_touch FROM attributed WHERE rn = 1
+              |)
+              |SELECT COALESCE(b.last_touch, 'none') AS touch_type,
+              |       COUNT(*) AS n_purchases,
+              |       CAST(SUM(CAST(floor(p.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              |FROM purchases p LEFT JOIN best b ON p.event_id = b.pid
+              |GROUP BY 1
+              |ORDER BY touch_type NULLS FIRST""".stripMargin)),
+
+    // Welch's t-statistic for an A/B split (variant = user_id parity) on
+    // purchase values. Everything order-dependent is integral: per-variant
+    // COUNT, SUM(cents), SUM(cents²) are exact int64 partial-agg'd sums
+    // (cents ≤ 49k → cents² ≤ 2.4e9; the sum overflows int64 around 4e9
+    // rows per variant — beyond that switch the sumsq leg to DECIMAL(38,0)).
+    // The float math (means, Welch variance, sqrt, one divide) runs on
+    // those exact integers in ONE fixed operation order, and IEEE
+    // division/sqrt are correctly rounded on both engines — so the t-stat
+    // is bit-stable without any tolerance. Scale shape: a 2-group
+    // partial+final hash agg, then constant-size arithmetic.
+    "q_events_ab_ttest" -> Q(
+      t => {
+        val grp = t.events
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).cast("int").as("variant"),
+            cents(col("value")).cast("long").as("v"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("q"))
+        val a = grp.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+        val b = grp.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+        val mA = col("s_a").cast("double") / col("n_a")
+        val mB = col("s_b").cast("double") / col("n_b")
+        val varA = (col("q_a").cast("double") - col("s_a").cast("double") * col("s_a") / col("n_a")) / (col("n_a") - 1)
+        val varB = (col("q_b").cast("double") - col("s_b").cast("double") * col("s_b") / col("n_b")) / (col("n_b") - 1)
+        a.crossJoin(b)
+          .select(col("n_a"), col("n_b"),
+            round((mA - mB) / 100.0, 4).as("mean_diff"),
+            round((mA - mB) / sqrt(varA / col("n_a") + varB / col("n_b")), 6)
+              .as("t_stat"))
+      },
+      Some("""WITH g AS (
+              |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+              |         COUNT(*) AS n,
+              |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+              |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+              |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+              |  FROM events WHERE event_type = 'purchase'
+              |  GROUP BY 1
+              |), a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM g WHERE variant = 0),
+              |   b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM g WHERE variant = 1)
+              |SELECT n_a, n_b,
+              |       ROUND((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / 100.0, 4) AS mean_diff,
+              |       ROUND((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+              |         / sqrt((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a
+              |              + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b),
+              |         6) AS t_stat
+              |FROM a, b""".stripMargin)))
+}
