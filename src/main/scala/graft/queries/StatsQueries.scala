@@ -147,5 +147,60 @@ object StatsQueries extends Catalog {
               |         / sqrt((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a
               |              + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b),
               |         6) AS t_stat
-              |FROM a, b""".stripMargin)))
+              |FROM a, b""".stripMargin)),
+
+    // Simple OLS regression (purchase cents on hour-of-day) — the
+    // regr_slope/regr_intercept/regr_r2 family, stated deterministically:
+    // Spark's and DuckDB's built-in regr_* aggregates sum DOUBLES in
+    // partial-merge order (run- and engine-unstable), so the anchor
+    // instead partial-aggregates the SIX exact int64 moments (n, Σx, Σy,
+    // Σxy, Σx², Σy²) — order-independent — and evaluates the closed-form
+    // slope/intercept/r² from them in one fixed double op sequence.
+    // Scale shape: a single 1-row partial+final agg; the moment sums are
+    // the map-side work. Int64 headroom: Σy² ≤ 2.4e9·rows — overflows
+    // past ~4e9 purchase rows per partition-merge tree; switch the y²
+    // leg to DECIMAL(38,0) beyond that.
+    "q_events_regression" -> Q(
+      t => {
+        val m = t.events
+          .filter(col("event_type") === "purchase")
+          .select(hour(col("ts")).cast("long").as("x"),
+            cents(col("value")).cast("long").as("y"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val n = col("n").cast("double")
+        val cov = n * col("sxy") - col("sx").cast("double") * col("sy")
+        val varX = n * col("sxx") - col("sx").cast("double") * col("sx")
+        val varY = n * col("syy") - col("sy").cast("double") * col("sy")
+        m.select(col("n"),
+          round(cov / varX, 6).as("slope_cents_per_hour"),
+          round((col("sy").cast("double") - cov / varX * col("sx")) / n / 100.0, 4)
+            .as("intercept"),
+          round(cov * cov / (varX * varY), 6).as("r2"))
+      },
+      Some("""WITH m AS (
+              |  SELECT COUNT(*) AS n,
+              |         SUM(CAST(hour(ts) AS BIGINT)) AS sx,
+              |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sy,
+              |         SUM(CAST(hour(ts) AS BIGINT)
+              |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sxy,
+              |         SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS sxx,
+              |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+              |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS syy
+              |  FROM events WHERE event_type = 'purchase'
+              |)
+              |SELECT n,
+              |       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents_per_hour,
+              |       ROUND((CAST(sy AS DOUBLE)
+              |         - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+              |         / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+              |       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+              |FROM m""".stripMargin)))
 }
