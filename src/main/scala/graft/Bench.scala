@@ -24,7 +24,10 @@ object Bench {
     * so the bench signal covers them too. Late-r9 appends the band-blocked
     * SimHash dedup (the Σ|bucket|² candidate join), the Q2-shaped
     * min-cost join-back, and the z-order layout planner (a 60-term
-    * codegen'd bit expression over the full fact — pure map throughput).
+    * codegen'd bit expression over the full fact — pure map throughput),
+    * then the Q9-shaped five-table profit join (dim-priced cost netting —
+    * classically among the heaviest TPC-H plans) and the one-window-pass
+    * last-touch attribution over the event stream.
     */
   val headline: Seq[String] = Seq(
     "q_scan_project",
@@ -45,7 +48,9 @@ object Bench {
     "q_graph_pagerank",
     "q_dedup_simhash_bands",
     "q_join_min_cost_supplier",
-    "q_layout_zorder")
+    "q_layout_zorder",
+    "q_join_product_profit",
+    "q_events_attribution")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
