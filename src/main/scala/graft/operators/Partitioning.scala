@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shuffle-management utilities for the 100 TB deployment shapes
@@ -104,5 +105,43 @@ object Partitioning {
       case (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
     }
     matched.unionByName(unmatched.select(matched.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Distributed strictly-preceding running max — the two-pass scan that
+    * replaces `Window.orderBy(k)` (which moves EVERY row to one partition;
+    * Spark warns and serializes) for global prefix aggregates at scale.
+    *
+    * Requires `orderCol` values to be UNIQUE (group first if not — the
+    * callers here feed grouped-by-key tables), so "rows preceding" equals
+    * "strictly smaller orderCol" and tie semantics cannot differ between
+    * this and the single-partition form.
+    *
+    * Pass 1: range-repartition on orderCol (equal keys co-located, ascending
+    * ranges on ascending partition ids) and compute the WITHIN-partition
+    * running max with a pid-partitioned window — fully parallel. Pass 2:
+    * per-partition maxima (one row per partition) get their own
+    * strictly-preceding prefix via a single-partition window over
+    * `numPartitions` rows — constant-sized, not data-sized — and broadcast
+    * back. prev = greatest(local running max, preceding partitions' prefix).
+    *
+    * The boundary placement the range partitioner samples is run-dependent;
+    * the RESULT is not — any split yields the same prefix maxima.
+    */
+  def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val withPid = df.repartitionByRange(numPartitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPid.withColumn("__local_prev", max(col(valueCol)).over(wLocal))
+    val wParts = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withPid.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__pmax"))
+      .withColumn("__prefix", max(col("__pmax")).over(wParts))
+      .select(col("__pid"), col("__prefix"))
+    local.join(broadcast(prefixes), "__pid")
+      .withColumn("prev_max", greatest(col("__local_prev"), col("__prefix")))
+      .drop("__pid", "__local_prev", "__prefix")
   }
 }

@@ -16,23 +16,22 @@ object StatsQueries extends Catalog {
     // formulation is a quadratic NOT EXISTS self-join (kept as the
     // oracle); the engine plans it O(n log n): collapse ties to one row
     // per price (a hash agg), a running strictly-preceding max over the
-    // price order (window, 1 PRECEDING upper bound excludes the tie
-    // group), and a co-keyed join back. A part survives iff no part with
-    // strictly lower price has a strictly larger size. Scale shape: one
-    // agg shuffle on price + ONE single-partition window over the
-    // price-group rows (|distinct prices| rows, not |parts| — the only
-    // serial step, bounded by price cardinality; range-partition the
-    // window with a two-pass running max if prices are unbounded) + one
-    // shuffle join back on price. Doubles: 2-dp prices group and compare
-    // exactly; sizes are ints.
+    // price order, and a co-keyed join back. A part survives iff no part
+    // with strictly lower price has a strictly larger size. Scale shape:
+    // one agg shuffle on price, then `Partitioning.prefixMax` — the
+    // TWO-PASS distributed running max (range-partition + pid-local
+    // window + broadcast per-partition prefixes) — so NO data-sized
+    // single-partition window exists anywhere in the plan (the only
+    // serial window runs over numPartitions rows), then one shuffle join
+    // back on price. Doubles: 2-dp prices group and compare exactly;
+    // sizes are ints.
     "q_win_skyline" -> Q(
       t => {
         val parts = t.part.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         val perPrice = parts.groupBy(col("p_retailprice").as("price"))
           .agg(max(col("p_size")).as("gmax"))
-        val wPrev = Window.orderBy(col("price"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val withPrev = perPrice.withColumn("prev_max", max(col("gmax")).over(wPrev))
+        val withPrev = graft.operators.Partitioning
+          .prefixMax(perPrice, "price", "gmax")
         parts.join(withPrev, col("p_retailprice") === col("price"))
           .filter(col("prev_max").isNull || col("prev_max") <= col("p_size"))
           .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
