@@ -240,6 +240,64 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** One user event on the attribution stream (ts/ids as plain longs so the
+    * lexicographic (tsUs, eventId) order is encoder-cheap). */
+  final case class UserEvent(
+    userId: Long, tsUs: Long, eventId: Long, eventType: String, cents: Long)
+
+  /** Best-so-far marketing touch for a user: the lexicographically largest
+    * (tsUs, eventId) click/view seen. One fixed-size record per live user. */
+  final case class TouchState(tsUs: Long, eventId: Long, touchType: String)
+
+  /** A purchase credited to its most recent preceding touch ('none' if the
+    * user has no touch on record yet). */
+  final case class AttributedPurchase(
+    userId: Long, purchaseEventId: Long, tsUs: Long, cents: Long, touchType: String)
+
+  /** Streaming twin of the batch q_events_attribution (StatsQueries): credit
+    * each purchase to the user's most recent strictly-preceding click/view,
+    * incrementally. Within a trigger the user's rows are sorted by
+    * (tsUs, eventId) — the same total order the batch window uses — and
+    * scanned once: touches advance the best-so-far state (monotone max, so
+    * a late touch older than the recorded one is correctly ignored for
+    * FUTURE purchases), purchases emit immediately with the current state.
+    * The incremental trade-off vs batch, stated explicitly: a touch
+    * arriving AFTER the purchase it should have claimed cannot retro-edit
+    * the already-emitted attribution (append mode emits once); when every
+    * event of a user lands in arrival order — or in one trigger — the
+    * output equals the batch query row for row (AttributionStreamSpec pins
+    * both, plus the trigger-split invariance of in-order delivery).
+    *
+    * Scale shape: one keyed shuffle (the state-store partitioning), one
+    * fixed-size state record per live user, per-trigger sort bounded by the
+    * user's rows IN THAT TRIGGER — never history.
+    */
+  def lastTouchAttribution(events: Dataset[UserEvent]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[TouchState]) =>
+          var best = state.getOption
+          val out = Vector.newBuilder[AttributedPurchase]
+          rows.toVector.sortBy(r => (r.tsUs, r.eventId)).foreach { r =>
+            r.eventType match {
+              case "purchase" =>
+                out += AttributedPurchase(userId, r.eventId, r.tsUs, r.cents,
+                  best.map(_.touchType).getOrElse("none"))
+              case "click" | "view" =>
+                if (best.forall(b =>
+                    Ordering[(Long, Long)].gt((r.tsUs, r.eventId), (b.tsUs, b.eventId))))
+                  best = Some(TouchState(r.tsUs, r.eventId, r.eventType))
+              case _ => ()
+            }
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Output-mode helper used by specs: run a streaming Dataset to a named
     * in-memory table and block until all available input is processed.
     */
