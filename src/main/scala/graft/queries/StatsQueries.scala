@@ -201,5 +201,54 @@ object StatsQueries extends Catalog {
               |         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
               |         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
               |          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
-              |FROM m""".stripMargin)))
+              |FROM m""".stripMargin)),
+
+    // OHLC downsampling — the market-data resample shape: per (user, day)
+    // bar with open/close = value at the first/last event and high/low =
+    // extremes. First/last are argmin/argmax over the SAME total
+    // (ts, event_id) order every other anchor uses — min_by/max_by on a
+    // composite struct key, so ties cannot differ between engines; the
+    // oracle replays them as rank-1 window picks, a different formulation
+    // of the same selection. All outputs exact cents. Scale shape: ONE
+    // partial+final hash agg on the bar key — min_by/max_by partial-merge
+    // like any algebraic aggregate, so no window, no sort, no second pass
+    // over the fact.
+    "q_ts_ohlc" -> Q(
+      t => {
+        val key = struct(col("ts"), col("event_id"))
+        t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"), cents(col("value")).cast("long").as("v"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(min_by(col("v"), key).as("open_cents"),
+            max(col("v")).as("high_cents"),
+            min(col("v")).as("low_cents"),
+            max_by(col("v"), key).as("close_cents"),
+            count(lit(1)).as("n_trades"),
+            sum(col("v")).as("volume_cents"))
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("open_cents"), col("high_cents"), col("low_cents"),
+            col("close_cents"), col("n_trades"), col("volume_cents"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH p AS (
+              |  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+              |         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              |           ORDER BY ts, event_id) AS rn_a,
+              |         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              |           ORDER BY ts DESC, event_id DESC) AS rn_d
+              |  FROM events WHERE event_type = 'purchase'
+              |)
+              |SELECT user_id, day,
+              |       MAX(CASE WHEN rn_a = 1 THEN v END) AS open_cents,
+              |       MAX(v) AS high_cents,
+              |       MIN(v) AS low_cents,
+              |       MAX(CASE WHEN rn_d = 1 THEN v END) AS close_cents,
+              |       COUNT(*) AS n_trades,
+              |       CAST(SUM(v) AS BIGINT) AS volume_cents
+              |FROM p
+              |GROUP BY 1, 2
+              |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin)))
 }
