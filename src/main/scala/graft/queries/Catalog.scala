@@ -89,7 +89,7 @@ trait Catalog {
 /** Union of all capability catalogs — what SparkEntry exposes to the driver. */
 object AllQueries {
   private def catalogs: Seq[Catalog] =
-    Seq(Relational, Joins, Windows, SetOps, ScalarFns, PipelineQueries, TextQueries, SimilarityQueries, MultimodalQueries, Extended, ScalarFns2, Analytics, SamplingQueries, Subqueries, CurationQueries, GraphQueries, ProfileQueries, LayoutQueries, TpchAnchors, StatsQueries)
+    Seq(Relational, Joins, Windows, SetOps, ScalarFns, PipelineQueries, TextQueries, SimilarityQueries, MultimodalQueries, Extended, ScalarFns2, Analytics, SamplingQueries, Subqueries, CurationQueries, GraphQueries, ProfileQueries, LayoutQueries, TpchAnchors, StatsQueries, Spark4Queries)
 
   def all: Map[String, Q] = catalogs.flatMap(_.queries).toMap
 }

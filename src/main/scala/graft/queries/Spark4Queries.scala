@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spark-4-native surfaces a user migrating from the reference's JSON/text
+  * front door (`events.props` is a JSON string, reference
+  * `protos/sensor_event.proto:44-46` carries free-form payload fields)
+  * gains by switching engines: the VARIANT binary JSON type, collation-aware
+  * grouping, SQL pipe syntax, and mergeable HLL sketches.
+  *
+  * Scale rationale per query is in each entry's comment; the common thread
+  * is that all four are engine-level features — binary-encoded
+  * once-parsed JSON instead of per-access string re-parsing, collation
+  * pushed into the hash-aggregate's key comparison instead of a wrapping
+  * lower(), partial sketches that merge associatively across 1000
+  * executors instead of a COUNT(DISTINCT) re-shuffle.
+  */
+object Spark4Queries extends Catalog {
+
+  def queries: Map[String, Q] = Map(
+
+    // VARIANT ingestion: parse the JSON string ONCE into Spark 4's binary
+    // variant encoding, then do typed path extraction (variant_get) on the
+    // binary form. At 100 TB this is the difference between re-tokenizing
+    // the JSON text for every accessed path (get_json_object — the
+    // q_json_funcs form) and one parse followed by O(log fields) binary
+    // offset lookups per path; same plan shape (narrow map), strictly less
+    // CPU per row. The missing-path and wrong-type probes pin the
+    // null-not-error contract (try_variant_get) that makes the operator
+    // safe on heterogeneous 100 TB payloads. Oracle replays every column
+    // with DuckDB's JSON extraction.
+    "q_json_variant" -> Q(
+      t => t.events
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
+          try_variant_get(col("v"), "$.k", "array<bigint>").as("k_badtype"),
+          is_variant_null(col("v")).as("is_json_null"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     json_extract_string(props, '$.k') AS k_str,
+                     CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+                     CAST(NULL AS BIGINT[]) AS k_badtype,
+                     (json_extract(props, '$') = 'null') AS is_json_null
+              FROM events
+              ORDER BY event_id NULLS FIRST""")),
+
+    // Collation-aware grouping: UTF8_LCASE makes case-insensitivity a
+    // property of the COLUMN, so the hash aggregate's key comparison is
+    // collation-aware — no wrapping lower() expression for Catalyst to
+    // re-evaluate per reference, and downstream joins/sorts on the same
+    // column inherit the semantics. The query manufactures case variants
+    // (every p_type plus its initcap form), groups on the collated key,
+    // and proves both forms landed in one group (n_forms = 2). The output
+    // key is normalized through lower() and cast back to a plain binary
+    // string because which ORIGINAL spelling a collated group retains is
+    // engine/order-dependent — the one nondeterminism the feature
+    // introduces, handled the same way at any scale. Oracle replays with
+    // lower()-keyed grouping and a string-built initcap.
+    "q_agg_collated" -> Q(
+      t => {
+        val base = t.part.select(col("p_type").as("ty"))
+        val mixed = base.unionAll(base.select(initcap(col("ty")).as("ty")))
+        mixed
+          .groupBy(collate(col("ty"), "UTF8_LCASE").as("tyc"))
+          .agg(count(lit(1)).as("n"), count_distinct(col("ty")).as("n_forms"))
+          .select(
+            lower(col("tyc")).cast("string").as("type_lc"),
+            col("n"), col("n_forms"))
+          .orderBy(col("type_lc"))
+      },
+      Some("""WITH mixed AS (
+              |  SELECT p_type AS ty FROM part
+              |  UNION ALL
+              |  SELECT array_to_string(list_transform(string_split(p_type, ' '),
+              |           w -> upper(w[1]) || lower(w[2:])), ' ') FROM part
+              |)
+              |SELECT lower(ty) AS type_lc, COUNT(*) AS n,
+              |       COUNT(DISTINCT ty) AS n_forms
+              |FROM mixed GROUP BY lower(ty)
+              |ORDER BY type_lc NULLS FIRST""".stripMargin)),
+
+    // SQL pipe syntax (SQL:2023-style |> chaining, Spark 4 front door):
+    // the Q1 pricing-summary shape restated as a linear pipeline. The
+    // feature is purely syntactic — Catalyst plans the identical
+    // partial/final hash aggregate the ANSI form gets (the oracle IS the
+    // ANSI form, so the gate proves plan-semantics equivalence end to
+    // end). Money sums follow the catalog's exact-cents discipline.
+    "q_sql_pipe" -> Q(
+      t => {
+        t.lineitem.createOrReplaceTempView("lineitem")
+        t.lineitem.sparkSession.sql(
+          """FROM lineitem
+            ||> WHERE l_shipdate <= DATE '1998-09-02'
+            ||> AGGREGATE COUNT(*) AS n,
+            |     CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+            |     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+            |     GROUP BY l_returnflag, l_linestatus
+            ||> ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+              FROM lineitem
+              WHERE l_shipdate <= DATE '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Mergeable HLL sketches — the 100 TB COUNT(DISTINCT) pattern: each
+    // group (here: event_type; at scale: a partition / a day / an
+    // executor) builds a fixed-size Datasketches HLL of user_id, and the
+    // global distinct count is the ESTIMATE OF THE UNION of those
+    // sketches — a kilobytes-sized associative merge instead of the
+    // re-shuffle of all distinct values a two-level exact COUNT(DISTINCT)
+    // needs. Output: per-group estimates plus an 'ALL' row whose value is
+    // provably (HllMergeSpec) identical to sketching the whole input in
+    // one pass. No DuckDB oracle by design — sketch contents are
+    // Datasketches-implementation-specific (same class as
+    // q_agg_approx_distinct); the driver records the rows-only check and
+    // HllMergeSpec carries the merge-associativity and accuracy proof.
+    "q_agg_hll_merge" -> Q(
+      t => {
+        val perGroup = t.events
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sketch"))
+        val est = perGroup.select(
+          col("event_type"),
+          hll_sketch_estimate(col("sketch")).as("approx_users"))
+        val merged = perGroup
+          .agg(hll_union_agg(col("sketch")).as("u"))
+          .select(lit("ALL").as("event_type"),
+            hll_sketch_estimate(col("u")).as("approx_users"))
+        est.unionAll(merged).orderBy(col("event_type"))
+      },
+      None))
+}
