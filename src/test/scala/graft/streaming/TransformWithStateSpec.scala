@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** transformWithState (StatefulOps.runningUserTotals) — Spark 4's
+  * arbitrary-state API with multiple named state variables (ValueState
+  * totals + MapState per-type counts) on the RocksDB store. Pins:
+  * batch-aggregate parity of the final per-user rows, trigger-split
+  * invariance (the fold is commutative and state carries across
+  * triggers), and Update-mode re-emission of refreshed keys only.
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamOps.UserEvent
+  import StatefulOps.UserTotals
+
+  private val events = Seq(
+    UserEvent(1L, 100L, 1L, "view", 0L),
+    UserEvent(1L, 200L, 2L, "purchase", 999L),
+    UserEvent(1L, 300L, 3L, "purchase", 500L),
+    UserEvent(2L, 50L, 4L, "click", 0L),
+    UserEvent(2L, 60L, 5L, "view", 0L),
+    UserEvent(3L, 10L, 6L, "error", 7L))
+
+  // batch truth: per-user (n, cents, distinct types)
+  private val want = Map(
+    1L -> UserTotals(1L, 3L, 1499L, 2L),
+    2L -> UserTotals(2L, 2L, 0L, 2L),
+    3L -> UserTotals(3L, 1L, 7L, 1L))
+
+  private def run(batches: Seq[Seq[UserEvent]], name: String): Seq[UserTotals] = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[UserEvent](spark)
+      val q = StatefulOps.runningUserTotals(in.toDS())
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName(name).start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[UserTotals].collect().toSeq
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** Latest emitted row per user = the running profile's final value. */
+  private def latest(rows: Seq[UserTotals]): Map[Long, UserTotals] =
+    rows.groupBy(_.userId).map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+
+  test("single trigger matches the batch aggregate per user") {
+    assert(latest(run(Seq(events), "tws_one")) == want)
+  }
+
+  test("state carries across triggers: split runs converge to the same totals") {
+    assert(latest(run(events.grouped(2).toSeq, "tws_split")) == want)
+    assert(latest(run(events.map(Seq(_)), "tws_rows")) == want)
+  }
+
+  test("update mode re-emits only keys refreshed in the trigger") {
+    val out = run(Seq(
+      Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
+      Seq(UserEvent(8L, 2L, 2L, "click", 0L))), "tws_update")
+    // user 7 appears once (trigger 1) — not re-emitted by trigger 2
+    assert(out.count(_.userId == 7L) == 1 && out.count(_.userId == 8L) == 1)
+  }
+}
