@@ -113,6 +113,74 @@ object Spark4Queries extends Catalog {
               GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // Recursive CTE (WITH RECURSIVE, Spark 4 SQL front door): bounded
+    // breadth-first reachability over the same doubled bipartite
+    // order/part graph as q_graph_bfs, but stated DECLARATIVELY — the
+    // recursion produces every ≤2-hop walk from the seed parts and the
+    // outer aggregate collapses walks to min hop distance (aggregation
+    // must sit OUTSIDE the recursive term on both engines). Catalyst
+    // plans each recursion level as the same shuffle join the
+    // operator-form BFS spells by hand (UnionLoop: the 100 TB cost model
+    // is identical — levels × one join shuffle); the depth guard is the
+    // termination contract. The oracle is DuckDB's recursive CTE of the
+    // same text modulo dialect casts — two independent recursive
+    // executors agreeing on the fixpoint.
+    "q_graph_bfs_recursive" -> Q(
+      t => {
+        t.lineitem.createOrReplaceTempView("lineitem")
+        t.part.createOrReplaceTempView("part")
+        t.lineitem.sparkSession.sql(
+          """WITH RECURSIVE walk(node, dist) AS (
+            |  SELECT p_partkey * 2 + 1, CAST(0 AS BIGINT) FROM part WHERE p_size = 1
+            |  UNION ALL
+            |  SELECT e.dst, w.dist + 1
+            |  FROM walk w
+            |  JOIN (SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+            |        UNION
+            |        SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem) e
+            |    ON e.src = w.node
+            |  WHERE w.dist < 2
+            |)
+            |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+            |ORDER BY node NULLS FIRST""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(node, dist) AS (
+             |  SELECT p_partkey * 2 + 1, CAST(0 AS BIGINT) FROM part WHERE p_size = 1
+             |  UNION ALL
+             |  SELECT e.dst, w.dist + 1
+             |  FROM walk w
+             |  JOIN (SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+             |        UNION
+             |        SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem) e
+             |    ON e.src = w.node
+             |  WHERE w.dist < 2
+             |)
+             |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+             |ORDER BY node NULLS FIRST""".stripMargin)),
+
+    // Ordered string aggregation (listagg WITHIN GROUP, SQL:2023): the
+    // canonical "roll member names up to the parent row" shape. The
+    // WITHIN GROUP order is part of the SEMANTICS (not a display choice):
+    // an unordered string_agg is nondeterministic under parallel merge —
+    // the same partial-agg merge-order trap msum exists for — so the
+    // catalog only ships the ordered form. Oracle: DuckDB's string_agg
+    // with ORDER BY.
+    "q_agg_listagg" -> Q(
+      t => {
+        t.supplier.createOrReplaceTempView("supplier")
+        t.supplier.sparkSession.sql(
+          """SELECT s_nationkey,
+            |       listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS members,
+            |       COUNT(*) AS n
+            |FROM supplier GROUP BY s_nationkey
+            |ORDER BY s_nationkey NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT s_nationkey,
+                     string_agg(s_name, ',' ORDER BY s_name) AS members,
+                     COUNT(*) AS n
+              FROM supplier GROUP BY s_nationkey
+              ORDER BY s_nationkey NULLS FIRST""")),
+
     // Mergeable HLL sketches — the 100 TB COUNT(DISTINCT) pattern: each
     // group (here: event_type; at scale: a partition / a day / an
     // executor) builds a fixed-size Datasketches HLL of user_id, and the
