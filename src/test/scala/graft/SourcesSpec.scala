@@ -23,6 +23,17 @@ class SourcesSpec extends SparkSpec {
     assert(fromJson.orderBy("n_nationkey").collect().toSeq == want)
   }
 
+  test("xml source (built-in since Spark 4) round-trips the same rows") {
+    val base = Graft.table(spark, sf(), "nation")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    base.write.mode("overwrite").option("rootTag", "nations")
+      .option("rowTag", "nation").xml(s"$dir/xml")
+    val fromXml = spark.read.option("rowTag", "nation")
+      .schema("n_nationkey int, n_name string, n_regionkey int").xml(s"$dir/xml")
+    assert(fromXml.orderBy("n_nationkey").collect().toSeq ==
+      base.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("rate source ticks monotonically") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.format("memory").queryName("rate_out").start()
