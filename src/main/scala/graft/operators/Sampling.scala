@@ -175,6 +175,47 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Weighted exact-k sample via PRIORITY SAMPLING (Duffield, Lund, Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums", JACM 2007
+    * — public literature): each row gets priority w/u for a unit draw u and
+    * the k highest priorities win, giving inclusion probabilities
+    * proportional-ish to weight with strong subset-sum estimation
+    * guarantees. Chosen over the Efraimidis–Spirakis u^(1/w) key ON
+    * PURPOSE: pow() is not IEEE-correctly-rounded and may differ in the
+    * last ulp between engines (the same cross-engine float class the
+    * mixture-rate ADVICE fix closed), while this key needs only multiply
+    * and divide — BOTH correctly rounded per IEEE-754, so the key is
+    * bit-identical on Spark and DuckDB by construction. u is derived
+    * integrally from the md5 draw: u = (2h+1)/2^33 over the 8-hex-char
+    * h ∈ [0, 2^32), so the key w·2^33/(2h+1) is a quotient of exact
+    * integers (< 2^53, exactly representable).
+    *
+    * Scale shape: key is map-side; the top-k is one global window —
+    * Spark 4 plans `row_number ≤ k` with WindowGroupLimit, so each
+    * partition forwards at most k candidates (no full sort, no single
+    * giant partition materializing the corpus).
+    */
+  def priorityK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "priority"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(hashKey(col(idCol), salt), 16, 10).cast("long")
+    val key = col(weightCol).cast("double") * lit(8589934592.0) /
+      (h * 2 + 1).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(key.desc, col(idCol))
+    df.withColumn("priority", key)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** The priority key for a DuckDB oracle (same exact-integer quotient). */
+  def priorityKeySql(idSql: String, weightSql: String,
+      salt: String = "priority"): String = {
+    val h = s"CAST(concat('0x', ${hashKeySql(idSql, salt)}) AS BIGINT)"
+    s"CAST($weightSql AS DOUBLE) * 8589934592.0 / CAST($h * 2 + 1 AS DOUBLE)"
+  }
+
   /** Deterministic epoch shuffle: a reproducible pseudo-random total order
     * (hash key asc, id tiebreak). Training wants a different permutation
     * per epoch — pass the epoch in the salt — but the SAME permutation on

@@ -115,5 +115,46 @@ object SamplingQueries extends Catalog {
                |FROM documents d JOIN rates r USING (source)
                |WHERE ${Sampling.weightedSql("d.doc_id", "r.__rate", 1.0, "mixture")}
                |GROUP BY d.source
-               |ORDER BY source NULLS FIRST, n_kept NULLS FIRST""".stripMargin)))
+               |ORDER BY source NULLS FIRST, n_kept NULLS FIRST""".stripMargin)),
+
+    // Weighted exact-k via priority sampling (Duffield–Lund–Thorup): the
+    // k = 50 highest w/u priorities with w = n_chars — long documents
+    // preferentially kept under a HARD size budget (the weighted dual of
+    // exactKPerStratum's uniform draw). The key is a quotient of exact
+    // integers (see Sampling.priorityK) so it is bit-identical across
+    // engines without any pow()/ln() libm dependence; priority itself is
+    // surfaced and compared, putting the whole scoring — not just
+    // membership — under the exact gate.
+    "q_sample_priority_k" -> Q(
+      t => graft.operators.Sampling.priorityK(t.documents, "doc_id", "n_chars",
+        k = 50, salt = "p1")
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_chars, priority FROM (
+               |  SELECT doc_id, n_chars,
+               |         ${Sampling.priorityKeySql("doc_id", "n_chars", "p1")} AS priority,
+               |         row_number() OVER (
+               |           ORDER BY ${Sampling.priorityKeySql("doc_id", "n_chars", "p1")} DESC,
+               |                    doc_id) AS rk
+               |  FROM documents)
+               |WHERE rk <= 50
+               |ORDER BY doc_id NULLS FIRST""".stripMargin)),
+
+    // Group-aware split: hash the GROUP key (source), not the row id, so
+    // every document of a source lands in the same split — the leakage
+    // guard an eval split needs when near-duplicate rows cluster within a
+    // group (same crawl domain, same user). Same thresholds and salt
+    // machinery as q_sample_split; only the hashed column changes — which
+    // is the entire point: leakage safety is a one-argument decision, not
+    // a new operator. Map-side, no shuffle.
+    "q_sample_group_split" -> Q(
+      t => Sampling.split(t.documents, "source", splitWeights, salt = "g1")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split")),
+      Some(s"""SELECT source, ${Sampling.splitSql("source", splitWeights, "g1")} AS split,
+               |       COUNT(*) AS n
+               |FROM documents
+               |GROUP BY 1, 2
+               |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin)))
 }
