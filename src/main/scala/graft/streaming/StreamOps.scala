@@ -298,6 +298,37 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of the batch q_ts_ohlc (StatsQueries): per-key OHLC
+    * bars over a tumbling event-time window. Open/close are min_by/max_by
+    * over the same composite (ts, eventId) struct order the batch anchor
+    * uses — algebraic aggregates that partial-merge across triggers, so a
+    * bar's open survives arriving mid-bar rows in any order; ties are
+    * impossible by construction (the struct key is unique per row). The
+    * watermark bounds state to the live bars per key and makes append-mode
+    * emission final — the late row past the watermark is DROPPED, exactly
+    * the trade the batch query never has to make (OhlcStreamSpec pins both
+    * parity and the drop). Scale shape: one keyed state-store shuffle,
+    * fixed-size bar state, no sort, no per-bar buffering of events.
+    */
+  def ohlcBars(events: DataFrame, tsCol: String, keyCol: String,
+      eventIdCol: String, centsCol: String,
+      windowDur: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    val pick = struct(col(tsCol), col(eventIdCol))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), windowDur).as("w"))
+      .agg(
+        min_by(col(centsCol), pick).as("open_cents"),
+        max(col(centsCol)).as("high_cents"),
+        min(col(centsCol)).as("low_cents"),
+        max_by(col(centsCol), pick).as("close_cents"),
+        count(lit(1)).as("n_trades"),
+        sum(col(centsCol)).as("volume_cents"))
+      .select(col(keyCol), col("w.start").as("bar_start"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"), col("volume_cents"))
+  }
+
   /** Output-mode helper used by specs: run a streaming Dataset to a named
     * in-memory table and block until all available input is processed.
     */
