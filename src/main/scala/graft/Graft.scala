@@ -27,6 +27,10 @@ object Graft {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 rejects that
       // parquet type unless it is read back as a nanosecond long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's Catalyst rules (banded-levenshtein predicate rewrite);
+      // semantics-preserving, so sessions built elsewhere (driver, tests)
+      // differ only in plan cost, never in results
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -968,5 +968,35 @@ object Joins extends Catalog {
               |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
               |       AND l_quantity BETWEEN 20 AND 30)
               |GROUP BY p_brand
-              |ORDER BY p_brand NULLS FIRST""".stripMargin)))
+              |ORDER BY p_brand NULLS FIRST""".stripMargin)),
+
+    // Blocked fuzzy self-join — the entity-resolution shape: candidate
+    // pairs come from an EQUI-join on the blocking key (p_brand), so the
+    // pair space is Σ block² and shuffles like any equi-join — never the
+    // all-pairs cross product — and only candidates pay the levenshtein
+    // kernel. On engine sessions (Graft.session registers GraftExtensions)
+    // the `<= 2` bound is replanned by LevenshteinThresholdRule into the
+    // banded O(k·len) early-out kernel; the rewrite is semantics-
+    // preserving, which is exactly what this oracle row proves — the same
+    // pairs fall out with or without the rule. p_partkey < p_partkey
+    // orients each unordered pair once.
+    "q_join_fuzzy_name" -> Q(
+      t => {
+        val a = t.part.select(col("p_partkey").as("a_key"),
+          col("p_brand").as("brand"), col("p_name").as("a_name"))
+        val b = t.part.select(col("p_partkey").as("b_key"),
+          col("p_brand").as("b_brand"), col("p_name").as("b_name"))
+        a.join(b, col("brand") === col("b_brand") &&
+            col("a_key") < col("b_key") &&
+            levenshtein(col("a_name"), col("b_name")) <= 2)
+          .select(col("a_key"), col("b_key"),
+            levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             |       levenshtein(a.p_name, b.p_name) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY a_key NULLS FIRST, b_key NULLS FIRST""".stripMargin)))
 }
