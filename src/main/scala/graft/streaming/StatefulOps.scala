@@ -77,4 +77,88 @@ object StatefulOps {
       .groupByKey(_.userId)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** An event on the timed-session stream (real timestamp column so the
+    * watermark — and therefore the event-time timers — have something to
+    * advance on). */
+  final case class TimedEvent(
+    ts: java.sql.Timestamp, userId: Long, eventId: Long, cents: Long)
+
+  final case class SessionSummary(
+    userId: Long, startMs: Long, endMs: Long, nEvents: Long, cents: Long)
+
+  /** Session closing by EVENT-TIME TIMER — what transformWithState adds
+    * over both `session_window` (fixed aggregate shape only) and
+    * `mapGroupsWithState` (whose processing-time timeouts make tests and
+    * replays nondeterministic): the processor keeps one open session per
+    * user and arms a timer at lastEvent + gap; when the WATERMARK passes
+    * that instant the engine calls handleExpiredTimer, the summary is
+    * emitted, and the state is cleared. Close time is a pure function of
+    * event time, so replaying the same input gives the same output —
+    * wall-clock never enters the semantics. One fixed-size state record
+    * and at most one live timer per open session; both evicted on close,
+    * so state is O(live sessions) exactly like the watermarked
+    * session_window (StateSoakSpec's plateau argument applies unchanged).
+    */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
+    @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[(Long, Long, Long, Long)](
+        "session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val out = Vector.newBuilder[SessionSummary]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
+        val t = r.ts.getTime
+        cur match {
+          case Some((s, last, n, c)) if t - last <= gapMs =>
+            cur = Some((s, math.max(last, t), n + 1L, c + r.cents))
+          case Some((s, last, n, c)) =>
+            // gap already exceeded WITHIN the data — close inline, open anew
+            out += SessionSummary(userId, s, last, n, c)
+            cur = Some((t, t, 1L, r.cents))
+          case None =>
+            cur = Some((t, t, 1L, r.cents))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        // re-arm: exactly one live timer per open session
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(st._2 + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (sess.exists()) {
+        val (s, last, n, c) = sess.get()
+        sess.clear()
+        Iterator.single(SessionSummary(userId, s, last, n, c))
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-closed sessionization over a watermarked event stream. */
+  def timedSessions(events: Dataset[TimedEvent], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

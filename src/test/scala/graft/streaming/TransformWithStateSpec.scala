@@ -63,6 +63,44 @@ class TransformWithStateSpec extends SparkSpec {
     assert(latest(run(events.map(Seq(_)), "tws_rows")) == want)
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L, watermark = "0 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_sessions").start()
+      // user 1: two events 30s apart (one session); user 2: one event
+      in.addData(
+        TimedEvent(t(base), 1L, 1L, 100L),
+        TimedEvent(t(base + 30000L), 1L, 2L, 200L),
+        TimedEvent(t(base + 10000L), 2L, 3L, 50L))
+      q.processAllAvailable()
+      // watermark still at base+30s: no session may close yet
+      assert(spark.table("tws_sessions").count() == 0L)
+      // advance the watermark far past both gaps; timers must fire
+      in.addData(TimedEvent(t(base + 10 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 20 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_sessions").as[SessionSummary].collect()
+        .map(s => s.userId -> ((s.startMs, s.endMs, s.nEvents, s.cents))).toMap
+      assert(got(1L) == ((base, base + 30000L, 2L, 300L)))
+      assert(got(2L) == ((base + 10000L, base + 10000L, 1L, 50L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
