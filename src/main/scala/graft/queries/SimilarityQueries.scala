@@ -674,5 +674,54 @@ object SimilarityQueries extends Catalog {
                |       CAST(COALESCE(h.n_hit, 0) * 1000000 // 3 AS BIGINT) AS recall_micro
                |FROM n q LEFT JOIN hits h ON q.vec_id = h.qid
                |WHERE q.vec_id < 20
-               |ORDER BY qid NULLS FIRST, n_hit NULLS FIRST, recall_micro NULLS FIRST""".stripMargin)))
+               |ORDER BY qid NULLS FIRST, n_hit NULLS FIRST, recall_micro NULLS FIRST""".stripMargin)),
+
+    // Per-dimension z-score feature normalization — the standard embedding
+    // preprocessing pass (zero-mean/unit-variance per dim before
+    // quantization or distance work). Determinism discipline: values are
+    // quantized to exact micro-unit BIGINTs (floor(x·10⁶ + 0.5) — the
+    // catalog's engine-portable quantizer), per-dim count/sum/sum-of-
+    // squares aggregate EXACTLY in int64, and mean/variance/z are then a
+    // FIXED sequence of IEEE-correctly-rounded double ops (+,-,*,/,sqrt —
+    // no libm), spelled identically in the oracle; variance is
+    // E[m²]−E[m]² in doubles because n·Σm² overflows int64 at sf0.1.
+    // Scale shape: one narrow explode, one 64-group partial agg (the
+    // moments), broadcast of 64 rows back, map-side normalize — the
+    // canonical two-pass scaler; output bounded to dims 0-7.
+    "q_sim_zscore" -> Q(
+      t => {
+        val ex = t.embeddings
+          .select(col("vec_id"), posexplode(graft.operators.Similarity.toDouble(col("embedding"))))
+          .filter(col("pos") < 8)
+          .select(col("vec_id"), col("pos"),
+            floor(col("col") * 1000000 + 0.5).cast("long").as("m"))
+        val moments = ex.groupBy(col("pos")).agg(
+          count(lit(1)).as("n"), sum(col("m")).as("s"),
+          sum(col("m") * col("m")).as("s2"))
+        val mean = col("s").cast("double") / col("n")
+        val std = sqrt(col("s2").cast("double") / col("n") - mean * mean)
+        ex.join(broadcast(moments), "pos")
+          .select(col("vec_id"), col("pos"),
+            round((col("m").cast("double") - mean) / std, 6))
+          .toDF("vec_id", "pos", "z")
+          .orderBy(col("vec_id"), col("pos"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id,
+             |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+             |  FROM embeddings
+             |), exf AS (
+             |  SELECT * FROM ex WHERE pos < 8
+             |), mo AS (
+             |  SELECT pos, COUNT(*) AS n, SUM(m) AS s, SUM(m * m) AS s2
+             |  FROM exf GROUP BY pos
+             |)
+             |SELECT vec_id, pos,
+             |       round((CAST(m AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             |         / sqrt(CAST(s2 AS DOUBLE) / n
+             |                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             |         * 1000000) / 1000000 AS z
+             |FROM exf JOIN mo USING (pos)
+             |ORDER BY vec_id NULLS FIRST, pos NULLS FIRST""".stripMargin)))
 }

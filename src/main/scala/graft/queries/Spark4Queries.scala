@@ -52,6 +52,44 @@ object Spark4Queries extends Catalog {
               FROM events
               ORDER BY event_id NULLS FIRST""")),
 
+    // Malformed-record ingestion semantics — the reference's failed-event
+    // accounting (internal/app/app.go:147-157 counts events that fail to
+    // decode; it never crashes the pipeline). Relationally that contract
+    // is PERMISSIVE from_json with a corrupt-record column: a bad payload
+    // yields null fields plus the raw text in `bad`, a good payload parses
+    // — one narrow map, no row lost either way, and the dead-letter stream
+    // is just `WHERE bad IS NOT NULL`. Corruption is injected
+    // deterministically (every 10th event's props truncated) so the oracle
+    // can replay the split with json_valid(). At 100 TB this is the
+    // difference between a poison record killing a 6-hour job and a
+    // queryable quarantine table.
+    "q_json_malformed" -> Q(
+      t => {
+        val raw = when(col("event_id") % 10 === 0, substring(col("props"), 1, 3))
+          .otherwise(col("props"))
+        t.events
+          .select(col("event_id"), raw.as("s"))
+          .withColumn("p", from_json(col("s"),
+            org.apache.spark.sql.types.StructType.fromDDL("k bigint, _bad string"),
+            Map("columnNameOfCorruptRecord" -> "_bad")))
+          .select(
+            col("event_id"),
+            col("p.k").as("k"),
+            col("p._bad").as("bad"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 10 = 0 THEN substring(props, 1, 3)
+             |              ELSE props END AS s
+             |  FROM events)
+             |SELECT event_id,
+             |       CASE WHEN json_valid(s)
+             |            THEN CAST(json_extract_string(s, '$.k') AS BIGINT) END AS k,
+             |       CASE WHEN NOT json_valid(s) THEN s END AS bad
+             |FROM r
+             |ORDER BY event_id NULLS FIRST""".stripMargin)),
+
     // Collation-aware grouping: UTF8_LCASE makes case-insensitivity a
     // property of the COLUMN, so the hash aggregate's key comparison is
     // collation-aware — no wrapping lower() expression for Catalyst to
