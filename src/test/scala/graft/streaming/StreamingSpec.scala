@@ -178,6 +178,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows("a2").isEmpty)          // 20-min ack outside 5-min lag → null-padded
   }
 
+  test("stream-stream FULL outer join pads the unmatched side after both watermarks") {
+    val alerts = MemoryStream[(Timestamp, String, String)](spark)
+    val acks = MemoryStream[(Timestamp, String, String)](spark)
+    val joined = StreamOps.streamStreamJoin(
+      alerts.toDF().toDF("ts", "sensor", "alert"), "ts", "1 minute",
+      acks.toDF().toDF("ts", "sensor", "ack"), "ts", "1 minute",
+      key = "sensor", maxLag = "5 minutes", joinType = "fullOuter")
+    val q = joined.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("ssjoin_full").start()
+    alerts.addData((ts("2024-01-01 10:00:00"), "s1", "a1")) // never acked
+    acks.addData((ts("2024-01-01 10:01:00"), "s2", "k2"))   // ack w/o alert
+    q.processAllAvailable()
+    // advance both watermarks decisively past every join window
+    for (h <- Seq("11:00:00", "12:00:00")) {
+      alerts.addData((ts(s"2024-01-01 $h"), "s9", "a9"))
+      acks.addData((ts(s"2024-01-01 $h"), "s9", "k9"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("ssjoin_full").select($"alert", $"r_ack")
+      .as[(Option[String], Option[String])].collect().toSet
+    // the unmatched alert AND the unmatched ack both surface null-padded
+    assert(rows.contains((Some("a1"), None)), s"unmatched left row missing: $rows")
+    assert(rows.contains((None, Some("k2"))), s"unmatched right row missing: $rows")
+  }
+
   test("sinkAlerts streams fixture events through foreachBatch to a writer") {
     val collected = new java.util.concurrent.ConcurrentLinkedQueue[KafkaSink.PreparedRecord]()
     CollectingWriter.queue = collected
