@@ -97,6 +97,67 @@ object StatsQueries extends Catalog {
               |GROUP BY 1
               |ORDER BY touch_type NULLS FIRST""".stripMargin)),
 
+    // Linear (equal-credit) multi-touch attribution — last-touch's sibling
+    // model: every strictly-preceding click/view of a purchase shares the
+    // credit equally, so a purchase contributes cnt_type/total to each
+    // type. The engine computes it with TWO running counters per user (one
+    // window pass, same (ts, event_id) total order as every other anchor —
+    // no touch×purchase fan-out), and the credit is exact integer math:
+    // floor(10⁶·cnt_type/total) micro-units, so the gate is float-free.
+    // Touchless purchases credit 'none' with the full 10⁶. The oracle is
+    // the quadratic formulation — purchases × preceding touches, grouped
+    // per purchase — which is exactly the join the window pass avoids at
+    // 100 TB; the gate proves the rewrite, not just the arithmetic.
+    "q_events_attribution_linear" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val credited = t.events
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("n_click",
+            count(when(col("event_type") === "click", lit(1))).over(w))
+          .withColumn("n_view",
+            count(when(col("event_type") === "view", lit(1))).over(w))
+          .filter(col("event_type") === "purchase")
+          .withColumn("total", col("n_click") + col("n_view"))
+        credited.select(
+          sum(when(col("total") > 0,
+            floor(lit(1000000L) * col("n_click") / col("total")).cast("long"))
+            .otherwise(lit(0L))).as("click_credit_micro"),
+          sum(when(col("total") > 0,
+            floor(lit(1000000L) * col("n_view") / col("total")).cast("long"))
+            .otherwise(lit(0L))).as("view_credit_micro"),
+          sum(when(col("total") === 0, lit(1000000L)).otherwise(lit(0L)))
+            .as("none_credit_micro"),
+          count(lit(1)).as("n_purchases"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id AS pid, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'
+             |), touches AS (
+             |  SELECT user_id, ts, event_id, event_type FROM events
+             |  WHERE event_type IN ('click', 'view')
+             |), per_purchase AS (
+             |  SELECT p.pid,
+             |         COUNT(CASE WHEN t.event_type = 'click' THEN 1 END) AS n_click,
+             |         COUNT(CASE WHEN t.event_type = 'view' THEN 1 END) AS n_view
+             |  FROM purchases p
+             |  LEFT JOIN touches t ON t.user_id = p.user_id
+             |   AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.pid))
+             |  GROUP BY p.pid
+             |)
+             |SELECT CAST(SUM(CASE WHEN n_click + n_view > 0
+             |         THEN CAST(floor(1000000 * n_click / (n_click + n_view)) AS BIGINT)
+             |         ELSE 0 END) AS BIGINT) AS click_credit_micro,
+             |       CAST(SUM(CASE WHEN n_click + n_view > 0
+             |         THEN CAST(floor(1000000 * n_view / (n_click + n_view)) AS BIGINT)
+             |         ELSE 0 END) AS BIGINT) AS view_credit_micro,
+             |       CAST(SUM(CASE WHEN n_click + n_view = 0
+             |         THEN 1000000 ELSE 0 END) AS BIGINT) AS none_credit_micro,
+             |       COUNT(*) AS n_purchases
+             |FROM per_purchase""".stripMargin)),
+
     // Welch's t-statistic for an A/B split (variant = user_id parity) on
     // purchase values. Everything order-dependent is integral: per-variant
     // COUNT, SUM(cents), SUM(cents²) are exact int64 partial-agg'd sums
