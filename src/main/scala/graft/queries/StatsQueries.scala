@@ -114,11 +114,12 @@ object StatsQueries extends Catalog {
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val credited = t.events
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("n_click",
-            count(when(col("event_type") === "click", lit(1))).over(w))
-          .withColumn("n_view",
-            count(when(col("event_type") === "view", lit(1))).over(w))
+          // both counters in ONE projection → a single Window node sharing
+          // one sort (AttributionPlanSpec pins it; sequential withColumns
+          // would plan two Window nodes)
+          .select(col("event_type"),
+            count(when(col("event_type") === "click", lit(1))).over(w).as("n_click"),
+            count(when(col("event_type") === "view", lit(1))).over(w).as("n_view"))
           .filter(col("event_type") === "purchase")
           .withColumn("total", col("n_click") + col("n_view"))
         credited.select(
