@@ -228,6 +228,79 @@ object Analytics extends Catalog {
               |ORDER BY user_id NULLS FIRST, day NULLS FIRST, v NULLS FIRST,
               |         v_filled NULLS FIRST""".stripMargin)),
 
+    // Time-series gap fill by LINEAR INTERPOLATION — the continuous sibling
+    // of q_ts_gapfill's LOCF: a missing day between two observed days gets
+    // the straight-line value between them, in EXACT integer cents. The
+    // two-sided weighted form v0·(d1−day) + v1·(day−d0) keeps both terms
+    // non-negative (events.value ≥ 0), so Spark's truncating `div` and
+    // DuckDB's flooring `//` agree — no float division anywhere in the
+    // gate. Edges of the grid (no neighbor on one side) stay null. Scale
+    // shape identical to gapfill: one events shuffle into the per-day
+    // rollup, a co-keyed grid join, and BOTH direction windows (backward
+    // last + forward first, each over value and day) share the one
+    // (user_id; day) sort — no extra exchange for the second direction.
+    "q_ts_interpolate" -> Q(
+      t => {
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(max(cents(col("value")).cast("long")).as("v_c"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val back = W.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val fwd = W.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+        val known = grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("v_c"),
+            last(col("v_c"), ignoreNulls = true).over(back).as("pv"),
+            last(when(col("v_c").isNotNull, col("day")), ignoreNulls = true)
+              .over(back).as("pd"),
+            first(col("v_c"), ignoreNulls = true).over(fwd).as("nv"),
+            first(when(col("v_c").isNotNull, col("day")), ignoreNulls = true)
+              .over(fwd).as("nd"))
+        known.select(col("user_id"), col("day"), col("v_c"),
+            when(col("v_c").isNotNull, col("v_c"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                expr("(pv * (nd - day) + nv * (day - pd)) div (nd - pd)"))
+              .as("interp_c"))
+          .orderBy(col("user_id"), col("day"), col("v_c"), col("interp_c"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c
+              |  FROM events GROUP BY 1, 2
+              |), spans AS (
+              |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+              |), grid AS (
+              |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans
+              |), known AS (
+              |  SELECT g.user_id, g.day, d.v_c,
+              |         last_value(d.v_c IGNORE NULLS) OVER (
+              |           PARTITION BY g.user_id ORDER BY g.day
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |         last_value(CASE WHEN d.v_c IS NOT NULL THEN g.day END IGNORE NULLS)
+              |           OVER (PARTITION BY g.user_id ORDER BY g.day
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+              |         first_value(d.v_c IGNORE NULLS) OVER (
+              |           PARTITION BY g.user_id ORDER BY g.day
+              |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |         first_value(CASE WHEN d.v_c IS NOT NULL THEN g.day END IGNORE NULLS)
+              |           OVER (PARTITION BY g.user_id ORDER BY g.day
+              |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+              |  FROM grid g LEFT JOIN daily d USING (user_id, day)
+              |)
+              |SELECT user_id, day, v_c,
+              |       CASE WHEN v_c IS NOT NULL THEN v_c
+              |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+              |            THEN (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+              |       END AS interp_c
+              |FROM known
+              |ORDER BY user_id NULLS FIRST, day NULLS FIRST, v_c NULLS FIRST,
+              |         interp_c NULLS FIRST""".stripMargin)),
+
     // Weekly cohort retention — users bucketed by first-activity week,
     // counted per (cohort, weeks-since). Week index is exact int64 division
     // of epoch-µs (`div` / `//`), never float math on timestamps. Scale

@@ -212,6 +212,43 @@ object Joins extends Catalog {
                 ON e.user_id = p.user_id AND e.ts < p.ts
               ORDER BY e.event_id NULLS FIRST, next_purchase_id NULLS FIRST""")),
 
+    // Nearest as-of in either direction (operators/AsOf.nearest): each
+    // event's CLOSEST purchase by absolute time distance, earlier winning
+    // an exact two-sided tie — the feature-join variant backward/forward
+    // as-of can't express. Same single-shuffle union plan with TWO frames
+    // over ONE in-partition sort. The oracle is the quadratic
+    // all-pairs-per-user argmin formulation the window plan avoids at
+    // scale; the purchase side is tie-collapsed per (user_id, ts) so both
+    // formulations are deterministic.
+    "q_join_asof_nearest" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+        AsOf.nearest(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("near_purchase_id"))
+          .orderBy(col("event_id"), col("near_purchase_id"))
+      },
+      Some("""SELECT event_id, near_purchase_id FROM (
+              |  SELECT e.event_id, p.event_id AS near_purchase_id,
+              |         row_number() OVER (PARTITION BY e.event_id
+              |           ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+              |                      - epoch_us(p.ts)),
+              |                    p.ts) AS rn
+              |  FROM events e
+              |  LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+              |                    MAX(event_id) AS event_id
+              |             FROM events WHERE event_type = 'purchase'
+              |             GROUP BY 1, 2) p
+              |    ON e.user_id = p.user_id)
+              |WHERE rn = 1
+              |ORDER BY event_id NULLS FIRST, near_purchase_id NULLS FIRST""".stripMargin)),
+
     // Bucketed range join (operators/RangeJoin): lineitems shipped within 30
     // days of a sampled order's date. The oracle states the NAIVE range
     // predicate; the Spark side must produce identical rows from the

@@ -1364,7 +1364,67 @@ object TextQueries extends Catalog {
            |      FROM w6)
            |GROUP BY 1
            |ORDER BY n DESC NULLS LAST, piece NULLS FIRST
-           |LIMIT 30""".stripMargin)))
+           |LIMIT 30""".stripMargin)),
+
+    // Collocation extraction — adjacent-word pairs scored by the DICE
+    // coefficient 2·c(w1,w2)/(c(w1)+c(w2)), the classic log-free
+    // association measure (Smadja '93): frequency-normalized so "of the"
+    // doesn't drown true collocations, yet exact in integer micro-units —
+    // floor(2e6·n2/(c1+c2)) involves no logs or float division, so the
+    // gate is bit-exact (the PMI variant needs log(); its RANKING is what
+    // matters, and Dice ranks monotonically in the same odds ratio for
+    // fixed margins). Scale shape: bigram and unigram counts are two
+    // map-side-combined shuffles of the token stream; the unigram relation
+    // (vocab-sized, tiny vs the corpus) joins back twice — AQE broadcasts
+    // both at gated scale; at 100 TB vocab they become hash joins keyed on
+    // the word. min-count ≥ 5 prunes the tail before the joins.
+    "q_text_collocations" -> Q(
+      t => {
+        val toks = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bg = toks.select(
+          explode(transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(col("toks"), i + 2).as("w2")))).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val pairs = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n2")).filter(col("n2") >= 5)
+        pairs
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+          .select(col("w1"), col("w2"), col("n2"),
+            expr("2000000 * n2 div (c1 + c2)").as("dice_u"))
+          .orderBy(col("dice_u").desc_nulls_last, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              |  FROM documents
+              |), bg AS (
+              |  SELECT unnest(list_transform(toks[1:len(toks)-1],
+              |           (x, i) -> struct_pack(w1 := x,
+              |             w2 := toks[CAST(i AS INTEGER) + 1]))) AS b
+              |  FROM toks WHERE len(toks) >= 2
+              |), uni AS (
+              |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+              |    FROM documents)
+              |  GROUP BY 1
+              |), pairs AS (
+              |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n2
+              |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+              |)
+              |SELECT w1, w2, n2,
+              |       CAST(2000000 * n2 // (c1.c + c2.c) AS BIGINT) AS dice_u
+              |FROM pairs
+              |JOIN uni c1 ON w1 = c1.w
+              |JOIN uni c2 ON w2 = c2.w
+              |ORDER BY dice_u DESC NULLS LAST, w1, w2
+              |LIMIT 50""".stripMargin)))
 
   /** Shared oracle prefix for the BPE queries: word frequencies, spaced
     * symbol strings, and five chained merge stages — after stage i, `m$i`

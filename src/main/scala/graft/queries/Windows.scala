@@ -424,5 +424,65 @@ object Windows extends Catalog {
               |              RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING) AS BIGINT) AS next1d_cnt
               |FROM e
               |ORDER BY event_id NULLS FIRST, user_id NULLS FIRST, sec NULLS FIRST,
-              |         w7_cnt NULLS FIRST, w7_cents NULLS FIRST, next1d_cnt NULLS FIRST""".stripMargin)))
+              |         w7_cnt NULLS FIRST, w7_cents NULLS FIRST, next1d_cnt NULLS FIRST""".stripMargin)),
+
+    // Gaps-and-islands — maximal runs of CONSECUTIVE active days per user
+    // (login-streak / retention-streak analytics). The classic identity:
+    // day − row_number() is constant exactly within a consecutive run, so
+    // islands fall out of one window pass + one regroup — never a
+    // self-join or a recursive walk. Distinct from q_win_sessionize
+    // (time-GAP splits on the raw event stream); this is the
+    // integer-sequence form over the calendar grid. Scale shape: the only
+    // corpus-sized step is the distinct (user, day) collapse — ONE shuffle
+    // of events with map-side partial agg; the window and regroup shuffles
+    // run on the collapsed per-day relation (≤ users × active days, orders
+    // of magnitude smaller). best_start (start of the longest streak,
+    // earliest on ties) is an argmin over the exact BIGINT pair
+    // (−len, start_day) — min(struct) on the Spark side, a QUALIFY
+    // row_number pick in the oracle; all outputs exact BIGINT.
+    "q_win_gaps_islands" -> Q(
+      t => {
+        val days = t.events
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val runs = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        runs
+          .groupBy(col("user_id"))
+          .agg(sum(col("len")).as("n_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("len")).as("max_streak"),
+            min(struct((-col("len")).as("neg"), col("start_day").as("s")))
+              .getField("s").as("best_start"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+              |  SELECT DISTINCT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+              |  FROM events
+              |), runs AS (
+              |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+              |         MIN(day) AS start_day
+              |  FROM (
+              |    SELECT user_id, day,
+              |           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+              |    FROM days)
+              |  GROUP BY 1, 2
+              |), best AS (
+              |  SELECT user_id, start_day AS best_start
+              |  FROM runs
+              |  QUALIFY row_number() OVER (PARTITION BY user_id
+              |            ORDER BY len DESC, start_day) = 1
+              |)
+              |SELECT r.user_id,
+              |       CAST(SUM(r.len) AS BIGINT) AS n_days,
+              |       CAST(COUNT(*) AS BIGINT) AS n_islands,
+              |       CAST(MAX(r.len) AS BIGINT) AS max_streak,
+              |       MIN(b.best_start) AS best_start
+              |FROM runs r JOIN best b ON r.user_id = b.user_id
+              |GROUP BY r.user_id
+              |ORDER BY r.user_id NULLS FIRST""".stripMargin)))
 }
