@@ -723,5 +723,62 @@ object SimilarityQueries extends Catalog {
              |                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
              |         * 1000000) / 1000000 AS z
              |FROM exf JOIN mo USING (pos)
-             |ORDER BY vec_id NULLS FIRST, pos NULLS FIRST""".stripMargin)))
+             |ORDER BY vec_id NULLS FIRST, pos NULLS FIRST""".stripMargin)),
+
+    // Covariance moments over the embedding dimensions — the PCA/whitening
+    // preparation primitive: the full upper-triangle d(d+1)/2 co-moment
+    // matrix in ONE corpus pass. The co-moment n·Σxy − Σx·Σy is kept in
+    // scaled INTEGER units (vectors quantized to 1e4 units: |m| ≤ ~6k, so
+    // every product, sum, and the final combination sit far inside int64
+    // through ≥100× the gated corpus — the bound is n·d·m²) — covariance
+    // needs one division by n·(n−1) the consumer can apply; leaving it
+    // multiplicative keeps the gate division-free. Scale shape: the pair
+    // expansion is a NARROW per-row transform (each vector emits its own
+    // d(d+1)/2 products — no self-join, no shuffle of vector data), and
+    // the only exchange is the d²-group partial aggregate, whose width is
+    // bounded by the DIMENSION, not the corpus. The oracle derives the
+    // same moments from a per-vector self-join — proving the narrow
+    // expansion against the relational formulation. d ≤ a few hundred is
+    // the intended envelope (d² agg state per task); beyond that, block
+    // the dimension pairs.
+    "q_sim_covariance" -> Q(
+      t => {
+        val q = transform(graft.operators.Similarity.toDouble(col("embedding")),
+          x => floor(x * 10000 + 0.5).cast("long"))
+        val pairs = t.embeddings
+          .select(explode(flatten(transform(q, (x, i) =>
+            transform(slice(q, i + 1, size(q) - i), (y, j) =>
+              struct(i.as("i"), (i + j).as("j"), (x * y).as("p")))))).as("e"))
+          .select(col("e.i"), col("e.j"), col("e.p"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"))
+        val mo = t.embeddings
+          .select(posexplode(q).as(Seq("i", "m")))
+          .groupBy(col("i")).agg(sum(col("m")).as("s"))
+        pairs
+          .join(broadcast(mo.select(col("i"), col("s").as("sx"))), Seq("i"))
+          .join(broadcast(mo.select(col("i").as("j"), col("s").as("sy"))), Seq("j"))
+          .select(col("i"), col("j"), col("n_vec"), col("sxy"), col("sx"), col("sy"),
+            (col("n_vec") * col("sxy") - col("sx") * col("sy")).as("cov_u"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id,
+             |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS m
+             |  FROM embeddings
+             |), pairs AS (
+             |  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_vec,
+             |         CAST(SUM(a.m * b.m) AS BIGINT) AS sxy
+             |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |  GROUP BY 1, 2
+             |), mo AS (
+             |  SELECT i, CAST(SUM(m) AS BIGINT) AS s FROM ex GROUP BY 1
+             |)
+             |SELECT p.i, p.j, p.n_vec, p.sxy, ma.s AS sx, mb.s AS sy,
+             |       p.n_vec * p.sxy - ma.s * mb.s AS cov_u
+             |FROM pairs p
+             |JOIN mo ma ON p.i = ma.i
+             |JOIN mo mb ON p.j = mb.i
+             |ORDER BY p.i NULLS FIRST, p.j NULLS FIRST""".stripMargin)))
 }

@@ -24,4 +24,26 @@ class ApproxSpec extends SparkSpec {
       assert(relErr <= 0.05, s"${r.getAs[String]("l_returnflag")}: exact=$exact approx=$approx err=$relErr")
     }
   }
+
+  test("approx_percentile honors the GK rank-error bound at accuracy=100") {
+    // Spark's approx_percentile (Greenwald–Khanna summaries) guarantees the
+    // returned value's RANK is within ε·n of p·n for ε = 1/accuracy — a
+    // deterministic bound, not a probabilistic one. Verify it the way the
+    // guarantee is stated: count the returned value's actual rank envelope
+    // and assert it straddles [(p−ε)·n, (p+ε)·n]. This is the single-pass
+    // sketch a 100 TB percentile uses instead of a full sort.
+    val li = Graft.table(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val n = li.count().toDouble
+    val eps = 1.0 / 100
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val v = li.agg(expr(s"approx_percentile(x, $p, 100)")).head().getDouble(0)
+      val atMost = li.filter(col("x") <= v).count().toDouble
+      val below = li.filter(col("x") < v).count().toDouble
+      assert(atMost >= (p - eps) * n - 1,
+        s"p=$p: value $v ranks too low (atMost=$atMost, n=$n)")
+      assert(below <= (p + eps) * n + 1,
+        s"p=$p: value $v ranks too high (below=$below, n=$n)")
+    }
+  }
 }
