@@ -794,6 +794,62 @@ object Joins extends Catalog {
               |ORDER BY s_suppkey NULLS FIRST, w_lo NULLS FIRST, w_hi NULLS FIRST,
               |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)),
 
+    // Grid-blocked spatial radius join — the 2-D sibling of the bucketed
+    // range join: all point pairs within Euclidean distance R, found by
+    // hashing points into R-sized grid cells and probing each point's 3×3
+    // cell neighborhood (dist ≤ R ⟹ cell indices differ by ≤ 1), so the
+    // candidate space is Σ_cell 9·|cell|·density — NEVER the all-pairs
+    // cross join the oracle states. Each candidate pair arises from
+    // exactly ONE (probe-cell = build-cell) match — no distinct needed;
+    // the exact integer dist² re-check then decides membership. Cells are
+    // 64 wide (≥ R = 60, so the 3×3 neighborhood is sufficient) and ids
+    // pack as cx·32+cy (32 > the 18-value index range incl. the ±1
+    // out-of-range probes, so packing is collision-free). Coordinates are
+    // deterministic integer mixes of user_id — both engines compute
+    // identical BIGINTs, no float anywhere. At 100 TB the plan is one
+    // hash join on the cell id with a 9× narrow probe-side explode; a
+    // dense hot cell is the skew knob (salt the cell or shrink R — same
+    // discipline as the 1-D bucketed variants).
+    "q_join_spatial_grid" -> Q(
+      t => {
+        val R = 60
+        val pts = t.events.select(col("user_id")).distinct()
+          .select(col("user_id"),
+            pmod(col("user_id") * 2654435761L, lit(1000L)).as("px"),
+            pmod(col("user_id") * 40503L, lit(1000L)).as("py"))
+          .localCheckpoint(true)
+        val build = pts.select(col("user_id").as("u2"),
+          col("px").as("bx"), col("py").as("by"),
+          (expr("px div 64") * 32 + expr("py div 64")).as("cid"))
+        val probe = pts
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("user_id").as("u1"), col("px"), col("py"),
+            ((expr("px div 64") + col("dx")) * 32
+              + expr("py div 64") + col("dy")).as("cid"))
+        val d2 = (col("px") - col("bx")) * (col("px") - col("bx")) +
+          (col("py") - col("by")) * (col("py") - col("by"))
+        probe.join(build, "cid")
+          .filter(col("u1") < col("u2") && d2 <= lit(R * R))
+          .select(col("u1"), col("u2"), d2.as("dist2"))
+          .orderBy(col("u1"), col("u2"))
+      },
+      Some("""WITH pts AS (
+              |  SELECT DISTINCT user_id FROM events
+              |), p AS (
+              |  SELECT user_id,
+              |         (user_id * 2654435761) % 1000 AS px,
+              |         (user_id * 40503) % 1000 AS py
+              |  FROM pts
+              |)
+              |SELECT a.user_id AS u1, b.user_id AS u2,
+              |       (a.px - b.px) * (a.px - b.px)
+              |         + (a.py - b.py) * (a.py - b.py) AS dist2
+              |FROM p a JOIN p b ON a.user_id < b.user_id
+              |WHERE (a.px - b.px) * (a.px - b.px)
+              |        + (a.py - b.py) * (a.py - b.py) <= 3600
+              |ORDER BY u1 NULLS FIRST, u2 NULLS FIRST""".stripMargin)),
+
     // Two-alias dimension join — TPC-H Q7's shape: the SAME nation dim
     // enters the plan twice under different roles (supplier's nation vs
     // customer's nation) with a disjunctive pair predicate. Stated as two

@@ -115,5 +115,74 @@ object ProfileQueries extends Catalog {
              |SELECT check_name, n_violations, n_violations = 0 AS pass
              |FROM v
              |ORDER BY check_name NULLS FIRST, n_violations NULLS FIRST,
-             |         pass NULLS FIRST""".stripMargin)))
+             |         pass NULLS FIRST""".stripMargin)),
+
+    // Distribution-drift profile — the training-data shift monitor: split
+    // the event stream into earlier/later halves at the time-range
+    // midpoint, bin values on ONE shared equal-width grid (global min/max
+    // anchored, like q_agg_histogram), and report each bin's per-cohort
+    // occupancy share in exact integer micro-units plus their absolute
+    // drift. The PSI/KL formulations need log(); per-bin share deltas
+    // carry the same decision signal (which bins moved, by how much)
+    // with every number an exact BIGINT — the gate stays division-order
+    //-free because each share is ONE integer division. Scale shape: one
+    // corpus scan → a 4-scalar aggregate broadcast back → one
+    // (cohort, bin)-group partial agg (≤ 16 groups); the conditional
+    // pivot runs on the 16-row relation. Nothing here grows with the
+    // corpus except the first scan.
+    "q_profile_drift" -> Q(
+      t => {
+        val ev = t.events.select(expr("unix_micros(ts)").as("us"),
+          cents(col("value")).cast("long").as("c"))
+        val mm = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"),
+          min(col("c")).as("lo"), max(col("c")).as("hi"))
+        val counts = ev.crossJoin(broadcast(mm))
+          .select(
+            when(col("us") * 2 <= col("t0") + col("t1"), lit(0L))
+              .otherwise(lit(1L)).as("cohort"),
+            expr("(c - lo) * 8 div (hi - lo + 1)").as("bin"))
+          .groupBy(col("cohort"), col("bin")).agg(count(lit(1)).as("o"))
+        val tot = counts.groupBy(col("cohort")).agg(sum(col("o")).as("n"))
+        counts.join(broadcast(tot), "cohort")
+          .withColumn("share_u", expr("o * 1000000 div n"))
+          .groupBy(col("bin"))
+          .agg(
+            coalesce(max(when(col("cohort") === 0, col("o"))), lit(0L)).as("o1"),
+            coalesce(max(when(col("cohort") === 1, col("o"))), lit(0L)).as("o2"),
+            coalesce(max(when(col("cohort") === 0, col("share_u"))), lit(0L))
+              .as("share1_u"),
+            coalesce(max(when(col("cohort") === 1, col("share_u"))), lit(0L))
+              .as("share2_u"))
+          .withColumn("drift_u", abs(col("share1_u") - col("share2_u")))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |  FROM events
+             |), mm AS (
+             |  SELECT MIN(us) AS t0, MAX(us) AS t1, MIN(c) AS lo, MAX(c) AS hi
+             |  FROM ev
+             |), o AS (
+             |  SELECT CASE WHEN us * 2 <= t0 + t1 THEN 0 ELSE 1 END AS cohort,
+             |         ((c - lo) * 8 // (hi - lo + 1)) AS bin,
+             |         CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM ev CROSS JOIN mm
+             |  GROUP BY 1, 2
+             |), n AS (
+             |  SELECT cohort, CAST(SUM(o) AS BIGINT) AS n FROM o GROUP BY 1
+             |), s AS (
+             |  SELECT bin, o.cohort, o.o, (o.o * 1000000 // n.n) AS share_u
+             |  FROM o JOIN n USING (cohort)
+             |)
+             |SELECT bin,
+             |       COALESCE(MAX(CASE WHEN cohort = 0 THEN o END), 0) AS o1,
+             |       COALESCE(MAX(CASE WHEN cohort = 1 THEN o END), 0) AS o2,
+             |       COALESCE(MAX(CASE WHEN cohort = 0 THEN share_u END), 0) AS share1_u,
+             |       COALESCE(MAX(CASE WHEN cohort = 1 THEN share_u END), 0) AS share2_u,
+             |       abs(COALESCE(MAX(CASE WHEN cohort = 0 THEN share_u END), 0)
+             |           - COALESCE(MAX(CASE WHEN cohort = 1 THEN share_u END), 0))
+             |         AS drift_u
+             |FROM s GROUP BY bin
+             |ORDER BY bin NULLS FIRST""".stripMargin)))
 }
