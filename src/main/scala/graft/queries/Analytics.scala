@@ -228,6 +228,48 @@ object Analytics extends Catalog {
               |ORDER BY user_id NULLS FIRST, day NULLS FIRST, v NULLS FIRST,
               |         v_filled NULLS FIRST""".stripMargin)),
 
+    // Incremental aggregation (incremental view maintenance / the lambda
+    // compaction): yesterday's per-user aggregate STATE merged with
+    // today's raw INCREMENT must equal the full recompute — the contract
+    // that lets a 100 TB rollup absorb a daily slice without rescanning
+    // history. The state and increment here are the two time halves of
+    // the stream, each aggregated to (n, Σ, max) partials; the merge is a
+    // keyed FULL OUTER join with null-absorbing combination (0 for
+    // additive partials, null-skipping greatest for max — exactly the
+    // partial-merge algebra Spark's own ObjectHashAggregate runs
+    // internally, lifted to the query level). The oracle is the one-shot
+    // aggregate over everything: the gate proves merge-of-partials ≡
+    // recompute. In production the state side is a materialized table —
+    // the increment join touches O(users), never the history.
+    "q_agg_incremental" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          cents(col("value")).cast("long").as("c"))
+        val mm = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+        val tagged = ev.crossJoin(broadcast(mm))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), max(col("c")).as("m"))
+        val state = partial(tagged.filter(col("us") * 2 <= col("t0") + col("t1")))
+        val incr = partial(tagged.filter(col("us") * 2 > col("t0") + col("t1")))
+        state.select(col("user_id"), col("n").as("n1"), col("s").as("s1"), col("m").as("m1"))
+          .join(incr.select(col("user_id"), col("n").as("n2"),
+            col("s").as("s2"), col("m").as("m2")), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_events"),
+            (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))).as("sum_cents"),
+            greatest(col("m1"), col("m2")).as("max_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+              |       CAST(COUNT(*) AS BIGINT) AS n_events,
+              |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              |         AS sum_cents,
+              |       MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+              |FROM events
+              |GROUP BY user_id
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
     // Time-series gap fill by LINEAR INTERPOLATION — the continuous sibling
     // of q_ts_gapfill's LOCF: a missing day between two observed days gets
     // the straight-line value between them, in EXACT integer cents. The
