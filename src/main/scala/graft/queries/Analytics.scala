@@ -228,6 +228,52 @@ object Analytics extends Catalog {
               |ORDER BY user_id NULLS FIRST, day NULLS FIRST, v NULLS FIRST,
               |         v_filled NULLS FIRST""".stripMargin)),
 
+    // Trailing-window distinct users — the DAU/WAU/stickiness rollup, and
+    // the canonical COUNT(DISTINCT) over a SLIDING window problem: a user
+    // active twice in one 7-day window must count once, so no windowed
+    // running aggregate applies (distinct doesn't decompose over frames).
+    // The scale-correct plan: collapse to distinct (user, day) once — the
+    // only corpus-sized shuffle, map-side combined — then each active day
+    // COVERS its next 7 calendar days via a 7× narrow explode, distinct
+    // (user, covered-day) collapses multi-active users per window, and a
+    // count per day finishes. Cost is 7·|user-days|, independent of raw
+    // event volume — the window length, not the corpus, is the fan-out.
+    // Stickiness (DAU/WAU) lands as ONE integer micro-unit division.
+    // Days with no activity are absent by construction (inner join).
+    "q_events_wau" -> Q(
+      t => {
+        val ud = t.events
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+          .localCheckpoint(true)
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+        val wau = ud
+          .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("target"))
+          .distinct()
+          .groupBy(col("target")).agg(count(lit(1)).as("n_wau"))
+        dau.join(wau, col("day") === col("target"))
+          .select(col("day"), col("n_dau"), col("n_wau"),
+            expr("n_dau * 1000000 div n_wau").as("stickiness_u"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+              |  SELECT DISTINCT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+              |  FROM events
+              |), dau AS (
+              |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_dau FROM ud GROUP BY 1
+              |), cover AS (
+              |  SELECT DISTINCT user_id, day + r AS target
+              |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r)
+              |), wau AS (
+              |  SELECT target, CAST(COUNT(*) AS BIGINT) AS n_wau
+              |  FROM cover GROUP BY 1
+              |)
+              |SELECT d.day, d.n_dau, w.n_wau,
+              |       (d.n_dau * 1000000 // w.n_wau) AS stickiness_u
+              |FROM dau d JOIN wau w ON d.day = w.target
+              |ORDER BY d.day NULLS FIRST""".stripMargin)),
+
     // Incremental aggregation (incremental view maintenance / the lambda
     // compaction): yesterday's per-user aggregate STATE merged with
     // today's raw INCREMENT must equal the full recompute — the contract
