@@ -50,7 +50,13 @@ object Bench {
     "q_join_min_cost_supplier",
     "q_layout_zorder",
     "q_join_product_profit",
-    "q_events_attribution")
+    "q_events_attribution",
+    // r9 third-continuation additions, each a distinct heavy shape: the
+    // 9×-probe cell-hash spatial radius join, the double-distinct sliding
+    // window rollup, and the d²-bounded narrow co-moment expansion.
+    "q_join_spatial_grid",
+    "q_events_wau",
+    "q_sim_covariance")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
@@ -330,7 +336,15 @@ object ScaleProbe {
         // lineitem offsets orderkeys but shares partkeys, so edges grow
         // linearly-in-factor while part-node degrees densify — the harder
         // (skewed-growth) version of the linearity claim.
-        catalogWork("q_graph_pagerank", "lineitem")) ++
+        catalogWork("q_graph_pagerank", "lineitem"),
+        // d²-bounded-exchange claim (r9): the covariance pair expansion is
+        // two chained generators — per-row work scales with the corpus but
+        // the ONLY shuffle carries d² partial groups regardless of n, so
+        // the factor× ratio must stay ~linear-in-data. A regression that
+        // reintroduced the per-vector self-join would shuffle the n·d
+        // exploded relation and bend this curve superlinear once the
+        // join side outgrows broadcast.
+        catalogWork("q_sim_covariance", "embeddings")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
