@@ -501,6 +501,89 @@ object Analytics extends Catalog {
     // floor'd micro-units (BIGINT), immune to float division divergence.
     // At 100 TB: one fact shuffle for the lag, then a partial-agg'd
     // count shuffle of 25 keys — nothing else grows with the data.
+    // Path / sequence mining — the 3-step generalization of q_events_markov's
+    // single-step transition matrix: count every CONSECUTIVE 3-gram of
+    // event types along each user's timeline (two stacked lags over ONE
+    // window sort — no self-joins, no per-user collect), rank the paths.
+    // The n-gram-over-a-partitioned-sequence shape is the behavioral twin
+    // of the text bigram/BPE pair counts: one user_id exchange, one
+    // in-partition sort shared by both lag frames, then a low-cardinality
+    // (≤ |types|³) count aggregate that collapses map-side. Top-k with
+    // full deterministic tie-break.
+    "q_events_paths" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t.events
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("e2", lag(col("event_type"), 1).over(w))
+          .withColumn("e1", lag(col("event_type"), 2).over(w))
+          .filter(col("e1").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc_nulls_last, col("e1"), col("e2"), col("e3"))
+          .limit(25)
+      },
+      Some("""WITH seq AS (
+              |  SELECT event_type AS e3,
+              |         lag(event_type, 1) OVER (PARTITION BY user_id
+              |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e2,
+              |         lag(event_type, 2) OVER (PARTITION BY user_id
+              |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e1
+              |  FROM events
+              |)
+              |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+              |FROM seq WHERE e1 IS NOT NULL
+              |GROUP BY 1, 2, 3
+              |ORDER BY n DESC NULLS LAST, e1, e2, e3
+              |LIMIT 25""".stripMargin)),
+
+    // Weighted median — the robust location statistic percentile_cont
+    // can't express (each value carries a weight; the median is the
+    // smallest value whose cumulative weight reaches half the total).
+    // The crossing test cw·2 ≥ tw is pure BIGINT — no division, no .5
+    // quantile boundary. Scale shape: collapse to one row per (group,
+    // value) FIRST (map-side combined — the only corpus-sized step),
+    // then both the running and the partition-total weight sums ride one
+    // (group) exchange + one in-partition sort over the collapsed
+    // per-value relation; the crossing filter + min finishes per group.
+    "q_agg_weighted_median" -> Q(
+      t => {
+        val byVal = t.lineitem
+          .select(col("l_returnflag"),
+            cents(col("l_extendedprice")).cast("long").as("c"),
+            col("l_quantity").cast("long").as("wt"))
+          .groupBy(col("l_returnflag"), col("c"))
+          .agg(sum(col("wt")).as("w"))
+        val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("l_returnflag"))
+        byVal
+          .select(col("l_returnflag"), col("c"),
+            sum(col("w")).over(cum).as("cw"),
+            sum(col("w")).over(all).as("tw"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("c")).as("wmedian_cents"), max(col("tw")).as("total_weight"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH bv AS (
+              |  SELECT l_returnflag,
+              |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+              |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+              |  FROM lineitem GROUP BY 1, 2
+              |), cum AS (
+              |  SELECT l_returnflag, c,
+              |         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY c
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+              |         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+              |  FROM bv
+              |)
+              |SELECT l_returnflag, MIN(c) AS wmedian_cents, MAX(tw) AS total_weight
+              |FROM cum WHERE cw * 2 >= tw
+              |GROUP BY 1
+              |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
+
     "q_events_markov" -> Q(
       t => {
         val w = Window.partitionBy(col("user_id"))
