@@ -794,6 +794,53 @@ object Joins extends Catalog {
               |ORDER BY s_suppkey NULLS FIRST, w_lo NULLS FIRST, w_hi NULLS FIRST,
               |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)),
 
+    // Tolerance-bounded as-of: the backward match only counts when it is
+    // RECENT enough (here ≤ 2 hours stale) — the feature-freshness
+    // contract of ML feature joins, where a stale reading must become
+    // NULL, not silently join. Same single-shuffle union+window plan as
+    // q_join_asof (the matched time rides along in the value struct); the
+    // staleness gate is a map-side integer µs comparison after the
+    // window, nulling BOTH carried columns. DuckDB's ASOF join states the
+    // unbounded semantics and the same CASE applies the bound — the
+    // formulations agree only if the tolerance nulling is consistent.
+    "q_join_asof_tolerance" -> Q(
+      t => {
+        val TolUs = 2L * 3600 * 1000000
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+          .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+            col("ts").as("pts"))
+        val fresh = unix_micros(col("ts")) - unix_micros(col("asof_pts")) <= TolUs
+        AsOf.nearestEarlier(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases.select(col("user_id"), col("ts"), col("pid"), col("pts")),
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("pid", "pts"))
+          .select(col("event_id"),
+            when(fresh, col("asof_pid")).as("prev_purchase_id"),
+            when(fresh, date_format(col("asof_pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+              .as("prev_purchase_ts"))
+          .orderBy(col("event_id"), col("prev_purchase_id"), col("prev_purchase_ts"))
+      },
+      Some("""SELECT e.event_id,
+              |       CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(p.ts)
+              |                 <= 7200000000 THEN p.event_id END AS prev_purchase_id,
+              |       CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(p.ts)
+              |                 <= 7200000000
+              |            THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END
+              |         AS prev_purchase_ts
+              |FROM (SELECT event_id, user_id, ts FROM events) e
+              |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+              |                       MAX(event_id) AS event_id
+              |                FROM events WHERE event_type = 'purchase'
+              |                GROUP BY 1, 2) p
+              |  ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) > p.ts
+              |ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST,
+              |         prev_purchase_ts NULLS FIRST""".stripMargin)),
+
     // Grid-blocked spatial radius join — the 2-D sibling of the bucketed
     // range join: all point pairs within Euclidean distance R, found by
     // hashing points into R-sized grid cells and probing each point's 3×3

@@ -156,5 +156,102 @@ object SamplingQueries extends Catalog {
                |       COUNT(*) AS n
                |FROM documents
                |GROUP BY 1, 2
-               |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin)))
+               |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin)),
+
+    // Poisson bootstrap — the scale-correct resampling scheme (Chamandy et
+    // al., Google 2012): classic bootstrap draws n-with-replacement per
+    // replicate, which needs global coordination; Poisson bootstrap gives
+    // every (row, replicate) an INDEPENDENT Poisson(1) multiplicity, so
+    // resampling is a pure map over the stream — R× narrow explode, one
+    // per-replicate aggregate, no shuffle of history, works identically
+    // on a 100 TB table. Multiplicities come from the engine-portable md5
+    // draw compared against the Poisson(1) CDF rendered as FIXED 8-hex
+    // thresholds (computed once, embedded in both plans — same
+    // determinism contract as every Sampling operator; capped at 6,
+    // P(>6) ≈ 8e-5). Per replicate: effective n, exact cents sum, and
+    // the mean in integer micro-cents (ONE integer division). The spread
+    // across the 8 replicate means IS the bootstrap uncertainty band.
+    "q_sample_bootstrap" -> Q(
+      t => {
+        val R = 8
+        // Poisson(1) CDF as hex thresholds: P(≤k)·2^32 for k = 0..5
+        val cdf = Seq("5e2d58d9", "bc5ab1b1", "eb715e1e",
+          "fb239797", "ff1025f6", "ffd90f3c")
+        val ev = t.events.select(col("event_id"), cents(col("value")).cast("long").as("c"))
+        val drawn = ev
+          .withColumn("r", explode(sequence(lit(0L), lit((R - 1).toLong))))
+          .withColumn("h", Sampling.hashKey(
+            concat_ws("#", col("event_id"), col("r")), "boot"))
+        val k = cdf.zipWithIndex
+          .foldLeft(when(lit(false), lit(0))) { case (acc, (t0, i)) =>
+            acc.when(col("h") < lit(t0), lit(i))
+          }.otherwise(lit(6))
+        drawn
+          .select(col("r"), col("c"), k.cast("long").as("k"))
+          .groupBy(col("r"))
+          .agg(sum(col("k")).as("n_eff"),
+            sum(col("k") * col("c")).as("sum_cents"))
+          .withColumn("mean_u", expr("sum_cents * 1000000 div n_eff"))
+          .orderBy(col("r"))
+      },
+      Some("""WITH drawn AS (
+              |  SELECT r,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+              |         substring(md5('boot:' || CAST(event_id AS VARCHAR)
+              |                       || '#' || CAST(r AS VARCHAR)), 1, 8) AS h
+              |  FROM events CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+              |), mult AS (
+              |  SELECT r, c,
+              |         CAST(CASE WHEN h < '5e2d58d9' THEN 0
+              |                   WHEN h < 'bc5ab1b1' THEN 1
+              |                   WHEN h < 'eb715e1e' THEN 2
+              |                   WHEN h < 'fb239797' THEN 3
+              |                   WHEN h < 'ff1025f6' THEN 4
+              |                   WHEN h < 'ffd90f3c' THEN 5
+              |                   ELSE 6 END AS BIGINT) AS k
+              |  FROM drawn
+              |)
+              |SELECT r, CAST(SUM(k) AS BIGINT) AS n_eff,
+              |       CAST(SUM(k * c) AS BIGINT) AS sum_cents,
+              |       CAST(SUM(k * c) AS BIGINT) * 1000000
+              |         // CAST(SUM(k) AS BIGINT) AS mean_u
+              |FROM mult
+              |GROUP BY r
+              |ORDER BY r NULLS FIRST""".stripMargin)),
+
+    // Class-balanced downsampling — equalize class sizes by keeping
+    // exactly min-class-count rows per class, chosen by the deterministic
+    // md5 order (so the subsample is reproducible and unbiased within
+    // class). The "keep quota" is ONE global scalar from a class-count
+    // aggregate (broadcast back); selection is a per-class window rank
+    // over the draw — one exchange on the class key. The imbalanced-
+    // pretraining-mix fix, stated relationally.
+    "q_sample_balance_classes" -> Q(
+      t => {
+        val cnt = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val quota = cnt.agg(min(col("n")).as("m"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(Sampling.hashKey(col("doc_id"), "bal"), col("doc_id"))
+        t.documents.select(col("doc_id"), col("lang"))
+          .withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(quota))
+          .filter(col("rk") <= col("m"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH m AS (
+              |  SELECT MIN(n) AS m FROM (
+              |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+              |), rk AS (
+              |  SELECT doc_id, lang,
+              |         row_number() OVER (PARTITION BY lang
+              |           ORDER BY substring(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 8),
+              |                    doc_id) AS rk
+              |  FROM documents
+              |)
+              |SELECT doc_id, lang
+              |FROM rk CROSS JOIN m
+              |WHERE rk <= m
+              |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin)))
 }
