@@ -104,4 +104,65 @@ class PropertiesSpec extends SparkSpec {
       assert(jab == jba && jab >= 0.0 && jab <= 1.0)
     }
   }
+
+  test("AsOf.nearest matches a brute-force argmin on generated timelines") {
+    // Random keyed timelines with deliberate collisions: small time range
+    // so same-instant rows, exact two-sided ties, and empty-key cases all
+    // occur. Right side is collapsed per (key, time) — the same
+    // determinism precondition the catalog anchor states.
+    val gen = for {
+      k <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 30L)
+      id <- Gen.chooseNum(1L, 1000000L)
+    } yield (k, t, id)
+    val leftRows = Gen.listOfN(60, gen).sample.get
+    val rightRows = Gen.listOfN(25, gen).sample.get
+      .groupBy(r => (r._1, r._2)).map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val l = leftRows.zipWithIndex.map { case ((k, t, _), i) => (k, i.toLong, t) }
+      .toDF("k", "eid", "t")
+    val r = rightRows.map { case (k, t, id) => (k, id, t) }.toDF("k", "rid", "t")
+    val got = operators.AsOf.nearest(l, r, "k", "t", "t", Seq("rid"))
+      .select($"eid", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    leftRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+      val cands = rightRows.filter(_._1 == k)
+      val expected = if (cands.isEmpty) None else {
+        // min |Δt|; earlier wins ties (sort by (|Δt|, rightTime))
+        val best = cands.minBy(c => (math.abs(c._2 - t), c._2))
+        Some(best._3)
+      }
+      assert(got(i.toLong) == expected,
+        s"key=$k t=$t: got ${got(i.toLong)}, expected $expected from $cands")
+    }
+  }
+
+  test("weighted median crossing test matches brute-force expansion") {
+    // Expand each (value, weight) into weight copies; the weighted median
+    // must equal the smallest value v where 2·rank(v) ≥ total copies —
+    // the same statistic the catalog query computes without expansion.
+    val gen = for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(1L, 20L)
+      w <- Gen.chooseNum(1L, 9L)
+    } yield (g, v, w)
+    val rows = Gen.listOfN(80, gen).sample.get
+    val byVal = rows.toDF("g", "c", "wt")
+      .groupBy($"g", $"c").agg(sum($"wt").as("w"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val got = byVal
+      .select($"g", $"c", sum($"w").over(cum).as("cw"), sum($"w").over(all).as("tw"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"g").agg(min($"c").as("m"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val copies = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val n = copies.size
+      val expected = copies.zipWithIndex
+        .collectFirst { case (v, i) if 2 * (i + 1) >= n => v }.get
+      assert(got(g) == expected, s"group $g: got ${got(g)}, expected $expected")
+    }
+  }
 }
