@@ -728,9 +728,12 @@ object SimilarityQueries extends Catalog {
     // Covariance moments over the embedding dimensions — the PCA/whitening
     // preparation primitive: the full upper-triangle d(d+1)/2 co-moment
     // matrix in ONE corpus pass. The co-moment n·Σxy − Σx·Σy is kept in
-    // scaled INTEGER units (vectors quantized to 1e4 units: |m| ≤ ~6k, so
-    // every product, sum, and the final combination sit far inside int64
-    // through ≥100× the gated corpus — the bound is n·d·m²) — covariance
+    // scaled INTEGER units (vectors quantized to 1e4 units: |m| ≤ ~6k).
+    // Overflow bound: the combination terms n·Σxy and Σx·Σy grow as
+    // n²·m² — QUADRATIC in corpus size — so int64 holds to n ≈ 5e5
+    // vectors at this quantization (~250× the gated corpus); past that,
+    // coarsen the unit (m/10 buys 100× in n) or lift the combination to
+    // DECIMAL(38,0), which both engines sum exactly — covariance
     // needs one division by n·(n−1) the consumer can apply; leaving it
     // multiplicative keeps the gate division-free. Scale shape: the pair
     // expansion is NARROW — two CHAINED codegen'd generators (posexplode

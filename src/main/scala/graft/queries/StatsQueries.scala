@@ -103,7 +103,8 @@ object StatsQueries extends Catalog {
     // type. The engine computes it with TWO running counters per user (one
     // window pass, same (ts, event_id) total order as every other anchor —
     // no touch×purchase fan-out), and the credit is exact integer math:
-    // floor(10⁶·cnt_type/total) micro-units, so the gate is float-free.
+    // 10⁶·cnt_type div total micro-units (true integer division on both
+    // engines — div here, // in the oracle), so the gate is float-free.
     // Touchless purchases credit 'none' with the full 10⁶. The oracle is
     // the quadratic formulation — purchases × preceding touches, grouped
     // per purchase — which is exactly the join the window pass avoids at
@@ -124,10 +125,10 @@ object StatsQueries extends Catalog {
           .withColumn("total", col("n_click") + col("n_view"))
         credited.select(
           sum(when(col("total") > 0,
-            floor(lit(1000000L) * col("n_click") / col("total")).cast("long"))
+            expr("1000000 * n_click div total"))
             .otherwise(lit(0L))).as("click_credit_micro"),
           sum(when(col("total") > 0,
-            floor(lit(1000000L) * col("n_view") / col("total")).cast("long"))
+            expr("1000000 * n_view div total"))
             .otherwise(lit(0L))).as("view_credit_micro"),
           sum(when(col("total") === 0, lit(1000000L)).otherwise(lit(0L)))
             .as("none_credit_micro"),
@@ -149,10 +150,10 @@ object StatsQueries extends Catalog {
              |  GROUP BY p.pid
              |)
              |SELECT CAST(SUM(CASE WHEN n_click + n_view > 0
-             |         THEN CAST(floor(1000000 * n_click / (n_click + n_view)) AS BIGINT)
+             |         THEN 1000000 * n_click // (n_click + n_view)
              |         ELSE 0 END) AS BIGINT) AS click_credit_micro,
              |       CAST(SUM(CASE WHEN n_click + n_view > 0
-             |         THEN CAST(floor(1000000 * n_view / (n_click + n_view)) AS BIGINT)
+             |         THEN 1000000 * n_view // (n_click + n_view)
              |         ELSE 0 END) AS BIGINT) AS view_credit_micro,
              |       CAST(SUM(CASE WHEN n_click + n_view = 0
              |         THEN 1000000 ELSE 0 END) AS BIGINT) AS none_credit_micro,

@@ -122,7 +122,12 @@ object StatefulOps {
         val t = r.ts.getTime
         cur match {
           case Some((s, last, n, c)) if t - last <= gapMs =>
-            cur = Some((s, math.max(last, t), n + 1L, c + r.cents))
+            // min on the start too: a late-but-within-watermark event that
+            // predates the stored session start must EXTEND the session
+            // backwards, not silently report a too-late startMs (in-batch
+            // out-of-order is handled by the sortBy; this is the
+            // cross-batch path)
+            cur = Some((math.min(s, t), math.max(last, t), n + 1L, c + r.cents))
           case Some((s, last, n, c)) =>
             // gap already exceeded WITHIN the data — close inline, open anew
             out += SessionSummary(userId, s, last, n, c)

@@ -30,11 +30,24 @@ class TransformWithStateSpec extends SparkSpec {
     2L -> UserTotals(2L, 2L, 0L, 2L),
     3L -> UserTotals(3L, 1L, 7L, 1L))
 
-  private def run(batches: Seq[Seq[UserEvent]], name: String): Seq[UserTotals] = {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  /** transformWithState requires the RocksDB provider; scope it to one body
+    * and restore whatever was set before (shared session — leaking the conf
+    * would silently re-provider every later streaming test in the JVM).
+    */
+  private def withRocksDBProvider[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def run(batches: Seq[Seq[UserEvent]], name: String): Seq[UserTotals] =
+    withRocksDBProvider {
       val in = MemoryStream[UserEvent](spark)
       val q = StatefulOps.runningUserTotals(in.toDS())
         .writeStream.outputMode(OutputMode.Update).format("memory")
@@ -42,13 +55,7 @@ class TransformWithStateSpec extends SparkSpec {
       batches.foreach { b => in.addData(b); q.processAllAvailable() }
       q.stop()
       spark.table(name).as[UserTotals].collect().toSeq
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
-  }
 
   /** Latest emitted row per user = the running profile's final value. */
   private def latest(rows: Seq[UserTotals]): Map[Long, UserTotals] =
@@ -66,10 +73,7 @@ class TransformWithStateSpec extends SparkSpec {
   test("event-time timers close sessions when the watermark passes the gap") {
     import StatefulOps.{SessionSummary, TimedEvent}
     def t(ms: Long) = new java.sql.Timestamp(ms)
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       val base = 1700000000000L
       val in = MemoryStream[TimedEvent](spark)
       val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L, watermark = "0 seconds")
@@ -93,11 +97,37 @@ class TransformWithStateSpec extends SparkSpec {
         .map(s => s.userId -> ((s.startMs, s.endMs, s.nEvents, s.cents))).toMap
       assert(got(1L) == ((base, base + 30000L, 2L, 300L)))
       assert(got(2L) == ((base + 10000L, base + 10000L, 1L, 50L)))
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    }
+  }
+
+  test("a late-but-within-watermark event extends the session start backwards") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      // generous watermark delay so the cross-batch late event is NOT dropped
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_late_start").start()
+      in.addData(TimedEvent(t(base + 40000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // arrives in a LATER batch but predates the stored session start
+      in.addData(TimedEvent(t(base + 10000L), 1L, 2L, 50L))
+      q.processAllAvailable()
+      // push the watermark far past the gap so the timer closes the session
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_late_start").as[SessionSummary].collect()
+        .filter(_.userId == 1L)
+      assert(got.length == 1)
+      // startMs must be the LATE event's earlier time, and it must be counted
+      assert(got.head.startMs == base + 10000L && got.head.endMs == base + 40000L)
+      assert(got.head.nEvents == 2L && got.head.cents == 150L)
     }
   }
 
