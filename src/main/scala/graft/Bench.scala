@@ -45,7 +45,12 @@ object Bench {
     "q_sim_kmeans",
     "q_join_star",
     "q_join_waiting_suppliers",
-    "q_graph_pagerank",
+    // r10: the Pregel anchor is the 1-superstep variant — same measured
+    // shape (edge checkpoint + rank join + contribution sum), a third of
+    // the stage count. The 3-superstep q_graph_pagerank's 12 small stages
+    // made it the bench's noise ceiling (r9 runs spanned 2.5-5.4s on
+    // identical code); its linearity is still pinned by the 10× probe.
+    "q_graph_pagerank_1step",
     "q_dedup_simhash_bands",
     "q_join_min_cost_supplier",
     "q_layout_zorder",
@@ -201,7 +206,24 @@ object Bench {
           s""","scale_probe":{"error":"$msg"}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeJson}""")
+    // Two artifacts (r9 verdict task 3 — the r9 JSON line outgrew the
+    // driver's fixed-size tail-capture window and lost its head, taking 9
+    // of 10 comparable medians with it):
+    //  - target/bench.json: the FULL record including the per-query raw
+    //    runs arrays, for forensics;
+    //  - stdout: ONE compact line (medians + total + probe, runs only in
+    //    the file) small enough that the tail window always holds all of it.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeJson}"""
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_file":"target/bench.json"$probeJson}"""
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    println(compact)
     spark.stop()
   }
 }
@@ -344,7 +366,15 @@ object ScaleProbe {
         // reintroduced the per-vector self-join would shuffle the n·d
         // exploded relation and bend this curve superlinear once the
         // join side outgrows broadcast.
-        catalogWork("q_sim_covariance", "embeddings")) ++
+        catalogWork("q_sim_covariance", "embeddings"),
+        // Deep-join anchor at factor× (r9 verdict task 6): the five-table
+        // star (lineitem⋈orders⋈customer + broadcast nation⋈region). All
+        // three fact-side tables replicate with aligned disjoint key
+        // offsets, so both fact-fact joins fan out linearly while the dims
+        // stay fixed — exactly the broadcast-vs-SMJ flip surface the probe
+        // exists to catch: a plan that re-broadcast a grown side or
+        // re-shuffled a dim would bend this ratio superlinear.
+        catalogWork("q_join_star", "customer", "orders", "lineitem")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench

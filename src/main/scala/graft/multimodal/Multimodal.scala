@@ -291,7 +291,7 @@ object Multimodal {
     * [[ImageIoDecode.aHash64]] pixel kernel; undecodable payloads yield a
     * null hash. Output: (id, phash long). Map-side only — near-dup pairing
     * over the hashes then rides the same banded/Hamming machinery as
-    * SimHash (q_dedup_simhash_pairs), which is the 100 TB image-dedup path.
+    * SimHash banding (q_dedup_simhash_bands), which is the 100 TB image-dedup path.
     */
   def perceptualHash(df: DataFrame, idCol: String, mediaCol: String,
       batchSize: Int = 64): DataFrame = {

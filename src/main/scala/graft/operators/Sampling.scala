@@ -56,6 +56,31 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(hashKey(col(idCol), salt) < lit(hexThreshold(fraction)))
 
+  /** Systematic (every-k-th) sampling over a hash-shuffled order, stated
+    * scale-safely: the textbook global every-k-th needs ONE totally-ordered
+    * pass (a single sorted partition — the classic scale-killer), so the
+    * operator instead buckets rows by the draw's first hex nibble (16
+    * hash-uniform strata) and strides within each bucket by (draw, id).
+    * Each bucket keeps exactly ceil(|bucket|/k) rows — the same 1/k rate
+    * with the same stride regularity a survey statistician wants from
+    * systematic designs — and the window shuffles on the bucket key only
+    * (16-way parallel, each partition sorts its own slice). Deterministic:
+    * the draw is a pure content hash, so any engine replays the identical
+    * sample ([[hashKeySql]] is the oracle twin). At 100 TB widen the
+    * bucket prefix to 2-3 nibbles so per-bucket sorts stay in memory.
+    */
+  def systematic(df: DataFrame, idCol: String, k: Int,
+      salt: String = "sys"): DataFrame = {
+    require(k >= 1, s"stride k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("draw"), col(idCol))
+    df.withColumn("draw", hashKey(col(idCol), salt))
+      .withColumn("bucket", substring(col("draw"), 1, 1))
+      .withColumn("rn", row_number().over(w))
+      .filter(pmod(col("rn") - 1, lit(k)) === 0)
+      .drop("rn")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep
     * all of rare ones). Strata missing from `fractions` use `default`.
     * The stratum column only selects the RATE; the draw itself still hashes

@@ -210,7 +210,7 @@ object Similarity {
   /** Scale-safe embedding near-duplicate pairs: multi-table LSH candidate
     * generation + exact cosine verification — the 100 TB replacement for
     * the all-pairs `a < b` self-join (quadratic in corpus size; kept in
-    * q_sim_near_dup only as the exact oracle baseline).
+    * baseline_sim_near_dup only as the exact oracle baseline).
     *
     * Shape: explode each vector to L (table, bucket) keys, self-join per
     * key (a < b halves the pair space), dedup candidate ID PAIRS while

@@ -319,10 +319,14 @@ object Analytics extends Catalog {
     // Time-series gap fill by LINEAR INTERPOLATION — the continuous sibling
     // of q_ts_gapfill's LOCF: a missing day between two observed days gets
     // the straight-line value between them, in EXACT integer cents. The
-    // two-sided weighted form v0·(d1−day) + v1·(day−d0) keeps both terms
-    // non-negative (events.value ≥ 0), so Spark's truncating `div` and
-    // DuckDB's flooring `//` agree — no float division anywhere in the
-    // gate. Edges of the grid (no neighbor on one side) stay null. Scale
+    // division is written as an explicit FLOOR division on the Spark side
+    // ((num − pmod(num, den)) div den, exact for the always-positive
+    // den = nd − pd) so it matches DuckDB's flooring `//` for ANY sign of
+    // the numerator — Spark's bare `div` truncates toward zero and would
+    // silently diverge by 1 on a negative value (negative cents), a
+    // data-dependent assumption this form removes rather than fences
+    // (r9 advice #2). Edges of the grid (no neighbor on one side) stay
+    // null. Scale
     // shape identical to gapfill: one events shuffle into the per-day
     // rollup, a co-keyed grid join, and BOTH direction windows (backward
     // last + forward first, each over value and day) share the one
@@ -348,10 +352,16 @@ object Analytics extends Catalog {
             first(col("v_c"), ignoreNulls = true).over(fwd).as("nv"),
             first(when(col("v_c").isNotNull, col("day")), ignoreNulls = true)
               .over(fwd).as("nd"))
-        known.select(col("user_id"), col("day"), col("v_c"),
+        known
+          .withColumn("num",
+            col("pv") * (col("nd") - col("day")) + col("nv") * (col("day") - col("pd")))
+          .withColumn("den", col("nd") - col("pd"))
+          .select(col("user_id"), col("day"), col("v_c"),
             when(col("v_c").isNotNull, col("v_c"))
               .when(col("pv").isNotNull && col("nv").isNotNull,
-                expr("(pv * (nd - day) + nv * (day - pd)) div (nd - pd)"))
+                // floor division for positive den: subtract the
+                // non-negative pmod remainder, then the div is exact
+                expr("(num - pmod(num, den)) div den"))
               .as("interp_c"))
           .orderBy(col("user_id"), col("day"), col("v_c"), col("interp_c"))
       },

@@ -853,17 +853,24 @@ object Joins extends Catalog {
     // pack as cx·32+cy (32 > the 18-value index range incl. the ±1
     // out-of-range probes, so packing is collision-free). Coordinates are
     // deterministic integer mixes of user_id — both engines compute
-    // identical BIGINTs, no float anywhere. At 100 TB the plan is one
+    // identical BIGINTs, no float anywhere. The id is masked to [0, 2³¹)
+    // BEFORE the Knuth multiply (r9 advice #3): unmasked, an id above
+    // ~3.5e9 overflows int64 (silent wrap on Spark vs error on DuckDB/ANSI)
+    // and a negative id splits pmod-vs-% semantics — the mask (pmod on
+    // Spark, the double-% non-negative form on DuckDB) removes both
+    // preconditions, and 2³¹·2654435761 ≈ 5.8e18 keeps the product inside
+    // int64. At 100 TB the plan is one
     // hash join on the cell id with a 9× narrow probe-side explode; a
     // dense hot cell is the skew knob (salt the cell or shrink R — same
     // discipline as the 1-D bucketed variants).
     "q_join_spatial_grid" -> Q(
       t => {
         val R = 60
+        val masked = pmod(col("user_id"), lit(2147483648L))
         val pts = t.events.select(col("user_id")).distinct()
           .select(col("user_id"),
-            pmod(col("user_id") * 2654435761L, lit(1000L)).as("px"),
-            pmod(col("user_id") * 40503L, lit(1000L)).as("py"))
+            pmod(masked * 2654435761L, lit(1000L)).as("px"),
+            pmod(masked * 40503L, lit(1000L)).as("py"))
           .localCheckpoint(true)
         val build = pts.select(col("user_id").as("u2"),
           col("px").as("bx"), col("py").as("by"),
@@ -883,11 +890,15 @@ object Joins extends Catalog {
       },
       Some("""WITH pts AS (
               |  SELECT DISTINCT user_id FROM events
+              |), m AS (
+              |  SELECT user_id,
+              |         ((user_id % 2147483648) + 2147483648) % 2147483648 AS mid
+              |  FROM pts
               |), p AS (
               |  SELECT user_id,
-              |         (user_id * 2654435761) % 1000 AS px,
-              |         (user_id * 40503) % 1000 AS py
-              |  FROM pts
+              |         (mid * 2654435761) % 1000 AS px,
+              |         (mid * 40503) % 1000 AS py
+              |  FROM m
               |)
               |SELECT a.user_id AS u1, b.user_id AS u2,
               |       (a.px - b.px) * (a.px - b.px)

@@ -82,6 +82,104 @@ object LayoutQueries extends Catalog {
              |         pg_min NULLS FIRST, pg_max NULLS FIRST,
              |         sg_min NULLS FIRST, sg_max NULLS FIRST""".stripMargin)),
 
+    // Hilbert-curve clustering vs Morton z-order on the SAME 5-bit grid —
+    // the head-to-head every lakehouse layout engine runs when picking its
+    // OPTIMIZE curve (Hilbert's adjacency property has no Morton "seams",
+    // so its equi-width curve cells have tighter-or-equal per-cell min/max
+    // envelopes — the numbers a reader's footer-stats pruning consults).
+    // Same one-fact-scan shape as q_layout_zorder: max-anchored integer
+    // grid normalization behind a broadcast scalar gate, then both curve
+    // values as pure map-side codegen'd BIGINT terms (the Hilbert steps
+    // unroll as 5 projection stages — see Layout.hilbertIndex), one
+    // partial-agg'd groupBy for the envelopes, no global sort. The oracle
+    // replays the identical 5-step quadrant/rotate recurrence as chained
+    // CTEs, so the curve arithmetic itself sits under the exactness gate.
+    "q_layout_hilbert" -> Q(
+      t => {
+        val g0 = t.lineitem.select(
+          col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s"))
+        val mm = g0.agg(max(col("p")).as("pm"), max(col("s")).as("sm"))
+        val grid = g0.crossJoin(broadcast(mm))
+          .select(expr("p * 32 div (pm + 1)").as("pg"),
+            expr("s * 32 div (sm + 1)").as("sg"))
+        val hil = Layout.hilbertIndex(grid, "pg", "sg", order = 5)
+          .select(col("pg"), col("sg"),
+            shiftright(col("h"), 5).as("cell"), lit("hilbert").as("layout"))
+        val z = grid.select(col("pg"), col("sg"),
+          shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell"),
+          lit("zorder").as("layout"))
+        hil.unionByName(z)
+          .groupBy(col("layout"), col("cell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("pg")).as("pg_min"), max(col("pg")).as("pg_max"),
+            min(col("sg")).as("sg_min"), max(col("sg")).as("sg_max"))
+          .orderBy(col("layout"), col("cell"), col("n"),
+            col("pg_min"), col("pg_max"), col("sg_min"), col("sg_max"))
+      },
+      Some("""WITH g0 AS (
+             |  SELECT CAST(l_partkey AS BIGINT) AS p,
+             |         CAST(l_suppkey AS BIGINT) AS s
+             |  FROM lineitem
+             |), mm AS (
+             |  SELECT MAX(p) AS pm, MAX(s) AS sm FROM g0
+             |), grid AS (
+             |  SELECT (p * 32 // (pm + 1)) AS pg,
+             |         (s * 32 // (sm + 1)) AS sg
+             |  FROM g0 CROSS JOIN mm
+             |), h0 AS (
+             |  SELECT pg, sg, pg AS x, sg AS y, CAST(0 AS BIGINT) AS h FROM grid
+             |), h1 AS (
+             |  SELECT pg, sg,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - y ELSE y END ELSE x END AS x,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - x ELSE x END ELSE y END AS y,
+             |         h + 256 * xor(3 * rx, ry) AS h
+             |  FROM (SELECT *, CASE WHEN (x & 16) != 0 THEN 1 ELSE 0 END AS rx,
+             |                  CASE WHEN (y & 16) != 0 THEN 1 ELSE 0 END AS ry FROM h0)
+             |), h2 AS (
+             |  SELECT pg, sg,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - y ELSE y END ELSE x END AS x,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - x ELSE x END ELSE y END AS y,
+             |         h + 64 * xor(3 * rx, ry) AS h
+             |  FROM (SELECT *, CASE WHEN (x & 8) != 0 THEN 1 ELSE 0 END AS rx,
+             |                  CASE WHEN (y & 8) != 0 THEN 1 ELSE 0 END AS ry FROM h1)
+             |), h3 AS (
+             |  SELECT pg, sg,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - y ELSE y END ELSE x END AS x,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - x ELSE x END ELSE y END AS y,
+             |         h + 16 * xor(3 * rx, ry) AS h
+             |  FROM (SELECT *, CASE WHEN (x & 4) != 0 THEN 1 ELSE 0 END AS rx,
+             |                  CASE WHEN (y & 4) != 0 THEN 1 ELSE 0 END AS ry FROM h2)
+             |), h4 AS (
+             |  SELECT pg, sg,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - y ELSE y END ELSE x END AS x,
+             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - x ELSE x END ELSE y END AS y,
+             |         h + 4 * xor(3 * rx, ry) AS h
+             |  FROM (SELECT *, CASE WHEN (x & 2) != 0 THEN 1 ELSE 0 END AS rx,
+             |                  CASE WHEN (y & 2) != 0 THEN 1 ELSE 0 END AS ry FROM h3)
+             |), h5 AS (
+             |  SELECT pg, sg, h + xor(3 * rx, ry) AS h
+             |  FROM (SELECT *, CASE WHEN (x & 1) != 0 THEN 1 ELSE 0 END AS rx,
+             |                  CASE WHEN (y & 1) != 0 THEN 1 ELSE 0 END AS ry FROM h4)
+             |), cells AS (
+             |  SELECT 'hilbert' AS layout, h >> 5 AS cell, pg, sg FROM h5
+             |  UNION ALL
+             |  SELECT 'zorder',
+             |         CAST(list_sum(list_transform(range(0, 5), i ->
+             |           (((pg >> i) & 1) << (2*i)) + (((sg >> i) & 1) << (2*i+1))))
+             |           AS BIGINT) >> 5,
+             |         pg, sg
+             |  FROM grid
+             |)
+             |SELECT layout, cell, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(pg) AS pg_min, MAX(pg) AS pg_max,
+             |       MIN(sg) AS sg_min, MAX(sg) AS sg_max
+             |FROM cells
+             |GROUP BY layout, cell
+             |ORDER BY layout NULLS FIRST, cell NULLS FIRST, n NULLS FIRST,
+             |         pg_min NULLS FIRST, pg_max NULLS FIRST,
+             |         sg_min NULLS FIRST, sg_max NULLS FIRST""".stripMargin)),
+
     // Compaction planning — the small-file problem's fix: pack a manifest
     // of per-day "files" (one row per o_orderdate, size = row count) into
     // target-sized bins by streaming first-fit over the date order, and

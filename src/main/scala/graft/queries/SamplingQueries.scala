@@ -51,6 +51,28 @@ object SamplingQueries extends Catalog {
                |WHERE rk <= 10
                |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin)),
 
+    // Systematic every-k-th sampling (see Sampling.systematic for the
+    // scale-safe bucketed-stride formulation): k=7 so bucket sizes at the
+    // gated SFs are never stride-aligned and the ceil(|bucket|/k) edge is
+    // exercised in every bucket.
+    "q_sample_systematic" -> Q(
+      t => Sampling.systematic(t.documents, "doc_id", k = 7, salt = "s5")
+        .select(col("doc_id"), col("bucket"), col("draw"))
+        .orderBy(col("bucket"), col("draw"), col("doc_id")),
+      Some(s"""WITH drawn AS (
+               |  SELECT doc_id,
+               |         ${Sampling.hashKeySql("doc_id", "s5")} AS draw
+               |  FROM documents
+               |), ranked AS (
+               |  SELECT doc_id, substring(draw, 1, 1) AS bucket, draw,
+               |         row_number() OVER (PARTITION BY substring(draw, 1, 1)
+               |           ORDER BY draw, doc_id) AS rn
+               |  FROM drawn
+               |)
+               |SELECT doc_id, bucket, draw FROM ranked
+               |WHERE (rn - 1) % 7 = 0
+               |ORDER BY bucket NULLS FIRST, draw NULLS FIRST, doc_id NULLS FIRST""".stripMargin)),
+
     "q_sample_shuffle" -> Q(
       t => Sampling.epochShuffle(t.documents, "doc_id", epoch = 1)
         .limit(20)

@@ -428,10 +428,11 @@ object SimilarityQueries extends Catalog {
                |FROM ranked WHERE rank <= 3
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
-    // All-pairs exact near-dup — the ORACLE BASELINE ONLY: O(n²) pairs is a
+    // All-pairs exact near-dup — the ORACLE BASELINE ONLY (hence the
+    // baseline_ catalog prefix, r9 verdict task 5): O(n²) pairs is a
     // scale-killer at 100 TB; the production formulation is
     // q_sim_near_dup_lsh below (same result, candidate-bounded shuffle).
-    "q_sim_near_dup" -> Q(
+    "baseline_sim_near_dup" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id"),
           Similarity.toDouble(col("embedding")).as("v"))

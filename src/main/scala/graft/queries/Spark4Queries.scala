@@ -40,14 +40,18 @@ object Spark4Queries extends Catalog {
           variant_get(col("v"), "$.k", "bigint").as("k"),
           variant_get(col("v"), "$.k", "string").as("k_str"),
           variant_get(col("v"), "$.missing", "bigint").as("k_missing"),
-          try_variant_get(col("v"), "$.k", "array<bigint>").as("k_badtype"),
+          // wrong-type try extraction is always null; rendered to string so
+          // no array type ever reaches the driver's pandas sort (the
+          // catalog-wide atomic-output rule, SparkEntrySpec)
+          try_variant_get(col("v"), "$.k", "array<bigint>").cast("string")
+            .as("k_badtype"),
           is_variant_null(col("v")).as("is_json_null"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id, event_type,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                      json_extract_string(props, '$.k') AS k_str,
                      CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
-                     CAST(NULL AS BIGINT[]) AS k_badtype,
+                     CAST(NULL AS VARCHAR) AS k_badtype,
                      (json_extract(props, '$') = 'null') AS is_json_null
               FROM events
               ORDER BY event_id NULLS FIRST""")),

@@ -680,12 +680,17 @@ object TextQueries extends Catalog {
           .orderBy(col("cnt").desc, col("term").asc).limit(64)
         val w = Window.orderBy(col("cnt").desc, col("term").asc)
         val vocab = top.withColumn("tid", row_number().over(w).cast("long"))
+        // ids is rendered as a space-delimited string (not a raw array):
+        // the verification harness sorts result frames with pandas, which
+        // cannot factorize array-typed columns. Same convention as every
+        // other array-producing query in the catalog (Relational.scala).
         toks.join(broadcast(vocab.select(col("term"), col("tid"))), Seq("term"), "left")
           .withColumn("tid", coalesce(col("tid"), lit(0L)))
           .groupBy(col("doc_id"))
           .agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
-              s => s.getField("tid")).as("ids"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+                s => s.getField("tid")), " ").as("ids"),
             sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"))
           .orderBy(col("doc_id"), col("n_oov"))
       },
@@ -705,10 +710,124 @@ object TextQueries extends Catalog {
               |  SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
               |  FROM toks t LEFT JOIN vocab v ON t.term = v.term
               |)
-              |SELECT doc_id, list(tid ORDER BY pos) AS ids,
+              |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids,
               |       CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
               |FROM enc GROUP BY doc_id
               |ORDER BY doc_id NULLS FIRST, n_oov NULLS FIRST""".stripMargin)),
+
+    // Type-token ratio + hapax legomena — the two classic lexical-diversity
+    // signals a pretraining quality filter reads next to the repetition
+    // score (a low TTR flags template/boilerplate text; a high hapax share
+    // flags OCR noise or codelike soup). One explode → one (doc, term)
+    // hash agg → one per-doc agg, all partial-aggregated map-side; the
+    // int/int ratio is one IEEE division rounded identically on both
+    // engines (the jaccard convention).
+    "q_text_ttr" -> Q(
+      t => {
+        val tc = t.documents.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        tc.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+            round(col("n_types") / col("n_tokens"), 4).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              |  FROM documents
+              |), tc AS (
+              |  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+              |)
+              |SELECT doc_id,
+              |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |       CAST(COUNT(*) AS BIGINT) AS n_types,
+              |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr
+              |FROM tc GROUP BY doc_id
+              |ORDER BY doc_id NULLS FIRST""".stripMargin)),
+
+    // Vocabulary coverage curve — the tokenizer-sizing question ("what
+    // share of token OCCURRENCES does a top-k vocab cover?") answered in
+    // exact parts-per-million integer arithmetic: corpus term counts, one
+    // vocab-sized rank window (cnt desc, term asc — the vocab_encode
+    // order), then conditional sums at k = 16/32/64 behind a single
+    // aggregate. The rank window runs on the VOCAB (distinct terms), never
+    // the corpus, so the one global window is bounded by vocabulary size —
+    // the same manifest-scale-window argument as q_layout_binpack.
+    "q_text_vocab_coverage" -> Q(
+      t => {
+        val counts = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        counts.withColumn("r", row_number().over(w).cast("long"))
+          .agg(sum(col("cnt")).as("total"),
+            sum(when(col("r") <= 16, col("cnt")).otherwise(0L)).as("cov16"),
+            sum(when(col("r") <= 32, col("cnt")).otherwise(0L)).as("cov32"),
+            sum(when(col("r") <= 64, col("cnt")).otherwise(0L)).as("cov64"))
+          .select(col("total"), col("cov16"), col("cov32"), col("cov64"),
+            expr("cov16 * 1000000 div total").as("ppm16"),
+            expr("cov32 * 1000000 div total").as("ppm32"),
+            expr("cov64 * 1000000 div total").as("ppm64"))
+      },
+      Some("""WITH toks AS (
+              |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+              |  FROM documents
+              |), counts AS (
+              |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+              |), ranked AS (
+              |  SELECT cnt,
+              |         CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS r
+              |  FROM counts
+              |), agg AS (
+              |  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+              |         CAST(SUM(CASE WHEN r <= 16 THEN cnt ELSE 0 END) AS BIGINT) AS cov16,
+              |         CAST(SUM(CASE WHEN r <= 32 THEN cnt ELSE 0 END) AS BIGINT) AS cov32,
+              |         CAST(SUM(CASE WHEN r <= 64 THEN cnt ELSE 0 END) AS BIGINT) AS cov64
+              |  FROM ranked
+              |)
+              |SELECT total, cov16, cov32, cov64,
+              |       cov16 * 1000000 // total AS ppm16,
+              |       cov32 * 1000000 // total AS ppm32,
+              |       cov64 * 1000000 // total AS ppm64
+              |FROM agg""".stripMargin)),
+
+    // Incremental (snapshot-delta) dedup — the 100 TB ingestion pattern:
+    // an EXISTING corpus's content hashes gate a new delta batch, so only
+    // never-seen documents survive (anti join on the hash), and the delta
+    // dedups against itself by keep-first. The even/odd doc_id split is the
+    // deterministic stand-in for snapshot-vs-new-crawl. Scale shape: one
+    // hash-shuffle anti join on the digest + one keep-first hash agg — at
+    // 100 TB the corpus side ships as a bloom/broadcast prefilter before
+    // the exact anti join (same two-phase discipline as
+    // q_dedup_decontaminate's broadcast bench side).
+    "q_dedup_incremental" -> Q(
+      t => {
+        val hashed = t.documents.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"))
+        val corpus = hashed.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .select(col("h")).distinct()
+        val delta = hashed.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        delta.join(corpus, Seq("h"), "left_anti")
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("h"))
+          .orderBy(col("doc_id"), col("h"))
+      },
+      Some("""WITH hashed AS (
+              |  SELECT doc_id, md5(text) AS h FROM documents
+              |), corpus AS (
+              |  SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0
+              |), delta AS (
+              |  SELECT doc_id, h FROM hashed WHERE doc_id % 2 = 1
+              |)
+              |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, h
+              |FROM delta
+              |WHERE h NOT IN (SELECT h FROM corpus)
+              |GROUP BY h
+              |ORDER BY doc_id NULLS FIRST, h NULLS FIRST""".stripMargin)),
 
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
@@ -768,7 +887,11 @@ object TextQueries extends Catalog {
                |      FROM documents)
                |ORDER BY doc_id NULLS FIRST, simhash NULLS FIRST""".stripMargin)),
 
-    "q_dedup_simhash_pairs" -> Q(
+    // Labeled-quadratic all-pairs SimHash Hamming join — ORACLE BASELINE
+    // ONLY (hence the baseline_ catalog prefix, r9 verdict task 5): the
+    // source-blocked pair space is quadratic in the hottest block; the
+    // production formulation is the banded q_dedup_simhash_bands below.
+    "baseline_dedup_simhash_pairs" -> Q(
       t => {
         val sims = t.documents.select(
           col("doc_id"), col("source"), Dedup.simhash(col("text")).as("sim"))
@@ -807,8 +930,9 @@ object TextQueries extends Catalog {
     // exact, not probabilistic. Candidate cost is Σ_bucket |bucket|² over
     // 3·2¹⁰ hash buckets (an equi-join shuffle on (band, value)), never
     // O(n²): this is the scale-safe exact twin of the labeled-quadratic
-    // q_dedup_simhash_pairs baseline, the same upgrade q_dedup_jaccard_prefix
-    // gives q_sim_near_dup. Rows carry their simhash through the band
+    // baseline_dedup_simhash_pairs baseline, the same upgrade
+    // q_dedup_jaccard_prefix gives baseline_sim_near_dup. Rows carry their
+    // simhash through the band
     // explode, so verification is a map-side bit_count on the joined row —
     // no join-back; distinct() runs only over surviving pairs (pairs agreeing
     // in multiple bands dedupe there). At 100 TB: widen to a 64-bit simhash
@@ -892,8 +1016,9 @@ object TextQueries extends Catalog {
     // contain a common element, which the full-side probe of y always
     // carries. (A prefix×prefix join would NOT be complete — the common
     // element need not sit in both prefixes.) This is the scale-safe exact
-    // twin of the labeled-quadratic q_sim_near_dup / q_dedup_simhash_pairs
-    // baselines: candidate cost is one hash-shuffle join of the prefix
+    // twin of the labeled-quadratic baseline_sim_near_dup /
+    // baseline_dedup_simhash_pairs baselines: candidate cost is one
+    // hash-shuffle join of the prefix
     // stream (≈ half the shingle volume) against the shingle stream —
     // inverted-index shape, O(postings), never O(docs²). Ubiquitous
     // shingles make hot hash keys; a frequency-ascending order (classic

@@ -121,12 +121,25 @@ object StatefulOps {
       rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
         val t = r.ts.getTime
         cur match {
+          case Some((s, _, _, _)) if t < s - gapMs =>
+            // a late-but-within-watermark event more than gap BEFORE the
+            // stored session start can never belong to it — standard
+            // session semantics make it a separate earlier session, not a
+            // backwards extension whose internal gap would exceed gapMs.
+            // The state holds one open (latest) session per user, so the
+            // earlier fragment closes immediately as a singleton. Residual
+            // (documented): two such stragglers in different batches that
+            // are within gap of EACH OTHER emit as two fragments instead
+            // of one merged session; exact fragment merging needs a
+            // multi-interval state list, which this processor trades away
+            // for fixed-size state.
+            out += SessionSummary(userId, t, t, 1L, r.cents)
           case Some((s, last, n, c)) if t - last <= gapMs =>
             // min on the start too: a late-but-within-watermark event that
-            // predates the stored session start must EXTEND the session
-            // backwards, not silently report a too-late startMs (in-batch
-            // out-of-order is handled by the sortBy; this is the
-            // cross-batch path)
+            // predates the stored session start by AT MOST the gap must
+            // EXTEND the session backwards, not silently report a too-late
+            // startMs (in-batch out-of-order is handled by the sortBy;
+            // this is the cross-batch path)
             cur = Some((math.min(s, t), math.max(last, t), n + 1L, c + r.cents))
           case Some((s, last, n, c)) =>
             // gap already exceeded WITHIN the data — close inline, open anew

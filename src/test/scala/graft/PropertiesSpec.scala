@@ -135,6 +135,112 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("BPE train+segment matches a single-threaded reference replay on random corpora") {
+    // Random small word-frequency tables over a tiny alphabet (so merges
+    // actually fire, including the 3+-identical-symbol runs where the
+    // documented left-to-right replace semantics diverge from
+    // simultaneous-scan BPE). The reference replay below re-implements
+    // training and segmentation with plain java.lang.String.replace — the
+    // same left-to-right non-overlapping contract Spark's `replace` has —
+    // so both the induced rule SEQUENCE and the segment output must match
+    // exactly (r9 verdict task 7).
+    val wordGen = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = for {
+      nw <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(nw, wordGen)
+      fs <- Gen.listOfN(nw, Gen.chooseNum(1L, 9L))
+    } yield ws.zip(fs).groupBy(_._1).map { case (w, l) => (w, l.map(_._2).sum) }.toSeq
+
+    def spacedRef(w: String): String = " " + w.mkString(" ") + " "
+    def refTrain(words: Seq[(String, Long)], nMerges: Int)
+      : (Seq[(String, String)], Map[String, String]) = {
+      var cur = words.map { case (w, f) => (w, f, spacedRef(w)) }
+      val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var go = true
+      while (rules.size < nMerges && go) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (_, f, s) =>
+          val syms = s.trim.split(" ")
+          if (syms.length >= 2) syms.sliding(2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        if (counts.isEmpty) go = false
+        else {
+          val ((w1, w2), _) = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, a, b) }
+          rules += ((w1, w2))
+          cur = cur.map { case (w, f, s) =>
+            (w, f, s.replace(s" $w1 $w2 ", s" $w1$w2 "))
+          }
+        }
+      }
+      (rules.toSeq, cur.map { case (w, _, s) => w -> s.trim }.toMap)
+    }
+
+    (1 to 5).foreach { _ =>
+      val corpus = corpusGen.sample.get
+      val wf = corpus.toDF("word", "f")
+      val got = operators.Bpe.train(wf, nMerges = 8)
+        .orderBy($"merge_rank")
+        .select($"w1", $"w2").as[(String, String)].collect().toSeq
+      val (want, wantSeg) = refTrain(corpus, nMerges = 8)
+      assert(got == want, s"merge rules diverged on corpus $corpus")
+      val seg = operators.Bpe.segment(wf, got)
+        .select($"word", array_join($"pieces", " "))
+        .as[(String, String)].collect().toMap
+      assert(seg == wantSeg, s"segmentation diverged on corpus $corpus")
+    }
+  }
+
+  test("vocab encode matches a single-threaded reference replay on random docs") {
+    // Same fuzz treatment for the other stateful text op (r9 verdict task
+    // 7): random docs over >64 distinct tokens so the top-64 vocab cutoff,
+    // OOV id 0, count/term tie-breaks, and the empty-text tokenizer quirk
+    // (split of "" → [""]) all occur. The replay recomputes the encoding
+    // with plain Scala collections.
+    val tokGen = for {
+      c1 <- Gen.oneOf('a' to 'j')
+      c2 <- Gen.option(Gen.oneOf('a' to 'j'))
+    } yield c1.toString + c2.map(_.toString).getOrElse("")
+    val docGen = for {
+      n <- Gen.chooseNum(0, 15)
+      ts <- Gen.listOfN(n, tokGen)
+    } yield ts.mkString(" ")
+    val docs = Gen.listOfN(120, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+
+    // Spark side — the q_text_vocab_encode chain on this frame
+    val toks = df.select($"doc_id",
+      posexplode(operators.TextAnalysis.tokens($"text")).as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"term".asc)
+    val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term".asc).limit(64)
+      .withColumn("tid", row_number().over(w).cast("long"))
+    val got = toks.join(broadcast(vocab.select($"term", $"tid")), Seq("term"), "left")
+      .withColumn("tid", coalesce($"tid", lit(0L)))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"tid"))),
+        s => s.getField("tid")), " ").as("ids"))
+      .as[(Long, String)].collect().toMap
+
+    // Reference replay
+    val tokenized = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val refVocab = tokenized.flatMap(_._2).groupBy(identity)
+      .map { case (t, l) => (t, l.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(64)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1).toLong }.toMap
+    tokenized.foreach { case (id, ts) =>
+      val want = ts.map(t => refVocab.getOrElse(t, 0L)).mkString(" ")
+      assert(got(id) == want, s"doc $id (${ts.mkString("|")}): got ${got(id)}, want $want")
+    }
+  }
+
   test("weighted median crossing test matches brute-force expansion") {
     // Expand each (value, weight) into weight copies; the weighted median
     // must equal the smallest value v where 2·rank(v) ≥ total copies —

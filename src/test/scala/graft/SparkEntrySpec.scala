@@ -17,6 +17,27 @@ class SparkEntrySpec extends SparkSpec {
     assert(oracle.keySet.subsetOf(qs.keySet))
   }
 
+  test("every oracle-backed query emits only atomic output columns") {
+    // The driver's correctness harness sorts result frames with pandas,
+    // which cannot factorize array/struct/map-typed object columns
+    // (TypeError: unhashable type). Any nested value must be rendered to a
+    // string (array_join / to_json) before it leaves the query.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val oracleBacked = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => oracleBacked.contains(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sf()).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(offenders.isEmpty, s"non-atomic output columns reach the driver's " +
+      s"pandas sort: ${offenders.mkString("; ")}")
+  }
+
   test("all queries run non-empty at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

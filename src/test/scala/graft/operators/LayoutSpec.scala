@@ -39,6 +39,43 @@ class LayoutSpec extends SparkSpec {
       rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
   }
 
+  test("hilbertIndex matches the reference xy2d recurrence on the full 32x32 grid") {
+    // single-threaded reference: the standard iterative Hilbert xy->d
+    def ref(order: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (order - 1)
+      while (s > 0) {
+        val rx = if ((x & s) != 0) 1L else 0L
+        val ry = if ((y & s) != 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = Layout.hilbertIndex(grid.toDF("x", "y"), "x", "y", order = 5)
+      .select($"x", $"y", $"h").as[(Long, Long, Long)].collect()
+    assert(got.length == 1024)
+    got.foreach { case (x, y, h) =>
+      assert(h == ref(5, x, y), s"($x,$y): got $h, ref ${ref(5, x, y)}")
+    }
+    // the curve is a bijection onto 0..1023 ...
+    assert(got.map(_._3).sorted.toSeq == (0L until 1024L))
+    // ... and consecutive curve positions are always grid-adjacent — the
+    // locality property Morton lacks and the reason hilbert cells have
+    // tighter envelopes
+    val byH = got.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    (0L until 1023L).foreach { h =>
+      val (x1, y1) = byH(h); val (x2, y2) = byH(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"positions $h and ${h + 1} are not grid-adjacent")
+    }
+  }
+
   test("binPack bins are contiguous and sized within the first-fit band") {
     val target = 100L
     // file sizes 1..37 cycled — max 37, total 3800 → ~38 bins

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * 1. PLAN: the candidate stage must be the (band, value) equi-join —
   *    never a cartesian / broadcast-nested-loop product of documents
   *    (the quadratic shape the band split exists to avoid; the blocked
-  *    q_dedup_simhash_pairs baseline is that labeled-quadratic twin).
+  *    baseline_dedup_simhash_pairs baseline is that labeled-quadratic twin).
   * 2. PIGEONHOLE BOUNDARY: with 3 bands, Hamming ≤ 2 is the exact
   *    guarantee line. The adversarial case is a pair whose 2 differing
   *    bits land in 2 DIFFERENT bands — only one band left identical, so

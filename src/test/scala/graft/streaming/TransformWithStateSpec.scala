@@ -131,6 +131,38 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("a late event more than gap before the session start closes as its own fragment") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_late_frag").start()
+      in.addData(TimedEvent(t(base + 300000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // later batch, 5 min BEFORE the stored start (gap is 1 min): must NOT
+      // merge into a session whose internal gap would exceed the gap —
+      // it closes immediately as its own singleton fragment
+      in.addData(TimedEvent(t(base), 1L, 2L, 50L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_late_frag").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(got.length == 2)
+      assert(got(0).startMs == base && got(0).endMs == base &&
+        got(0).nEvents == 1L && got(0).cents == 50L)
+      assert(got(1).startMs == base + 300000L && got(1).endMs == base + 300000L &&
+        got(1).nEvents == 1L && got(1).cents == 100L)
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
