@@ -9,6 +9,45 @@ import org.apache.spark.sql.functions._
   */
 object LayoutQueries extends Catalog {
 
+  /** DuckDB replay of the 5-bit grid normalization + Layout.hilbertIndex's
+    * five quadrant/rotate steps. Ends with CTEs `grid(pg, sg)` and
+    * `h5(pg, sg, h)`. Shared by q_layout_hilbert and q_layout_pruning.
+    */
+  private def duckHilbertCtes: String = {
+    def step(prev: String, out: String, s: Int) = {
+      val add = s.toLong * s
+      s"""$out AS (
+         |  SELECT pg, sg,
+         |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+         |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+         |         h + $add * xor(3 * rx, ry) AS h
+         |  FROM (SELECT *, CASE WHEN (x & $s) != 0 THEN 1 ELSE 0 END AS rx,
+         |                  CASE WHEN (y & $s) != 0 THEN 1 ELSE 0 END AS ry FROM $prev)
+         |)""".stripMargin
+    }
+    s"""WITH g0 AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS p,
+       |         CAST(l_suppkey AS BIGINT) AS s
+       |  FROM lineitem
+       |), mm AS (
+       |  SELECT MAX(p) AS pm, MAX(s) AS sm FROM g0
+       |), grid AS (
+       |  SELECT (p * 32 // (pm + 1)) AS pg,
+       |         (s * 32 // (sm + 1)) AS sg
+       |  FROM g0 CROSS JOIN mm
+       |), h0 AS (
+       |  SELECT pg, sg, pg AS x, sg AS y, CAST(0 AS BIGINT) AS h FROM grid
+       |), ${step("h0", "h1", 16)},
+       |${step("h1", "h2", 8)},
+       |${step("h2", "h3", 4)},
+       |${step("h3", "h4", 2)},
+       |h5 AS (
+       |  SELECT pg, sg, h + xor(3 * rx, ry) AS h
+       |  FROM (SELECT *, CASE WHEN (x & 1) != 0 THEN 1 ELSE 0 END AS rx,
+       |                  CASE WHEN (y & 1) != 0 THEN 1 ELSE 0 END AS ry FROM h4)
+       |)""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Z-order clustering vs. linear sort, measured by the file-skipping
@@ -117,51 +156,7 @@ object LayoutQueries extends Catalog {
           .orderBy(col("layout"), col("cell"), col("n"),
             col("pg_min"), col("pg_max"), col("sg_min"), col("sg_max"))
       },
-      Some("""WITH g0 AS (
-             |  SELECT CAST(l_partkey AS BIGINT) AS p,
-             |         CAST(l_suppkey AS BIGINT) AS s
-             |  FROM lineitem
-             |), mm AS (
-             |  SELECT MAX(p) AS pm, MAX(s) AS sm FROM g0
-             |), grid AS (
-             |  SELECT (p * 32 // (pm + 1)) AS pg,
-             |         (s * 32 // (sm + 1)) AS sg
-             |  FROM g0 CROSS JOIN mm
-             |), h0 AS (
-             |  SELECT pg, sg, pg AS x, sg AS y, CAST(0 AS BIGINT) AS h FROM grid
-             |), h1 AS (
-             |  SELECT pg, sg,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - y ELSE y END ELSE x END AS x,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - x ELSE x END ELSE y END AS y,
-             |         h + 256 * xor(3 * rx, ry) AS h
-             |  FROM (SELECT *, CASE WHEN (x & 16) != 0 THEN 1 ELSE 0 END AS rx,
-             |                  CASE WHEN (y & 16) != 0 THEN 1 ELSE 0 END AS ry FROM h0)
-             |), h2 AS (
-             |  SELECT pg, sg,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - y ELSE y END ELSE x END AS x,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 7 - x ELSE x END ELSE y END AS y,
-             |         h + 64 * xor(3 * rx, ry) AS h
-             |  FROM (SELECT *, CASE WHEN (x & 8) != 0 THEN 1 ELSE 0 END AS rx,
-             |                  CASE WHEN (y & 8) != 0 THEN 1 ELSE 0 END AS ry FROM h1)
-             |), h3 AS (
-             |  SELECT pg, sg,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - y ELSE y END ELSE x END AS x,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 3 - x ELSE x END ELSE y END AS y,
-             |         h + 16 * xor(3 * rx, ry) AS h
-             |  FROM (SELECT *, CASE WHEN (x & 4) != 0 THEN 1 ELSE 0 END AS rx,
-             |                  CASE WHEN (y & 4) != 0 THEN 1 ELSE 0 END AS ry FROM h2)
-             |), h4 AS (
-             |  SELECT pg, sg,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - y ELSE y END ELSE x END AS x,
-             |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 1 - x ELSE x END ELSE y END AS y,
-             |         h + 4 * xor(3 * rx, ry) AS h
-             |  FROM (SELECT *, CASE WHEN (x & 2) != 0 THEN 1 ELSE 0 END AS rx,
-             |                  CASE WHEN (y & 2) != 0 THEN 1 ELSE 0 END AS ry FROM h3)
-             |), h5 AS (
-             |  SELECT pg, sg, h + xor(3 * rx, ry) AS h
-             |  FROM (SELECT *, CASE WHEN (x & 1) != 0 THEN 1 ELSE 0 END AS rx,
-             |                  CASE WHEN (y & 1) != 0 THEN 1 ELSE 0 END AS ry FROM h4)
-             |), cells AS (
+      Some(s"""$duckHilbertCtes, cells AS (
              |  SELECT 'hilbert' AS layout, h >> 5 AS cell, pg, sg FROM h5
              |  UNION ALL
              |  SELECT 'zorder',
@@ -179,6 +174,77 @@ object LayoutQueries extends Catalog {
              |ORDER BY layout NULLS FIRST, cell NULLS FIRST, n NULLS FIRST,
              |         pg_min NULLS FIRST, pg_max NULLS FIRST,
              |         sg_min NULLS FIRST, sg_max NULLS FIRST""".stripMargin)),
+
+    // File-skipping measurement — the number every layout decision is FOR:
+    // given the per-cell ("file") min/max envelopes of three layouts over
+    // the same 32×32 grid (linear pg sort, Morton, Hilbert), count how
+    // many files a point predicate in EACH dimension actually has to scan
+    // (probe within [min, max] — exactly the footer-stats test a parquet
+    // reader runs). Linear files scan ~1 file for pg probes but ~all 32
+    // for sg probes; both curves bound BOTH dims — the measured payoff of
+    // multi-dimensional clustering, under the exact gate. The probe frame
+    // is 16 literal rows (8 probes × 2 dims) broadcast against the 96-row
+    // envelope manifest — all post-aggregate, nothing data-sized.
+    "q_layout_pruning" -> Q(
+      t => {
+        val g0 = t.lineitem.select(
+          col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s"))
+        val mm = g0.agg(max(col("p")).as("pm"), max(col("s")).as("sm"))
+        val grid = g0.crossJoin(broadcast(mm))
+          .select(expr("p * 32 div (pm + 1)").as("pg"),
+            expr("s * 32 div (sm + 1)").as("sg"))
+        val hil = Layout.hilbertIndex(grid, "pg", "sg", order = 5)
+          .select(col("pg"), col("sg"),
+            shiftright(col("h"), 5).as("cell"), lit("hilbert").as("layout"))
+        val zo = grid.select(col("pg"), col("sg"),
+          shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell"),
+          lit("zorder").as("layout"))
+        val lin = grid.select(col("pg"), col("sg"),
+          col("pg").as("cell"), lit("linear").as("layout"))
+        val env = hil.unionByName(zo).unionByName(lin)
+          .groupBy(col("layout"), col("cell"))
+          .agg(min(col("pg")).as("pg_min"), max(col("pg")).as("pg_max"),
+            min(col("sg")).as("sg_min"), max(col("sg")).as("sg_max"))
+        val probes = t.spark.range(0, 8)
+          .select((col("id") * 4).as("probe"),
+            explode(array(lit("pg"), lit("sg"))).as("dim"))
+        env.join(broadcast(probes),
+          (col("dim") === "pg" &&
+            col("probe").between(col("pg_min"), col("pg_max"))) ||
+            (col("dim") === "sg" &&
+              col("probe").between(col("sg_min"), col("sg_max"))))
+          .groupBy(col("layout"), col("dim"), col("probe"))
+          .agg(count(lit(1)).as("files_scanned"))
+          .orderBy(col("layout"), col("dim"), col("probe"), col("files_scanned"))
+      },
+      Some(s"""$duckHilbertCtes, cells AS (
+             |  SELECT 'hilbert' AS layout, h >> 5 AS cell, pg, sg FROM h5
+             |  UNION ALL
+             |  SELECT 'zorder',
+             |         CAST(list_sum(list_transform(range(0, 5), i ->
+             |           (((pg >> i) & 1) << (2*i)) + (((sg >> i) & 1) << (2*i+1))))
+             |           AS BIGINT) >> 5,
+             |         pg, sg
+             |  FROM grid
+             |  UNION ALL
+             |  SELECT 'linear', pg, pg, sg FROM grid
+             |), env AS (
+             |  SELECT layout, cell,
+             |         MIN(pg) AS pg_min, MAX(pg) AS pg_max,
+             |         MIN(sg) AS sg_min, MAX(sg) AS sg_max
+             |  FROM cells GROUP BY layout, cell
+             |), probes AS (
+             |  SELECT CAST(t.i * 4 AS BIGINT) AS probe, d.dim
+             |  FROM range(0, 8) t(i) CROSS JOIN (VALUES ('pg'), ('sg')) d(dim)
+             |)
+             |SELECT layout, dim, probe, CAST(COUNT(*) AS BIGINT) AS files_scanned
+             |FROM env JOIN probes
+             |  ON (dim = 'pg' AND probe BETWEEN pg_min AND pg_max)
+             |  OR (dim = 'sg' AND probe BETWEEN sg_min AND sg_max)
+             |GROUP BY layout, dim, probe
+             |ORDER BY layout NULLS FIRST, dim NULLS FIRST, probe NULLS FIRST,
+             |         files_scanned NULLS FIRST""".stripMargin)),
 
     // Compaction planning — the small-file problem's fix: pack a manifest
     // of per-day "files" (one row per o_orderdate, size = row count) into

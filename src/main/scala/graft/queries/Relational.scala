@@ -102,6 +102,29 @@ object Relational extends Catalog {
               FROM lineitem GROUP BY l_returnflag
               ORDER BY l_returnflag NULLS FIRST""")),
 
+    // Two-phase exact COUNT DISTINCT — the skew rewrite for a hot group
+    // key: salt derived FROM THE VALUE (pmod(v, 16)) partitions each
+    // group's distinct-value space into 16 disjoint shards, so per-shard
+    // distinct counts SUM to the exact total (a salt independent of v
+    // would double-count values straddling shards — the correctness edge
+    // this formulation removes by construction). Phase 1's (key, salt)
+    // groups spread a 50%-hot key over 16 reducers; phase 2 merges 16
+    // tiny rows per key. The oracle is the PLAIN single-phase
+    // COUNT(DISTINCT) — the gate proves the rewrite, not a replay.
+    "q_agg_distinct_twophase" -> Q(
+      t => t.lineitem
+        .select(col("l_returnflag").as("k"), col("l_partkey").as("v"))
+        .withColumn("salt", pmod(col("v"), lit(16L)))
+        .groupBy(col("k"), col("salt"))
+        .agg(countDistinct(col("v")).as("d"))
+        .groupBy(col("k"))
+        .agg(sum(col("d")).as("n_distinct"))
+        .orderBy(col("k")),
+      Some("""SELECT l_returnflag AS k,
+              |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+              |FROM lineitem GROUP BY 1
+              |ORDER BY k NULLS FIRST""".stripMargin)),
+
     // Filtered & boolean aggregates — count_if and bool_and/bool_or on the
     // Spark side, stated in the oracle as the standard FILTER clause and
     // the same boolean folds. All order-independent, so no rounding

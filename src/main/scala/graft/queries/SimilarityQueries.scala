@@ -504,6 +504,73 @@ object SimilarityQueries extends Catalog {
               |FROM packed
               |ORDER BY label NULLS FIRST, dim NULLS FIRST, centroid_norm NULLS FIRST""".stripMargin)),
 
+    // Nearest-centroid classification — the confusion matrix of true label
+    // vs nearest LABEL CENTROID, the cheapest embedding-quality eval a
+    // curation pipeline runs (is the embedding space linearly separable
+    // enough to trust for semantic dedup / mixture balancing?). Numeric
+    // contract is the kmeansAssign one: centroids are per-dimension int64
+    // SUMS of int8 codes (order-independent, never float means), the score
+    // intDot/sqrt(cc) is one IEEE division+sqrt over exact integers, ties
+    // break to the lowest label. Scale shape: centroids are L·d scalars —
+    // a broadcast literal frame — so assignment is one map-side-scored
+    // broadcast nested-loop over L rows, the per-id argmax window sees L
+    // rows per vector, and the confusion matrix is an ≤L² group aggregate.
+    "q_sim_nearest_centroid" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          col("label").cast("long").as("label"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val qn = emb.withColumn("__ma", Similarity.maxAbs(col("vec")))
+          .select(col("id"), col("label"),
+            Similarity.quantize(col("vec"), col("__ma")).as("q"))
+        val cent = qn
+          .select(col("label").as("clabel"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("clabel"), col("pos")).agg(sum(col("v")).as("s"))
+          .groupBy(col("clabel"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")).as("c"))
+          .withColumn("cc", Similarity.intDot(col("c"), col("c")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("score").desc, col("clabel"))
+        qn.crossJoin(broadcast(cent))
+          .withColumn("score",
+            Similarity.intDot(col("q"), col("c")).cast("double") /
+              sqrt(col("cc").cast("double")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("pred"), col("n"))
+      },
+      Some(s"""$duckVecCte, mxk AS (
+               |  SELECT vec_id, CAST(label AS BIGINT) AS label, v,
+               |         list_max(list_transform(v, y -> abs(y))) AS ma
+               |  FROM e
+               |), qkv AS (
+               |  SELECT vec_id, label,
+               |         list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+               |           ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+               |  FROM mxk
+               |), csum AS (
+               |  SELECT label AS clabel, t.i AS i, CAST(SUM(q[t.i]) AS BIGINT) AS s
+               |  FROM qkv CROSS JOIN range(1, 65) AS t(i)
+               |  GROUP BY label, t.i
+               |), cent AS (
+               |  SELECT clabel, list(s ORDER BY i) AS c FROM csum GROUP BY clabel
+               |), centn AS (
+               |  SELECT clabel, c, ${duckDot("c", "c")} AS cc FROM cent
+               |), scored AS (
+               |  SELECT v.vec_id, v.label, x.clabel,
+               |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               |           CAST(${duckDot("v.q", "x.c")} AS DOUBLE) /
+               |             sqrt(CAST(x.cc AS DOUBLE)) DESC, x.clabel) AS rn
+               |  FROM qkv v CROSS JOIN centn x
+               |)
+               |SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+               |FROM scored WHERE rn = 1
+               |GROUP BY label, clabel
+               |ORDER BY label NULLS FIRST, pred NULLS FIRST, n NULLS FIRST""".stripMargin)),
+
     // Quantized spherical k-means (two Lloyd iterations, k = 8): the
     // clustering behind semantic dedup and IVF cell maps at corpus scale.
     // See operators/Similarity.kmeansAssign for the scale shape (map-side

@@ -55,6 +55,39 @@ object Windows extends Catalog {
              |         c NULLS FIRST, quartile NULLS FIRST, pr NULLS FIRST,
              |         share_micro NULLS FIRST""".stripMargin)),
 
+    // Running COUNT DISTINCT per user — the windowed aggregate Spark does
+    // not ship (no DISTINCT inside window frames), stated as its standard
+    // scale rewrite: a first-occurrence flag (row_number = 1 over
+    // (user, value)) followed by a running SUM of flags over the user
+    // stream. Two windows on DIFFERENT partition keys = two exchanges —
+    // that is the honest cost of exact running distinct at 100 TB (state
+    // per (user, value) pair); sketches (HLL per frame) are the inexact
+    // alternative. The oracle is DuckDB's NATIVE windowed
+    // COUNT(DISTINCT ...), a genuinely independent executor of the same
+    // semantics, so the gate proves the rewrite rather than replaying it.
+    "q_win_running_distinct" -> Q(
+      t => {
+        val first = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.events
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .withColumn("is_first",
+            when(row_number().over(first) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_so_far", sum(col("is_first")).over(run))
+          .select(col("event_id"), col("user_id"), col("n_types_so_far"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+              |       CAST(COUNT(DISTINCT event_type) OVER (
+              |         PARTITION BY user_id ORDER BY ts, event_id
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |         AS BIGINT) AS n_types_so_far
+              |FROM events
+              |ORDER BY event_id NULLS FIRST""".stripMargin)),
+
     "q_win_rank" -> Q(
       t => {
         val df = t.customer
