@@ -112,6 +112,38 @@ object GraphQueries extends Catalog {
              |ORDER BY pr DESC NULLS FIRST, node NULLS FIRST
              |LIMIT 100""".stripMargin)),
 
+    // Degree distribution — the first diagnostic every graph pipeline runs
+    // (is the graph scale-free? where is the hub tail that will skew the
+    // join?): per-node degree over the symmetrized order–part graph, then
+    // the count of nodes at each degree. Two hash aggregates, both
+    // partial-agg'd map-side; output is bounded by the number of DISTINCT
+    // degrees (≤ max basket size here, ≤ a few thousand at any corpus
+    // scale), so everything downstream of the second groupBy is tiny. The
+    // hub tail this reports is exactly what decides when the pagerank /
+    // CC joins need salting.
+    "q_graph_degree_dist" -> Q(
+      t => {
+        val fwd = t.lineitem.select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = fwd
+          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("deg"), col("n_nodes"))
+      },
+      Some("""WITH edges AS (
+             |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+             |  UNION
+             |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem
+             |), deg AS (
+             |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+             |)
+             |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |FROM deg GROUP BY deg
+             |ORDER BY deg NULLS FIRST, n_nodes NULLS FIRST""".stripMargin)),
+
     // Neighbor-overlap similarity (the item-item collaborative-filtering /
     // SimRank-adjacent primitive): for part pairs sharing ≥3 orders, the
     // Jaccard of their order neighborhoods. Pairs are generated by ORDER

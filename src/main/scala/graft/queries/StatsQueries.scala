@@ -12,6 +12,80 @@ object StatsQueries extends Catalog {
 
   def queries: Map[String, Q] = Map(
 
+    // Robust per-user outlier detection via MAD (median absolute
+    // deviation) — the robust-statistics twin of q_events_outliers' 2σ
+    // rule: a single whale purchase inflates a user's σ enough to hide
+    // real anomalies, while the median/MAD pair is unmoved by any minority
+    // of extreme values. Entirely exact BIGINT: the median is the LOWER
+    // median by the same crossing test as q_agg_weighted_median (smallest
+    // v with 2·cumweight ≥ total — no averaging of middle pairs, no
+    // float), MAD is the lower median of |v − med|, and the flag is the
+    // integer comparison dev > 3·MAD. Scale shape: three user-keyed hash
+    // aggregates + two windows that run on the per-(user, value) COLLAPSED
+    // relation (bounded by distinct values per user, not events), and two
+    // small joins back — every exchange is on user_id, so AQE reuses the
+    // partitioning. The oracle restates both crossing tests independently.
+    "q_events_mad_outliers" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), cents(col("value")).cast("long").as("v"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, out: String) = {
+          val byVal = df.groupBy(col("user_id"), col("v")).agg(count(lit(1)).as("w"))
+          val cum = Window.partitionBy(col("user_id")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val all = Window.partitionBy(col("user_id"))
+          byVal.select(col("user_id"), col("v"),
+              sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
+            .filter(col("cw") * 2 >= col("tw"))
+            .groupBy(col("user_id")).agg(min(col("v")).as(out))
+        }
+        val med = lowerMedian(ev, "med_c")
+        val dev = ev.join(med, "user_id")
+          .withColumn("dev", abs(col("v") - col("med_c")))
+        val mad = lowerMedian(dev.select(col("user_id"), col("dev").as("v")), "mad_c")
+        dev.join(mad, "user_id")
+          .groupBy(col("user_id"))
+          .agg(min(col("med_c")).as("med_c"), min(col("mad_c")).as("mad_c"),
+            sum(when(col("dev") > col("mad_c") * 3, 1L).otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+              |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              |  FROM events
+              |), medw AS (
+              |  SELECT user_id, v, COUNT(*) AS w FROM ev GROUP BY 1, 2
+              |), medc AS (
+              |  SELECT user_id, v,
+              |         SUM(w) OVER (PARTITION BY user_id ORDER BY v
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              |         SUM(w) OVER (PARTITION BY user_id) AS tw
+              |  FROM medw
+              |), med AS (
+              |  SELECT user_id, MIN(v) AS med_c FROM medc WHERE cw * 2 >= tw GROUP BY 1
+              |), dev AS (
+              |  SELECT e.user_id, e.v, m.med_c, abs(e.v - m.med_c) AS dev
+              |  FROM ev e JOIN med m ON e.user_id = m.user_id
+              |), madw AS (
+              |  SELECT user_id, dev AS v, COUNT(*) AS w FROM dev GROUP BY 1, 2
+              |), madc AS (
+              |  SELECT user_id, v,
+              |         SUM(w) OVER (PARTITION BY user_id ORDER BY v
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              |         SUM(w) OVER (PARTITION BY user_id) AS tw
+              |  FROM madw
+              |), mad AS (
+              |  SELECT user_id, MIN(v) AS mad_c FROM madc WHERE cw * 2 >= tw GROUP BY 1
+              |)
+              |SELECT d.user_id,
+              |       MIN(d.med_c) AS med_c,
+              |       MIN(a.mad_c) AS mad_c,
+              |       CAST(SUM(CASE WHEN d.dev > a.mad_c * 3 THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_outliers,
+              |       CAST(COUNT(*) AS BIGINT) AS n
+              |FROM dev d JOIN mad a ON d.user_id = a.user_id
+              |GROUP BY d.user_id
+              |ORDER BY d.user_id NULLS FIRST""".stripMargin)),
+
     // 2-D Pareto skyline (minimize price, maximize size) — the textbook
     // formulation is a quadratic NOT EXISTS self-join (kept as the
     // oracle); the engine plans it O(n log n): collapse ties to one row
