@@ -61,7 +61,13 @@ object Bench {
     // window rollup, and the d²-bounded narrow co-moment expansion.
     "q_join_spatial_grid",
     "q_events_wau",
-    "q_sim_covariance")
+    "q_sim_covariance",
+    // r10 additions: the Hilbert curve (5 chained projection stages — pure
+    // map throughput, the deepest codegen'd scalar chain in the catalog)
+    // and the running-distinct rewrite (two same-key window exchanges over
+    // the full event stream — the stacked-window shape).
+    "q_layout_hilbert",
+    "q_win_running_distinct")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of
@@ -266,6 +272,12 @@ object ScaleProbe {
   private[graft] def replicate(spark: SparkSession, sfDir: String, name: String,
       factor: Int): DataFrame = {
     val base = Graft.table(spark, sfDir, name)
+    // Dimension tables (nation, region, part, supplier, …) pass through as
+    // ONE copy at any factor — that is the 100 TB reality the probe models
+    // (facts grow, dims do not), and unioning factor identical copies
+    // would wrongly multiply every dim join's fan-out.
+    val growable = Set("customer", "orders", "lineitem", "documents", "embeddings")
+    if (!growable(name)) return base
     val copies = (0 until factor).map { i =>
       val off = i * KeyStride
       name match {
@@ -279,9 +291,8 @@ object ScaleProbe {
         case "documents" =>
           base.withColumn("doc_id", col("doc_id") + off)
             .withColumn("text", regexp_replace(col("text"), lit("\\s+"), lit(s" r$i ")))
-        case "embeddings" =>
+        case _ =>
           base.withColumn("vec_id", col("vec_id") + off)
-        case _ => base
       }
     }
     copies.reduce(_ union _)
@@ -371,10 +382,12 @@ object ScaleProbe {
         // star (lineitem⋈orders⋈customer + broadcast nation⋈region). All
         // three fact-side tables replicate with aligned disjoint key
         // offsets, so both fact-fact joins fan out linearly while the dims
-        // stay fixed — exactly the broadcast-vs-SMJ flip surface the probe
-        // exists to catch: a plan that re-broadcast a grown side or
-        // re-shuffled a dim would bend this ratio superlinear.
-        catalogWork("q_join_star", "customer", "orders", "lineitem")) ++
+        // (listed so the probe dir carries them, copied once at any
+        // factor) stay fixed — exactly the broadcast-vs-SMJ flip surface
+        // the probe exists to catch: a plan that re-broadcast a grown side
+        // or re-shuffled a dim would bend this ratio superlinear.
+        catalogWork("q_join_star", "customer", "orders", "lineitem",
+          "nation", "region")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
@@ -418,7 +431,7 @@ object ScaleProbe {
         gen += df
         t
       }
-      selected.sortBy(_.name).map { w =>
+      selected.sortBy(_.name).flatMap { w =>
         prevGen = gen.toList; gen.clear()
         val saved = w.conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
         w.conf.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -433,8 +446,15 @@ object ScaleProbe {
           System.gc()
           val pairs = Seq.fill(5)((once(w, s"$root/x1"), once(w, s"$root/x$factor")))
           val ratios = pairs.map { case (a, b) => b / a }.sorted
-          ProbePoint(w.name, pairs.map(_._1).min, pairs.map(_._2).min,
-            ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2))
+          Some(ProbePoint(w.name, pairs.map(_._1).min, pairs.map(_._2).min,
+            ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2)))
+        } catch {
+          // One broken workload must not erase the other probes' evidence
+          // (the r10 lesson: a missing probe-dir table zeroed the WHOLE
+          // section) — degrade to a visible stderr marker and keep going.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[probe] ${w.name} failed: ${e.getMessage}")
+            None
         } finally w.conf.keys.foreach { k =>
           saved(k).fold(spark.conf.unset(k))(spark.conf.set(k, _))
         }

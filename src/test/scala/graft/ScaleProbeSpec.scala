@@ -27,6 +27,32 @@ class ScaleProbeSpec extends SparkSpec {
     assert(pairs1 > 0)
   }
 
+  test("dimension tables pass through as one copy at any factor") {
+    // q_join_star's probe dir must carry nation/region; unioning factor
+    // identical dim copies would wrongly multiply every dim join's fan-out
+    val n1 = Graft.table(spark, dir, "nation").count()
+    assert(ScaleProbe.replicate(spark, dir, "nation", 10).count() == n1)
+    assert(ScaleProbe.replicate(spark, dir, "region", 10).count() ==
+      Graft.table(spark, dir, "region").count())
+  }
+
+  test("star-join probe workload runs on a replicated probe dir with dims") {
+    // the full q_join_star plan against a factor-2 probe dir — the exact
+    // combination that failed when the probe dir lacked the dim tables
+    val root = java.nio.file.Files.createTempDirectory("graft-probe-spec").toString
+    try {
+      for (t <- Seq("customer", "orders", "lineitem", "nation", "region"))
+        ScaleProbe.replicate(spark, dir, t, 2).write.mode("overwrite")
+          .parquet(s"$root/$t.parquet")
+      val rows = graft.queries.AllQueries.all("q_join_star")
+        .run(Tables(spark, root)).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      scala.reflect.io.Path(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+
   test("join replication keeps fact-fact fan-out linear in the factor") {
     val cust = ScaleProbe.replicate(spark, dir, "customer", 3)
     val ord = ScaleProbe.replicate(spark, dir, "orders", 3)
