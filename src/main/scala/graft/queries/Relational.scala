@@ -102,6 +102,42 @@ object Relational extends Catalog {
               FROM lineitem GROUP BY l_returnflag
               ORDER BY l_returnflag NULLS FIRST""")),
 
+    // grouping_id disambiguation — the rollup correctness subtlety: once a
+    // grouped column holds DATA nulls (injected here by nulling the 'F'
+    // linestatus), a result row's null cell no longer says whether it is a
+    // subtotal or a real null group; grouping_id()/grouping() are the only
+    // reliable discriminators, and a reader that keys on NULL instead
+    // silently merges subtotals with null-group rows. Bitmask semantics
+    // (Spark grouping_id() ≡ DuckDB GROUPING(rf, ls), column order
+    // significant) sit under the exact gate. Quantities stay integral
+    // doubles summed exactly below 2^53 → BIGINT on both engines.
+    "q_agg_grouping_id" -> Q(
+      t => t.lineitem
+        .select(col("l_returnflag").as("rf"),
+          when(col("l_linestatus") === "F", lit(null).cast("string"))
+            .otherwise(col("l_linestatus")).as("ls"),
+          col("l_quantity"))
+        .rollup(col("rf"), col("ls"))
+        .agg(grouping_id().cast("long").as("gid"),
+          grouping(col("ls")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"), col("g_ls"), col("n"), col("qty")),
+      Some("""WITH src AS (
+              |  SELECT l_returnflag AS rf,
+              |         CASE WHEN l_linestatus = 'F' THEN NULL ELSE l_linestatus END AS ls,
+              |         l_quantity
+              |  FROM lineitem
+              |)
+              |SELECT rf, ls,
+              |       CAST(GROUPING(rf, ls) AS BIGINT) AS gid,
+              |       CAST(GROUPING(ls) AS BIGINT) AS g_ls,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(l_quantity) AS BIGINT) AS qty
+              |FROM src
+              |GROUP BY ROLLUP(rf, ls)
+              |ORDER BY gid NULLS FIRST, rf NULLS FIRST, ls NULLS FIRST,
+              |         g_ls NULLS FIRST, n NULLS FIRST, qty NULLS FIRST""".stripMargin)),
+
     // Two-phase exact COUNT DISTINCT — the skew rewrite for a hot group
     // key: salt derived FROM THE VALUE (pmod(v, 16)) partitions each
     // group's distinct-value space into 16 disjoint shards, so per-shard
