@@ -175,6 +175,55 @@ object LayoutQueries extends Catalog {
              |         pg_min NULLS FIRST, pg_max NULLS FIRST,
              |         sg_min NULLS FIRST, sg_max NULLS FIRST""".stripMargin)),
 
+    // Native-kernel twin of q_layout_hilbert (the q_pipe_iso_trim_native
+    // convention): the same grid and cells, but the curve value comes from
+    // the fused codegen'd HilbertIndexExpression — one generated loop per
+    // row instead of five chained projection stages. Shares the composed
+    // form's oracle; LayoutSpec additionally proves the two forms
+    // bit-identical on the full grid.
+    "q_layout_hilbert_native" -> Q(
+      t => {
+        val g0 = t.lineitem.select(
+          col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s"))
+        val mm = g0.agg(max(col("p")).as("pm"), max(col("s")).as("sm"))
+        val grid = g0.crossJoin(broadcast(mm))
+          .select(expr("p * 32 div (pm + 1)").as("pg"),
+            expr("s * 32 div (sm + 1)").as("sg"))
+        val hil = grid.select(col("pg"), col("sg"),
+          shiftright(graft.functions.HilbertIndexExpression
+            .column(col("pg"), col("sg"), order = 5), 5).as("cell"),
+          lit("hilbert").as("layout"))
+        val z = grid.select(col("pg"), col("sg"),
+          shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell"),
+          lit("zorder").as("layout"))
+        hil.unionByName(z)
+          .groupBy(col("layout"), col("cell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("pg")).as("pg_min"), max(col("pg")).as("pg_max"),
+            min(col("sg")).as("sg_min"), max(col("sg")).as("sg_max"))
+          .orderBy(col("layout"), col("cell"), col("n"),
+            col("pg_min"), col("pg_max"), col("sg_min"), col("sg_max"))
+      },
+      Some(s"""$duckHilbertCtes, cells AS (
+             |  SELECT 'hilbert' AS layout, h >> 5 AS cell, pg, sg FROM h5
+             |  UNION ALL
+             |  SELECT 'zorder',
+             |         CAST(list_sum(list_transform(range(0, 5), i ->
+             |           (((pg >> i) & 1) << (2*i)) + (((sg >> i) & 1) << (2*i+1))))
+             |           AS BIGINT) >> 5,
+             |         pg, sg
+             |  FROM grid
+             |)
+             |SELECT layout, cell, CAST(COUNT(*) AS BIGINT) AS n,
+             |       MIN(pg) AS pg_min, MAX(pg) AS pg_max,
+             |       MIN(sg) AS sg_min, MAX(sg) AS sg_max
+             |FROM cells
+             |GROUP BY layout, cell
+             |ORDER BY layout NULLS FIRST, cell NULLS FIRST, n NULLS FIRST,
+             |         pg_min NULLS FIRST, pg_max NULLS FIRST,
+             |         sg_min NULLS FIRST, sg_max NULLS FIRST""".stripMargin)),
+
     // File-skipping measurement — the number every layout decision is FOR:
     // given the per-cell ("file") min/max envelopes of three layouts over
     // the same 32×32 grid (linear pg sort, Morton, Hilbert), count how

@@ -79,6 +79,32 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Streaming snapshot-delta dedup — q_dedup_incremental's incremental
+    * twin, the 100 TB continuous-ingestion shape: new documents stream in,
+    * the EXISTING corpus's content digests sit in a static relation, and a
+    * row survives only if its digest (md5 of the text, the same digest the
+    * batch query uses) appears neither in the corpus nor earlier in the
+    * stream itself. Order matters for state: the stream-static LEFT ANTI
+    * join runs first (a stateless per-batch filter — corpus hits never
+    * enter the dedup store), then `dropDuplicatesWithinWatermark` holds
+    * one digest per UNSEEN document only, evicted once the watermark
+    * passes. At 100 TB the static side is a digest-only projection the
+    * optimizer broadcasts (or, beyond broadcast, a bloom-prefiltered
+    * shuffle join per micro-batch — the same two-phase discipline as the
+    * batch query's scaladoc).
+    */
+  def incrementalDedup(
+      stream: DataFrame,
+      corpusHashes: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("h", md5(col(textCol).cast("binary")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Running per-sensor alert totals — the reference's AlertSummary intent
     * as an explicit `mapGroupsWithState` accumulator (update-mode output:
     * one (sensor_id, total) row per group per trigger).

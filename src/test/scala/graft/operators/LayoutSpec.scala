@@ -63,6 +63,12 @@ class LayoutSpec extends SparkSpec {
     got.foreach { case (x, y, h) =>
       assert(h == ref(5, x, y), s"($x,$y): got $h, ref ${ref(5, x, y)}")
     }
+    // the native codegen kernel is bit-identical to the composed form
+    val nat = Layout.hilbertIndex(grid.toDF("x", "y"), "x", "y", order = 5)
+      .withColumn("hn",
+        graft.functions.HilbertIndexExpression.column($"x", $"y", order = 5))
+    assert(nat.filter($"h" =!= $"hn").count() == 0,
+      "HilbertIndexExpression diverged from the composed form")
     // the curve is a bijection onto 0..1023 ...
     assert(got.map(_._3).sorted.toSeq == (0L until 1024L))
     // ... and consecutive curve positions are always grid-adjacent — the
