@@ -62,11 +62,12 @@ object Bench {
     "q_join_spatial_grid",
     "q_events_wau",
     "q_sim_covariance",
-    // r10 additions: the Hilbert curve (5 chained projection stages — pure
-    // map throughput, the deepest codegen'd scalar chain in the catalog)
-    // and the running-distinct rewrite (two same-key window exchanges over
-    // the full event stream — the stacked-window shape).
-    "q_layout_hilbert",
+    // r10 additions: the Hilbert curve via the fused codegen kernel (the
+    // production form — AbBench r10: 0.384 s vs 0.957 s for the composed
+    // five-stage chain) and the running-distinct rewrite (two same-key
+    // window exchanges over the full event stream — the stacked-window
+    // shape).
+    "q_layout_hilbert_native",
     "q_win_running_distinct")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a

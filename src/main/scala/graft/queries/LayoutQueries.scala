@@ -243,9 +243,13 @@ object LayoutQueries extends Catalog {
         val grid = g0.crossJoin(broadcast(mm))
           .select(expr("p * 32 div (pm + 1)").as("pg"),
             expr("s * 32 div (sm + 1)").as("sg"))
-        val hil = Layout.hilbertIndex(grid, "pg", "sg", order = 5)
-          .select(col("pg"), col("sg"),
-            shiftright(col("h"), 5).as("cell"), lit("hilbert").as("layout"))
+        // production path: the fused codegen kernel (2.5× the composed
+        // five-stage chain at sf0.1 — AbBench r10; bit-identical by
+        // LayoutSpec, so the shared oracle gates it equally)
+        val hil = grid.select(col("pg"), col("sg"),
+          shiftright(graft.functions.HilbertIndexExpression
+            .column(col("pg"), col("sg"), order = 5), 5).as("cell"),
+          lit("hilbert").as("layout"))
         val zo = grid.select(col("pg"), col("sg"),
           shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell"),
           lit("zorder").as("layout"))

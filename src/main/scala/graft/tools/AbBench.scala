@@ -2,13 +2,26 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import graft.Tables
+import graft.operators.Layout
 
 /** Scratch A/B harness for the current perf question (contents change per
-  * round; this round: q_sim_covariance's pair expansion — the struct-array
-  * explode landed at 3.7 s in the headline bench, the slowest entry. How
-  * much of that is the per-element STRUCT materialization, and does a flat
-  * product array + posexplode (pair index recovered arithmetically from a
-  * broadcast 2080-row map) buy it back?
+  * round; this round: the Hilbert curve value over the full lineitem grid —
+  * how much does the fused codegen kernel (HilbertIndexExpression, one
+  * generated loop per row) buy over the composed five-projection-stage
+  * chain (Layout.hilbertIndex), and where does Morton (zValue, a flat
+  * 10-term add chain) sit as the reference point? All three forms run the
+  * identical grid-normalize → curve → cell-envelope aggregate so only the
+  * curve arithmetic differs.
+  *
+  * r10 measurement (sf0.1, median of 3, local[32]): composed **0.957 s**,
+  * native **0.384 s**, morton 0.301 s — the fusion buys 2.5×. The composed
+  * chain's five stages each re-branch through wide when/mask CASE trees
+  * (CollapseProject keeps the non-cheap aliases as separate projections,
+  * so the row pays five materialization hops), while the kernel is one
+  * generated loop a row never leaves. Consequence: the catalog's headline
+  * and production paths (q_layout_pruning, the bench entry) use the
+  * native form; the composed form stays as the oracle-shaped reference
+  * and parity anchor (LayoutSpec proves them bit-identical).
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -20,7 +33,7 @@ object AbBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t = Tables(spark, "/root/testdata/sf0.1")
+    val t = Tables(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     def run(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       mk.write.format("noop").mode("overwrite").save() // warm
       val times = (1 to 3).map { _ =>
@@ -31,60 +44,36 @@ object AbBench {
       println(f"[ab] $name%-28s ${times.sorted.apply(1)}%.3f s (median of 3)")
     }
 
-    val q = transform(graft.operators.Similarity.toDouble(col("embedding")),
-      x => floor(x * 10000 + 0.5).cast("long"))
-
-    // A: current catalog form — per-element (i, j, p) struct, explode, group
-    run("struct-explode") {
-      t.embeddings
-        .select(explode(flatten(transform(q, (x, i) =>
-          transform(slice(q, i + 1, size(q) - i), (y, j) =>
-            struct(i.as("i"), (i + j).as("j"), (x * y).as("p")))))).as("e"))
-        .select(col("e.i"), col("e.j"), col("e.p"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"))
+    def grid = {
+      val g0 = t.lineitem.select(
+        col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("s"))
+      val mm = g0.agg(max(col("p")).as("pm"), max(col("s")).as("sm"))
+      g0.crossJoin(broadcast(mm))
+        .select(expr("p * 32 div (pm + 1)").as("pg"),
+          expr("s * 32 div (sm + 1)").as("sg"))
     }
 
-    // B: flat product array + posexplode; (pos → i,j) recovered from a
-    // broadcast arithmetic map, so the explode carries bare longs
-    run("flat-posexplode") {
-      val flat = flatten(transform(q, (x, i) =>
-        transform(slice(q, i + 1, size(q) - i), y => x * y)))
-      val sums = t.embeddings
-        .select(posexplode(flat).as(Seq("pos", "p")))
-        .groupBy(col("pos"))
-        .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"))
-      val d = 64
-      val posmap = spark.range(d).toDF("i")
-        .join(spark.range(d).toDF("j"), col("j") >= col("i"))
-        .select(col("i"), col("j"),
-          (col("i") * d - col("i") * (col("i") - 1) / 2 + col("j") - col("i"))
-            .as("pos"))
-      sums.join(broadcast(posmap), "pos").select(col("i"), col("j"), col("n_vec"), col("sxy"))
+    def envelope(cells: org.apache.spark.sql.DataFrame) =
+      cells.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pg")).as("pg_min"), max(col("pg")).as("pg_max"),
+          min(col("sg")).as("sg_min"), max(col("sg")).as("sg_max"))
+
+    run("hilbert-composed") {
+      envelope(Layout.hilbertIndex(grid, "pg", "sg", order = 5)
+        .select(col("pg"), col("sg"), shiftright(col("h"), 5).as("cell")))
     }
 
-    // D: chained generators — posexplode the vector once (carrying the
-    // array), then posexplode the tail slice per element: both explodes
-    // and the product are codegen'd, no lambda interpretation, no join,
-    // no corpus shuffle before the d²-group aggregate
-    run("chained-explode") {
-      t.embeddings
-        .select(q.as("qa"), posexplode(q).as(Seq("i", "m")))
-        .select(col("i"), col("m"),
-          posexplode(slice(col("qa"), col("i") + 1, size(col("qa")) - col("i"))).as(Seq("dj", "m2")))
-        .select(col("i"), (col("i") + col("dj")).as("j"), (col("m") * col("m2")).as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"))
+    run("hilbert-native") {
+      envelope(grid.select(col("pg"), col("sg"),
+        shiftright(graft.functions.HilbertIndexExpression
+          .column(col("pg"), col("sg"), order = 5), 5).as("cell")))
     }
 
-    // C: relational — explode to (vec_id, i, m), self-join per vector
-    run("self-join") {
-      val ex = t.embeddings
-        .select(col("vec_id"), posexplode(q).as(Seq("i", "m")))
-      ex.join(ex.select(col("vec_id").as("v2"), col("i").as("j"), col("m").as("m2")),
-          col("vec_id") === col("v2") && col("i") <= col("j"))
-        .groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n_vec"), sum(col("m") * col("m2")).as("sxy"))
+    run("morton") {
+      envelope(grid.select(col("pg"), col("sg"),
+        shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell")))
     }
     spark.stop()
   }
