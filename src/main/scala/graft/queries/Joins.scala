@@ -841,6 +841,67 @@ object Joins extends Catalog {
               |ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST,
               |         prev_purchase_ts NULLS FIRST""".stripMargin)),
 
+    // Point-in-time (PIT) join — the feature-store correctness primitive:
+    // every fact row must see the dimension VERSION that was valid at the
+    // fact's own event time (training-serving skew is exactly this join
+    // done wrong). Versions are the SCD2 history the purchase events open
+    // (q_win_scd2's derivation); the fact side is the full event stream.
+    // Stated NOT as the naive fact×version interval join (which the
+    // oracle replays) but as the single-shuffle MERGE form: union the
+    // version-open rows (tag 0) with the fact rows (tag 1), one window
+    // over (user; ts, tag, id) carries the latest version forward with
+    // last(..., ignoreNulls) — a version opening at the same instant as a
+    // fact sorts first (tag 0 < tag 1), so an event sees its own version.
+    // Scale shape: ONE user-keyed exchange + one in-partition sort for
+    // ANY number of versions per user — the naive interval join's
+    // candidate set (every version ≤ ts) is quadratic per hot user and
+    // needs the bucketed-range machinery; the merge form never builds it.
+    // Facts before any version keep null feature columns (left semantics).
+    "q_join_point_in_time" -> Q(
+      t => {
+        val vs = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+            lit(null).cast("long").as("event_id"),
+            col("event_id").as("ver_id"),
+            cents(col("value")).cast("long").as("ver_cents"),
+            lit(0).as("tag"))
+        val facts = t.events
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+            col("event_id"),
+            lit(null).cast("long").as("ver_id"),
+            lit(null).cast("long").as("ver_cents"),
+            lit(1).as("tag"))
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("tag"), coalesce(col("ver_id"), col("event_id")))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        vs.unionByName(facts)
+          .withColumn("pit_ver", last(col("ver_id"), ignoreNulls = true).over(w))
+          .withColumn("pit_cents", last(col("ver_cents"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"), col("pit_ver"), col("pit_cents"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH v AS (
+              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vts,
+              |         event_id AS ver_id,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS ver_cents
+              |  FROM events WHERE event_type = 'purchase'
+              |), f AS (
+              |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+              |  FROM events
+              |), pick AS (
+              |  SELECT f.event_id AS fid, v.ver_id, v.ver_cents,
+              |         row_number() OVER (PARTITION BY f.event_id
+              |           ORDER BY v.vts DESC, v.ver_id DESC) AS rn
+              |  FROM f JOIN v ON f.user_id = v.user_id AND v.vts <= f.ts_us
+              |)
+              |SELECT f.event_id, f.user_id, p.ver_id AS pit_ver,
+              |       p.ver_cents AS pit_cents
+              |FROM f LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+              |  ON f.event_id = p.fid
+              |ORDER BY f.event_id NULLS FIRST""".stripMargin)),
+
     // Grid-blocked spatial radius join — the 2-D sibling of the bucketed
     // range join: all point pairs within Euclidean distance R, found by
     // hashing points into R-sized grid cells and probing each point's 3×3

@@ -39,8 +39,12 @@ object StatsQueries extends Catalog {
             .groupBy(col("user_id")).agg(min(col("v")).as(out))
         }
         val med = lowerMedian(ev, "med_c")
+        // dev feeds BOTH the MAD derivation and the final tally — eager
+        // checkpoint so the scan + median join run once, not per consumer
+        // (the q_join_waiting_suppliers multi-arm discipline)
         val dev = ev.join(med, "user_id")
           .withColumn("dev", abs(col("v") - col("med_c")))
+          .localCheckpoint(true)
         val mad = lowerMedian(dev.select(col("user_id"), col("dev").as("v")), "mad_c")
         dev.join(mad, "user_id")
           .groupBy(col("user_id"))
