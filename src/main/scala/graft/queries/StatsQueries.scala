@@ -12,6 +12,158 @@ object StatsQueries extends Catalog {
 
   def queries: Map[String, Q] = Map(
 
+    // CEP-style sequence pattern matching (the MATCH_RECOGNIZE /
+    // Flink-CEP shape Spark has no native operator for): each user's
+    // event history becomes one compact symbol string (first letter of
+    // the event type — the five types start with distinct letters), and
+    // the pattern "view, then any clicks, then purchase" is the regex
+    // vc*p counted non-overlapping left-to-right — identical scan
+    // semantics in Java regex and DuckDB's RE2 for a pattern with no
+    // alternation backtracking. Scale shape: ONE user-keyed exchange
+    // builds the ordered symbol string (collect_list + array_sort —
+    // bounded by per-user history, the same bound any per-user CEP
+    // engine needs), and the regex count is a pure map over 1 row per
+    // user. At 100 TB the per-user string is first windowed by session
+    // (q_win_sessionize) so state stays bounded; the full-history form
+    // here states the exact semantics.
+    "q_events_pattern_match" -> Q(
+      t => {
+        val sym = t.events.select(col("user_id"),
+          substring(col("event_type"), 1, 1).as("c"), col("ts"), col("event_id"))
+        sym.groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+            x => x.getField("c")), "").as("seq"))
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            expr("cast(regexp_count(seq, 'vc*p') as bigint)").as("n_funnels"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH s AS (
+              |  SELECT user_id,
+              |         string_agg(substr(event_type, 1, 1), ''
+              |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+              |  FROM events GROUP BY user_id
+              |)
+              |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+              |       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+              |FROM s
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
+    // Sweep-line maximum concurrency — "how many sessions overlap at
+    // peak" — the interval-stabbing aggregate that powers capacity
+    // planning. Each event opens an interval [ts, ts + ceil(value) s];
+    // the sweep unions +1/−1 boundary deltas and takes a running sum in
+    // (time, delta) order, delta ascending so a closing interval never
+    // counts as concurrent with one opening at the same instant. Peers at
+    // identical (t, d) share the post-tie cumulative value on both
+    // engines (RANGE-frame default). Scale shape: the sweep partitions by
+    // event_type, so each group's ordered prefix sum runs in parallel; a
+    // GLOBAL sweep needs the two-pass range-partitioned prefix sum (sort
+    // by t, per-partition totals broadcast as offsets) — same plan the
+    // engine uses for q_layout_binpack's exclusive prefix sum. Entirely
+    // exact BIGINT; peak time reported as the EARLIEST instant achieving
+    // the max (deterministic under ties by construction).
+    "q_events_concurrency" -> Q(
+      t => {
+        val iv = t.events.select(col("event_type"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + ceil(col("value")).cast("long") * 1000000L).as("e"))
+        val pts = iv.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+          .unionAll(iv.select(col("event_type"), col("e").as("t"), lit(-1L).as("d")))
+        val sweep = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+        val run = pts.select(col("event_type"), col("t"),
+          sum(col("d")).over(sweep).as("cur")).localCheckpoint(true)
+        val mx = run.groupBy(col("event_type")).agg(max(col("cur")).as("max_concurrent"))
+        run.join(mx, Seq("event_type"))
+          .filter(col("cur") === col("max_concurrent"))
+          .groupBy(col("event_type"), col("max_concurrent"))
+          .agg(min(col("t")).as("first_peak_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH iv AS (
+              |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+              |         epoch_us(CAST(ts AS TIMESTAMP))
+              |           + CAST(ceil(value) AS BIGINT) * 1000000 AS e
+              |  FROM events
+              |), pts AS (
+              |  SELECT event_type, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+              |  UNION ALL
+              |  SELECT event_type, e AS t, CAST(-1 AS BIGINT) AS d FROM iv
+              |), run AS (
+              |  SELECT event_type, t,
+              |         CAST(SUM(d) OVER (PARTITION BY event_type
+              |           ORDER BY t, d) AS BIGINT) AS cur
+              |  FROM pts
+              |), mx AS (
+              |  SELECT event_type, MAX(cur) AS max_concurrent
+              |  FROM run GROUP BY event_type
+              |)
+              |SELECT r.event_type, m.max_concurrent,
+              |       MIN(r.t) AS first_peak_us
+              |FROM run r JOIN mx m ON r.event_type = m.event_type
+              |  AND r.cur = m.max_concurrent
+              |GROUP BY r.event_type, m.max_concurrent
+              |ORDER BY r.event_type NULLS FIRST""".stripMargin)),
+
+    // Exact exponentially-weighted moving average (the time-series
+    // smoother behind every monitoring dashboard), α = 1/2 truncated at
+    // depth 20: weight for lag k is 2^(20−k), so numerator and
+    // denominator are pure BIGINT and the result is bit-identical across
+    // engines — no pow()/libm, no float accumulation order. Truncation
+    // error vs the untruncated EWMA is < 2^-20 of the scale — below the
+    // reported milli resolution. Scale shape: the window-with-
+    // row-distance-dependent-weights that plain window frames can't
+    // express becomes a bounded 21× FORWARD explode (each day pushes its
+    // contribution to the next 20 row positions) + one (user, position)
+    // hash aggregate + one join back — all equi-keyed, no range join, no
+    // per-row history scan; cost is linear in user-days at any scale.
+    // Precondition: event values are positive (profiled min 0.01), so
+    // truncating div == floor div on both engines.
+    "q_ts_ewma" -> Q(
+      t => {
+        val depth = 20
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val rn = daily.select(col("user_id"), col("day"), col("v"),
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))).as("rn"))
+          .localCheckpoint(true)
+        val contrib = rn
+          .select(col("user_id"), col("rn"), col("v"),
+            explode(sequence(lit(0), lit(depth))).as("k"))
+          .select(col("user_id"), (col("rn") + col("k")).as("target"),
+            expr(s"v * shiftleft(cast(1 as bigint), $depth - k)").as("wv"),
+            expr(s"shiftleft(cast(1 as bigint), $depth - k)").as("w"))
+        val agg = contrib.groupBy(col("user_id").as("a_uid"), col("target"))
+          .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
+        rn.join(agg, col("user_id") === col("a_uid") && col("rn") === col("target"))
+          .select(col("user_id"), col("day"), expr("num * 1000 div den").as("ewma_milli"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), r AS (
+              |  SELECT user_id, day, v,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+              |  FROM daily
+              |), c AS (
+              |  SELECT user_id, rn + k AS target,
+              |         v * (CAST(1 AS BIGINT) << CAST(20 - k AS INTEGER)) AS wv,
+              |         (CAST(1 AS BIGINT) << CAST(20 - k AS INTEGER)) AS w
+              |  FROM r CROSS JOIN (SELECT unnest(range(0, 21)) AS k)
+              |), a AS (
+              |  SELECT user_id, target, CAST(SUM(wv) AS BIGINT) AS num,
+              |         CAST(SUM(w) AS BIGINT) AS den
+              |  FROM c GROUP BY 1, 2
+              |)
+              |SELECT r.user_id, r.day, (a.num * 1000 // a.den) AS ewma_milli
+              |FROM r JOIN a ON r.user_id = a.user_id AND r.rn = a.target
+              |ORDER BY r.user_id NULLS FIRST, r.day NULLS FIRST""".stripMargin)),
+
     // Robust per-user outlier detection via MAD (median absolute
     // deviation) — the robust-statistics twin of q_events_outliers' 2σ
     // rule: a single whale purchase inflates a user's σ enough to hide

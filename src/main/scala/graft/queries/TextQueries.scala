@@ -131,6 +131,50 @@ object TextQueries extends Catalog {
       duckPairsToCompCtes
 
   def queries: Map[String, Q] = Map(
+
+    // Hashing-trick feature space (Weinberger et al. 2009 — the fixed-
+    // dimension text featurizer that needs NO vocabulary pass): every
+    // token maps to bucket = md5-prefix mod 64 via the repo's standard
+    // engine-portable hex parse (Sampling's draw convention), and the
+    // output profiles the hashed space — distinct terms per bucket (the
+    // collision load), total term frequency, and document frequency.
+    // This is the diagnostic a feature-hashing pipeline runs before
+    // committing to a dimension: a skewed n_terms histogram means the
+    // dimension is too small. Scale shape: tokenize + hash are pure map;
+    // the three distinct-aggregates ride ONE expand + (bucket, …) hash
+    // aggregate with partial combine — no vocabulary broadcast, no
+    // global dictionary, which is the entire point of the hashing trick
+    // at 100 TB (a learned vocab needs a second corpus pass; the hash
+    // doesn't).
+    "q_text_feature_hash" -> Q(
+      t => {
+        val tok = t.documents.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        tok
+          .select(col("doc_id"), col("term"),
+            pmod(expr("conv(substring(md5(term), 1, 8), 16, 10)").cast("long"),
+              lit(64L)).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(countDistinct(col("term")).as("n_terms"),
+            count(lit(1)).as("tf_total"),
+            countDistinct(col("doc_id")).as("df_docs"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              |  FROM documents
+              |), b AS (
+              |  SELECT doc_id, term,
+              |         CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 64
+              |           AS bucket
+              |  FROM tok
+              |)
+              |SELECT bucket, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+              |       CAST(COUNT(*) AS BIGINT) AS tf_total,
+              |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+              |FROM b GROUP BY bucket
+              |ORDER BY bucket NULLS FIRST""".stripMargin)),
+
     "q_text_stats" -> Q(
       t => t.documents.select(
         col("doc_id"),
