@@ -756,6 +756,57 @@ object SimilarityQueries extends Catalog {
     // Scale shape: one narrow explode, one 64-group partial agg (the
     // moments), broadcast of 64 rows back, map-side normalize — the
     // canonical two-pass scaler; output bounded to dims 0-7.
+    // Johnson–Lindenstrauss random signed projection (Achlioptas 2003 —
+    // the ±1 database-friendly variant): 64-dim embeddings compressed to
+    // 16 dims by a deterministic sign matrix derived from the repo's
+    // md5-draw convention (first hex nibble ≤ '7' → +1), so both engines
+    // materialize the SAME matrix with no RNG state. Components are exact
+    // micro-unit BIGINTs: y_p = Σ_j sign(p,j)·q(x_j) — integer products
+    // and sums only, no float accumulation order. Scale shape: the sign
+    // matrix is a 1024-row broadcast dim; the corpus side is one 64×
+    // posexplode + broadcast join + (vec, p) hash aggregate with partial
+    // combine — linear in corpus size, and the projection REPLACES a 4×
+    // wider vector downstream (the point of JL at 100 TB: every
+    // subsequent ANN pass pays d=16, not 64, with distances preserved
+    // within 1±ε).
+    "q_sim_random_projection" -> Q(
+      t => {
+        val spark = t.spark
+        val signs = spark.range(16).select(col("id").as("p"))
+          .crossJoin(spark.range(64).select(col("id").as("j")))
+          .select(col("p"), col("j"),
+            when(substring(md5(concat(lit("rp:"), col("p").cast("string"),
+              lit(":"), col("j").cast("string")).cast("binary")), 1, 1) <= "7", 1L)
+              .otherwise(-1L).as("sign"))
+        val ex = t.embeddings
+          .select(col("vec_id"),
+            posexplode(graft.operators.Similarity.toDouble(col("embedding"))))
+          .select(col("vec_id"), col("pos").cast("long").as("j"),
+            floor(col("col") * 1000000 + 0.5).cast("long").as("q"))
+        ex.join(broadcast(signs), "j")
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(col("sign") * col("q")).as("y_micro"))
+          .orderBy(col("vec_id"), col("p"))
+      },
+      Some("""WITH signs AS (
+              |  SELECT p, j,
+              |         CASE WHEN substring(md5('rp:' || CAST(p AS VARCHAR)
+              |           || ':' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+              |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
+              |  FROM (SELECT unnest(range(0, 16)) AS p)
+              |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+              |), ex AS (
+              |  SELECT vec_id,
+              |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+              |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              |           AS BIGINT) AS q
+              |  FROM embeddings
+              |)
+              |SELECT vec_id, p, CAST(SUM(sign * q) AS BIGINT) AS y_micro
+              |FROM ex JOIN signs USING (j)
+              |GROUP BY vec_id, p
+              |ORDER BY vec_id NULLS FIRST, p NULLS FIRST""".stripMargin)),
+
     "q_sim_zscore" -> Q(
       t => {
         val ex = t.embeddings

@@ -164,6 +164,114 @@ object StatsQueries extends Catalog {
               |FROM r JOIN a ON r.user_id = a.user_id AND r.rn = a.target
               |ORDER BY r.user_id NULLS FIRST, r.day NULLS FIRST""".stripMargin)),
 
+    // Rolling lower-median over the trailing 7 daily values — the robust
+    // rolling smoother (a rolling MEAN is one window sum; a rolling
+    // MEDIAN has no distributive form, which is why engines either
+    // nlogn-sort per frame or approximate). Restated scale-safely: each
+    // day pushes its value forward to the next 6 row positions (bounded
+    // 7× explode), the lower median per (user, position) falls out of
+    // the q_agg_weighted_median crossing test cw·2 ≥ tw over the ≤7-row
+    // groups, and one join back attaches the calendar day. All BIGINT.
+    // The oracle is the BANDED SELF-JOIN formulation (b.rn BETWEEN
+    // a.rn−6 AND a.rn) — a different derivation of the same frames, so
+    // the gate proves the forward-explode rewrite. Scale shape: every
+    // exchange is (user, position)-keyed and the window partitions are
+    // ≤7 rows by construction; cost is 7·user-days at any corpus size.
+    "q_ts_rolling_median" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val rn = daily.select(col("user_id"), col("day"), col("v"),
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))).as("rn"))
+          .localCheckpoint(true)
+        val contrib = rn
+          .select(col("user_id").as("c_uid"), col("rn"), col("v"),
+            explode(sequence(lit(0), lit(6))).as("k"))
+          .select(col("c_uid"), (col("rn") + col("k")).as("target"), col("v"))
+        val byv = contrib.groupBy(col("c_uid"), col("target"), col("v"))
+          .agg(count(lit(1)).as("w"))
+        val cum = Window.partitionBy(col("c_uid"), col("target")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("c_uid"), col("target"))
+        val med = byv.select(col("c_uid"), col("target"), col("v"),
+            sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("c_uid"), col("target")).agg(min(col("v")).as("med7_cents"))
+        rn.join(med, col("user_id") === col("c_uid") && col("rn") === col("target"))
+          .select(col("user_id"), col("day"), col("med7_cents"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), r AS (
+              |  SELECT user_id, day, v,
+              |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+              |  FROM daily
+              |), pairs AS (
+              |  SELECT a.user_id, a.rn AS target, a.day, b.v
+              |  FROM r a JOIN r b ON a.user_id = b.user_id
+              |    AND b.rn BETWEEN a.rn - 6 AND a.rn
+              |), byv AS (
+              |  SELECT user_id, target, day, v, COUNT(*) AS w
+              |  FROM pairs GROUP BY 1, 2, 3, 4
+              |), cum AS (
+              |  SELECT user_id, target, day, v,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id, target
+              |           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              |           AND CURRENT ROW) AS BIGINT) AS cw,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id, target)
+              |           AS BIGINT) AS tw
+              |  FROM byv
+              |)
+              |SELECT user_id, day, MIN(v) AS med7_cents
+              |FROM cum WHERE cw * 2 >= tw
+              |GROUP BY user_id, target, day
+              |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin)),
+
+    // Seasonal-naive forecast evaluation — the baseline every real
+    // forecasting system must beat (M-competition protocol): predict
+    // each day's total as the value exactly 7 days earlier, score only
+    // days where that lag exists. MAE stays a non-negative integer
+    // division (truncate == floor by construction); the signed bias is
+    // reported as a RAW cents sum — no division — so negative totals
+    // can never split truncate-vs-floor semantics across engines (the
+    // q_ts_interpolate lesson). Scale shape: one corpus collapse to
+    // (user, day), then an equi self-join on the collapsed relation —
+    // both sides share the (user_id) exchange, no range predicate.
+    "q_ts_forecast_eval" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+          .localCheckpoint(true)
+        val fc = daily.select(col("user_id").as("f_uid"),
+          (col("day") + 7).as("f_day"), col("v").as("f"))
+        daily.join(fc, col("user_id") === col("f_uid") && col("day") === col("f_day"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_eval"),
+            expr("sum(abs(v - f)) * 1000 div count(1)").as("mae_milli"),
+            sum(col("v") - col("f")).as("bias_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |)
+              |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+              |       CAST(SUM(abs(a.v - b.v)) AS BIGINT) * 1000
+              |         // CAST(COUNT(*) AS BIGINT) AS mae_milli,
+              |       CAST(SUM(a.v - b.v) AS BIGINT) AS bias_cents
+              |FROM daily a JOIN daily b
+              |  ON a.user_id = b.user_id AND a.day = b.day + 7
+              |GROUP BY a.user_id
+              |ORDER BY a.user_id NULLS FIRST""".stripMargin)),
+
     // Robust per-user outlier detection via MAD (median absolute
     // deviation) — the robust-statistics twin of q_events_outliers' 2σ
     // rule: a single whale purchase inflates a user's σ enough to hide

@@ -179,4 +179,69 @@ object StatefulOps {
       .groupByKey(_.userId)
       .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class PatternCount(userId: Long, nEvents: Long, nMatches: Long)
+
+  /** Streaming CEP — the incremental twin of q_events_pattern_match: the
+    * regex scan "view, any clicks, purchase" (vc*p, non-overlapping,
+    * left-to-right) compiled to a 2-state DFA folded over each user's
+    * event stream. The batch query rebuilds the whole symbol string per
+    * run; this processor holds THREE longs per user (prefix flag, event
+    * count, match count) — state is O(live users), independent of history
+    * length, which is what makes CEP viable on an unbounded stream (the
+    * same reason Flink CEP compiles patterns to NFA state rather than
+    * buffering events). DFA transitions mirror the regex scanner exactly:
+    * 'v' (re)opens the prefix — including from inside an open prefix,
+    * matching the scanner's restart-at-this-v behavior on "vvp" —
+    * 'c' sustains it, 'p' completes a match and closes it, anything else
+    * abandons it.
+    *
+    * Ordering contract: rows are sorted (ts, eventId) WITHIN a trigger;
+    * parity with the batch regex count holds when triggers split the
+    * per-user stream in event-time order (PatternMatchStreamSpec pins
+    * single-trigger parity and ordered-split invariance). A cross-batch
+    * late event is folded at arrival position — exact out-of-order CEP
+    * needs watermark-bounded buffering (the timedSessions timer pattern),
+    * traded away here for the fixed-size state.
+    */
+  final class PatternProcessor
+      extends StatefulProcessor[Long, StreamOps.UserEvent, PatternCount] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "dfa",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[StreamOps.UserEvent],
+        timerValues: TimerValues): Iterator[PatternCount] = {
+      var (inPrefix, n, matches) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.toVector.sortBy(r => (r.tsUs, r.eventId)).foreach { r =>
+        n += 1
+        r.eventType.headOption match {
+          case Some('v') => inPrefix = 1L
+          case Some('c') => // sustains an open prefix, never opens one
+          case Some('p') =>
+            if (inPrefix == 1L) { matches += 1; inPrefix = 0L }
+          case _ => inPrefix = 0L
+        }
+      }
+      st.update((inPrefix, n, matches))
+      Iterator.single(PatternCount(userId, n, matches))
+    }
+  }
+
+  /** Wire the CEP DFA over a stream of user events; Update-mode rows of
+    * the latest per-user (events seen, pattern matches) counters.
+    */
+  def patternMatchCounts(events: Dataset[StreamOps.UserEvent]): Dataset[PatternCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new PatternProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }
