@@ -121,6 +121,65 @@ object GraphQueries extends Catalog {
     // scale), so everything downstream of the second groupBy is tiny. The
     // hub tail this reports is exactly what decides when the pagerank /
     // CC joins need salting.
+    // Degree assortativity — the Pearson correlation of endpoint degrees
+    // over the symmetrized edge list (Newman 2002): negative r means
+    // hubs attach to leaves (the bipartite order–part graph's expected
+    // shape), and with q_graph_degree_dist it completes the skew
+    // diagnosis: the distribution says hubs EXIST, assortativity says
+    // where their edges GO — i.e. whether an edges⋈edges expansion
+    // concentrates on hub×hub pairs. Moments are exact BIGINTs in ONE
+    // aggregate over the degree-joined edges; r is the fixed-op-order
+    // double of the q_events_regression convention. Scale shape: two
+    // broadcast-or-shuffle equi joins of edges against the COLLAPSED
+    // degree relation, then a single-row partial-merged aggregate.
+    "q_graph_assortativity" -> Q(
+      t => {
+        val fwd = t.lineitem.select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val edges = fwd
+          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val m = edges
+          .join(deg, "src").select(col("dst"), col("d").as("du"))
+          .join(deg.select(col("src").as("dst"), col("d").as("dv")), "dst")
+          .agg(count(lit(1)).as("n_edges"), sum(col("du")).as("su"),
+            sum(col("dv")).as("sv"), sum(col("du") * col("dv")).as("suv"),
+            sum(col("du") * col("du")).as("suu"),
+            sum(col("dv") * col("dv")).as("svv"))
+        val n = col("n_edges").cast("double")
+        val cov = n * col("suv") - col("su").cast("double") * col("sv")
+        val varU = n * col("suu") - col("su").cast("double") * col("su")
+        val varV = n * col("svv") - col("sv").cast("double") * col("sv")
+        m.select(col("n_edges"), round(cov / sqrt(varU * varV), 6).as("r"))
+      },
+      Some("""WITH edges AS (
+             |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+             |  UNION
+             |  SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem
+             |), deg AS (
+             |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+             |), m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             |         CAST(SUM(du.d) AS BIGINT) AS su,
+             |         CAST(SUM(dv.d) AS BIGINT) AS sv,
+             |         CAST(SUM(du.d * dv.d) AS BIGINT) AS suv,
+             |         CAST(SUM(du.d * du.d) AS BIGINT) AS suu,
+             |         CAST(SUM(dv.d * dv.d) AS BIGINT) AS svv
+             |  FROM edges e
+             |  JOIN deg du ON e.src = du.src
+             |  JOIN deg dv ON e.dst = dv.src
+             |)
+             |SELECT n_edges,
+             |       ROUND((CAST(n_edges AS DOUBLE) * suv
+             |           - CAST(su AS DOUBLE) * sv)
+             |         / sqrt((CAST(n_edges AS DOUBLE) * suu
+             |             - CAST(su AS DOUBLE) * su)
+             |           * (CAST(n_edges AS DOUBLE) * svv
+             |             - CAST(sv AS DOUBLE) * sv)) * 1000000) / 1000000 AS r
+             |FROM m""".stripMargin)),
+
     "q_graph_degree_dist" -> Q(
       t => {
         val fwd = t.lineitem.select(

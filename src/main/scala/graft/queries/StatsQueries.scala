@@ -272,6 +272,49 @@ object StatsQueries extends Catalog {
               |GROUP BY a.user_id
               |ORDER BY a.user_id NULLS FIRST""".stripMargin)),
 
+    // Gini concentration coefficient of per-user spend — the inequality
+    // statistic behind "do 1% of users drive 90% of volume", which
+    // decides whether per-user partitioning needs salting the same way
+    // q_graph_degree_dist's hub tail does for joins. Exact rank formula
+    // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted totals,
+    // reported in integer basis points: Σi·xᵢ is invariant under tie
+    // permutations (equal x within a tie block), so the (x, user_id)
+    // sort is deterministic. Scale shape: the only global window runs on
+    // the per-user COLLAPSED relation (users, not events); for
+    // billion-user tables the rank becomes the two-pass range-partitioned
+    // prefix count (Partitioning.prefixMax's plan). Overflow bound: the
+    // ×10⁴ numerator stays under int64 while n·Σx < 9·10¹⁴ — switch the
+    // two final products to DECIMAL(38,0) beyond that.
+    "q_events_gini" -> Q(
+      t => {
+        val per = t.events.groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).cast("long").as("x"))
+        val ranked = per.select(col("x"),
+          row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long").as("i"))
+        ranked.agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_cents"),
+            sum(col("x") * col("i")).as("sxi"))
+          .select(col("n_users"), col("total_cents"),
+            expr("(2 * sxi - (n_users + 1) * total_cents) * 10000" +
+              " div (n_users * total_cents)").as("gini_bp"))
+      },
+      Some("""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              |  FROM events GROUP BY user_id
+              |), ranked AS (
+              |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+              |  FROM per
+              |), m AS (
+              |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+              |         CAST(SUM(x) AS BIGINT) AS total_cents,
+              |         CAST(SUM(x * i) AS BIGINT) AS sxi
+              |  FROM ranked
+              |)
+              |SELECT n_users, total_cents,
+              |       (2 * sxi - (n_users + 1) * total_cents) * 10000
+              |         // (n_users * total_cents) AS gini_bp
+              |FROM m""".stripMargin)),
+
     // Robust per-user outlier detection via MAD (median absolute
     // deviation) — the robust-statistics twin of q_events_outliers' 2σ
     // rule: a single whale purchase inflates a user's σ enough to hide

@@ -336,6 +336,79 @@ object Windows extends Catalog {
     // shuffle. The unique event_id suffix makes equal-ts orders (and so
     // the version numbering) deterministic on both engines; timestamps
     // compare as exact integer µs.
+    // SCD2 dimension MAINTENANCE — the write-side twin of q_win_scd2's
+    // build and q_join_point_in_time's read: an existing version table
+    // (built from the first time-half) absorbs a change batch (the second
+    // half) by closing each affected user's open version and appending
+    // new ones, and the gate proves applied(state, delta) ≡ rebuild(all)
+    // — the q_agg_incremental contract lifted from aggregates to validity
+    // INTERVALS, which is what lets a 100 TB dimension absorb a daily
+    // change feed without rescanning history. Scale shape: untouched
+    // users pass through via one anti join; the re-window runs ONLY on
+    // (open row + delta) per affected user — O(|delta| + |affected|),
+    // never O(|state|); every exchange is user-keyed. Version continuity:
+    // delta rows number from the open row's version (base = version − 1
+    // carried on the open row, max-broadcast per user window), so the
+    // applied numbering is identical to the rebuild's row_number. The
+    // time split guarantees delta times exceed the open version's start,
+    // so the open row always sorts first in the merged window.
+    "q_merge_scd2_apply" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        val mm = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+        val tagged = ev.crossJoin(broadcast(mm))
+          .withColumn("is_state", col("us") * 2 <= col("t0") + col("t1"))
+          .localCheckpoint(true)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val state = tagged.filter(col("is_state"))
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        val delta = tagged.filter(!col("is_state"))
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+        val affected = delta.select(col("user_id")).distinct()
+        val untouched = state.join(affected, Seq("user_id"), "left_anti")
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+        val aState = state.join(affected, Seq("user_id"))
+        val closed = aState.filter(col("valid_to_us").isNotNull)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            lit(false).as("is_current"))
+        val open = aState.filter(col("valid_to_us").isNull)
+          .select(col("user_id"), col("event_type"), col("us"), col("event_id"),
+            (col("version") - 1).as("base"))
+        val merged = open.unionByName(
+          delta.withColumn("base", lit(null).cast("long")))
+        val bw = Window.partitionBy(col("user_id"))
+        val applied = merged
+          .withColumn("version",
+            coalesce(max(col("base")).over(bw), lit(0L)) + row_number().over(w))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+        untouched.unionByName(closed).unionByName(applied)
+          .orderBy(col("user_id"), col("version"))
+      },
+      // the oracle is the ONE-SHOT REBUILD over the full stream — the
+      // strongest possible statement of the maintenance contract
+      Some("""WITH e AS (
+              |  SELECT user_id, event_type,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us, event_id
+              |  FROM events
+              |)
+              |SELECT user_id,
+              |       CAST(row_number() OVER w AS BIGINT) AS version,
+              |       event_type, valid_from_us,
+              |       lead(valid_from_us, 1) OVER w AS valid_to_us,
+              |       (lead(valid_from_us, 1) OVER w IS NULL) AS is_current
+              |FROM e
+              |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+              |ORDER BY user_id NULLS FIRST, version NULLS FIRST""".stripMargin)),
+
     "q_win_scd2" -> Q(
       t => {
         val e = t.events.select(col("user_id"), col("event_type"),
