@@ -68,7 +68,13 @@ object Bench {
     // window exchanges over the full event stream — the stacked-window
     // shape).
     "q_layout_hilbert_native",
-    "q_win_running_distinct")
+    "q_win_running_distinct",
+    // late-r10 additions: the bounded forward-explode + ≤7-row-window
+    // rolling median (the non-distributive rolling-rank shape) and the
+    // CEP symbol-string build (collect_list + array_sort + regex — the
+    // heaviest per-user reassembly in the catalog).
+    "q_ts_rolling_median",
+    "q_events_pattern_match")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of

@@ -28,6 +28,43 @@ object CurationQueries extends Catalog {
 
   def queries: Map[String, Q] = Map(
 
+    // Training-mix diversity (Gini–Simpson index 1 − Σp²) per language —
+    // the balance statistic a pretraining-mix designer tracks per slice:
+    // 0 means one source dominates, (k−1)/k means a perfectly even
+    // k-source mix. Deliberately Simpson, NOT Shannon entropy: entropy
+    // needs log(), whose last-ulp behavior differs across libm
+    // implementations (the engine's standing determinism rule — see
+    // Sampling's pow() avoidance), while Σp² is exact integer ppm
+    // arithmetic end-to-end. Scale shape: two nested map-side-combined
+    // aggregates, both on corpus-collapsed relations (lang×source, then
+    // lang). Overflow: n²·10⁶ wraps past ~3·10⁹ docs per language —
+    // compute per-source shares in ppm FIRST at that scale.
+    "q_curate_mix_diversity" -> Q(
+      t => {
+        t.documents.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("ns"))
+          .groupBy(col("lang"))
+          .agg(sum(col("ns")).as("n_docs"),
+            sum(col("ns") * col("ns")).as("s2"),
+            count(lit(1)).as("n_sources"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            expr("1000000 - s2 * 1000000 div (n_docs * n_docs)").as("simpson_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bysrc AS (
+              |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS ns
+              |  FROM documents GROUP BY 1, 2
+              |), m AS (
+              |  SELECT lang, CAST(SUM(ns) AS BIGINT) AS n_docs,
+              |         CAST(SUM(ns * ns) AS BIGINT) AS s2,
+              |         CAST(COUNT(*) AS BIGINT) AS n_sources
+              |  FROM bysrc GROUP BY lang
+              |)
+              |SELECT lang, n_docs, n_sources,
+              |       1000000 - s2 * 1000000 // (n_docs * n_docs) AS simpson_ppm
+              |FROM m
+              |ORDER BY lang NULLS FIRST""".stripMargin)),
+
     // Corpus-frequency boilerplate removal (CCNet-style line dedup, with
     // fixed-width token segments standing in for lines — the testdata text
     // has no newlines). Plan shape, which is the canonical one at 100 TB:

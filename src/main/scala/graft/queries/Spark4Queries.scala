@@ -135,6 +135,41 @@ object Spark4Queries extends Catalog {
     // partial/final hash aggregate the ANSI form gets (the oracle IS the
     // ANSI form, so the gate proves plan-semantics equivalence end to
     // end). Money sums follow the catalog's exact-cents discipline.
+    // SQL-defined scalar function (SQL:2016 / Spark 4 CREATE FUNCTION …
+    // RETURNS … RETURN expr) — the UDF form that stays INSIDE Catalyst:
+    // the body is inlined into the plan at resolution, so unlike a Scala
+    // closure udf() it constant-folds, pushes down, and joins whole-stage
+    // codegen — at 100 TB the difference between a black-box per-row
+    // call and a fused expression. The query banding per-event values
+    // into tiers exercises the function in both the projection and the
+    // GROUP BY key. The oracle inlines the body by hand — proving the
+    // inlining semantics, not just the arithmetic.
+    "q_sql_udf" -> Q(
+      t => {
+        val s = t.events.sparkSession
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(v DOUBLE)
+                |RETURNS STRING
+                |RETURN CASE WHEN v >= 300.0 THEN 'high'
+                |            WHEN v >= 100.0 THEN 'mid'
+                |            ELSE 'low' END""".stripMargin)
+        t.events.createOrReplaceTempView("events")
+        s.sql("""SELECT graft_tier(value) AS tier, COUNT(*) AS n,
+                |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                |         AS cents
+                |FROM events
+                |GROUP BY graft_tier(value)
+                |ORDER BY tier NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT CASE WHEN value >= 300.0 THEN 'high'
+              |            WHEN value >= 100.0 THEN 'mid'
+              |            ELSE 'low' END AS tier,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              |         AS cents
+              |FROM events
+              |GROUP BY 1
+              |ORDER BY tier NULLS FIRST""".stripMargin)),
+
     "q_sql_pipe" -> Q(
       t => {
         t.lineitem.createOrReplaceTempView("lineitem")

@@ -272,6 +272,52 @@ object StatsQueries extends Catalog {
               |GROUP BY a.user_id
               |ORDER BY a.user_id NULLS FIRST""".stripMargin)),
 
+    // Time-weighted average — the billing/IoT mean where each reading
+    // holds until the next one: Σ v·duration / Σ duration over the
+    // lead-defined validity intervals (the q_win_scd2 interval algebra
+    // feeding an aggregate instead of a dimension). The milli-precision
+    // quotient is computed OVERFLOW-FREE as (q·1000 + r·1000/td) with
+    // q = vd div td, r = vd mod td: Σ v·d alone can reach ~1.5·10¹⁸
+    // cents·µs per user-year, so multiplying by 1000 before dividing
+    // would wrap int64 — the split keeps every intermediate under
+    // ~3·10¹⁶ at ANY per-user span. One window + one aggregate, both on
+    // the user_id exchange.
+    "q_ts_time_weighted_avg" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        t.events
+          .select(col("user_id"), cents(col("value")).cast("long").as("v"),
+            expr("unix_micros(ts)").as("us"), col("event_id"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("next_us") - col("us")).as("td"),
+            sum(col("v") * (col("next_us") - col("us"))).as("vd"))
+          .select(col("user_id"), col("n_intervals"),
+            expr("(vd div td) * 1000 + (vd % td) * 1000 div td").as("twa_milli"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+              |  SELECT user_id,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+              |         lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+              |           PARTITION BY user_id
+              |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_us
+              |  FROM events
+              |), m AS (
+              |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+              |         CAST(SUM(next_us - us) AS BIGINT) AS td,
+              |         CAST(SUM(v * (next_us - us)) AS BIGINT) AS vd
+              |  FROM iv WHERE next_us IS NOT NULL
+              |  GROUP BY user_id
+              |)
+              |SELECT user_id, n_intervals,
+              |       (vd // td) * 1000 + (vd % td) * 1000 // td AS twa_milli
+              |FROM m
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
     // Gini concentration coefficient of per-user spend — the inequality
     // statistic behind "do 1% of users drive 90% of volume", which
     // decides whether per-user partitioning needs salting the same way
