@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
 object ScalarFns2 extends Catalog {
 
   def queries: Map[String, Q] = Map(
+
+    // URL decomposition — the web-corpus curation primitive (domain
+    // quotas, path-based filtering, tracking-param stripping all start
+    // here). URLs are synthesized from document attributes so the oracle
+    // can state the expected constituents INDEPENDENTLY of any URL
+    // parser: Spark's parse_url (HOST/PATH/QUERY-key extraction, a
+    // codegen'd java.net-based expression) must round-trip exactly what
+    // the construction put in. Pure map-side, no shuffle beyond the
+    // ordered limit.
+    "q_str_url" -> Q(
+      t => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"))
+        t.documents
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+          .orderBy(col("doc_id"))
+          .limit(50)
+      },
+      Some("""SELECT doc_id,
+              |       source || '.example.com' AS host,
+              |       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+              |       lang AS lang_param
+              |FROM documents
+              |ORDER BY doc_id
+              |LIMIT 50""".stripMargin)),
+
     // Edit distance — fuzzy matching / canonicalization primitive (entity
     // resolution in a data pipeline). levenshtein is the classic dynamic
     // program both engines implement identically; O(|s|·|t|) per row, pure

@@ -135,6 +135,44 @@ object Spark4Queries extends Catalog {
     // partial/final hash aggregate the ANSI form gets (the oracle IS the
     // ANSI form, so the gate proves plan-semantics equivalence end to
     // end). Money sums follow the catalog's exact-cents discipline.
+    // Bitmap exact-distinct (the RoaringBitmap warehouse pattern, Spark
+    // 3.5+ bitmap_* functions): user ids fold into fixed-size per-bucket
+    // bitmaps — (group, bucket) partials that merge ASSOCIATIVELY with
+    // bitmap_or_agg, unlike COUNT(DISTINCT) whose dedup state is
+    // unmergeable and must re-shuffle raw values. That is the exact-
+    // distinct contract at 100 TB: daily partials persist as bitmap
+    // columns, any rollup (here: the ALL row) is a bitmap OR over
+    // partials, never a rescan — the exact sibling of q_agg_hll_merge's
+    // approximate sketches, and gated by a plain COUNT(DISTINCT) oracle
+    // because the count is exact. Bucket fan-out bounds every bitmap at
+    // 4 KB regardless of id range.
+    "q_agg_bitmap_distinct" -> Q(
+      t => {
+        t.events.createOrReplaceTempView("events")
+        t.events.sparkSession.sql(
+          """WITH b AS (
+            |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+            |         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+            |  FROM events GROUP BY 1, 2
+            |), per AS (
+            |  SELECT event_type, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+            |  FROM b GROUP BY event_type
+            |), merged AS (
+            |  SELECT bkt, bitmap_or_agg(bm) AS bm FROM b GROUP BY bkt
+            |), total AS (
+            |  SELECT 'ALL' AS event_type,
+            |         CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+            |  FROM merged
+            |)
+            |SELECT * FROM per UNION ALL SELECT * FROM total
+            |ORDER BY event_type NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM events GROUP BY event_type
+              |UNION ALL
+              |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+              |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // SQL-defined scalar function (SQL:2016 / Spark 4 CREATE FUNCTION …
     // RETURNS … RETURN expr) — the UDF form that stays INSIDE Catalyst:
     // the body is inlined into the plan at resolution, so unlike a Scala

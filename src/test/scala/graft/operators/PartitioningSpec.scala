@@ -83,6 +83,34 @@ class PartitioningSpec extends SparkSpec {
     assert(prunedCount > 0 && prunedCount < total)
   }
 
+  test("dynamic partition pruning injects a runtime partition filter from the dim side") {
+    // the 100 TB star-schema scan killer: the fact side is partitioned on
+    // the join key, the dim filter is only known at RUNTIME (after the
+    // broadcast), and DPP turns it into a partition-level skip on the fact
+    // scan — without it the fact side reads every partition and filters
+    // post-scan. Spark's broadcast-reuse DPP (on by default) plants a
+    // dynamicpruning subquery INSIDE the scan's PartitionFilters.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    graft.Graft.table(spark, sf(), "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a FILE relation: a local Seq dim gets its filter
+    // constant-folded into the LocalRelation (ConvertToLocalRelation),
+    // leaving no selective predicate for the PartitionPruning rule to see
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("purchase", "rev"), ("view", "eng"), ("click", "eng"),
+      ("signup", "acq"), ("error", "ops")).toDF("event_type", "class")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter($"class" === "rev"), "event_type")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n$plan")
+    // pruned result must equal the statically-filtered truth
+    assert(joined.count() ==
+      fact.filter($"event_type" === "purchase").count())
+  }
+
   test("bucketed-bucketed join plans without a shuffle exchange") {
     val li = graft.Graft.table(spark, sf(), "lineitem")
       .select($"l_orderkey", $"l_quantity")
