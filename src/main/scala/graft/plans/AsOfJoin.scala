@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, BindReferences, Expression,
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Native as-of join — the engine's whole-operator Catalyst extension
+  * (SURVEY.md §2C joins row), completing the customization ladder next to
+  * the codegen Expressions (IsoMicrosTrim, MinHash/SimHash, Hilbert) and
+  * the optimizer Rule (LevenshteinThresholdRule): a custom LOGICAL node
+  * ([[AsOfJoinPlan]]) planned by an injected STRATEGY ([[AsOfJoinStrategy]],
+  * registered via SparkSessionExtensions.injectPlannerStrategy in
+  * [[GraftExtensions]]) into a custom PHYSICAL operator ([[AsOfJoinExec]]).
+  *
+  * Semantics (identical to `operators/AsOf.nearestEarlier`, spec-pinned by
+  * AsOfNativeSpec): for each left row, attach the right row's value columns
+  * with the greatest right time STRICTLY earlier than the left time sharing
+  * the key; among right rows tied on (key, time) the greatest value tuple
+  * wins (the composed form's `__vals` total-order tiebreak, reproduced here
+  * by sorting the right child on the value columns too).
+  *
+  * Why a physical operator when the composed form already works: the
+  * union+window plan pays (a) a UNION of both inputs through one shuffle —
+  * every left row is widened with null value slots BEFORE the exchange, so
+  * the shuffle moves left+right rows in the widened schema — and (b) a
+  * window's buffered-frame machinery for what is a single carried value.
+  * This exec shuffles each side in its OWN schema (ClusteredDistribution
+  * on the key, the same requirement SortMergeJoin declares, so
+  * EnsureRequirements co-partitions and AQE treats it like any shuffled
+  * binary node) and replaces the window with a one-pointer merge: per
+  * partition, one pass over both sorted streams carrying ONE copied value
+  * row. Cost at 100 TB: two key-hash exchanges + two in-partition sorts —
+  * the sort-merge-join floor — with O(1) state per partition.
+  *
+  * Preconditions: key and time columns are non-null on both sides (the
+  * merge compares them with natural orderings; the engine's callers join
+  * on generated ids and event times, both non-null by construction).
+  */
+object NativeAsOf {
+
+  /** Backward as-of via the native operator; output schema matches
+    * `AsOf.nearestEarlier` (left columns ++ asof_<value> columns).
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    // extension-registered sessions (Graft.session) already carry the
+    // strategy; foreign sessions (the driver's Verify, bare test sessions)
+    // get it injected idempotently here
+    PlanBridge.ensureStrategy(left.sparkSession, AsOfJoinStrategy)
+    val lPlan = PlanBridge.analyzed(left)
+    // self-join guard: when both inputs derive from one DataFrame (events
+    // as-of events), the right plan's key/time attributes can carry the
+    // SAME exprIds as the left's; the analyzer's DeduplicateRelations then
+    // rewrites the right SUBTREE to fresh ids but cannot know this node's
+    // right-side fields meant the right child (the ids are ambiguous by
+    // definition) and leaves them stale — the !Sort/!Exchange invalid-plan
+    // class. A fresh Alias on every right column gives the node
+    // collision-free attributes to reference; dedup of the subtree below
+    // the aliases stays internally consistent.
+    import org.apache.spark.sql.functions.col
+    val rAliased = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val rPlan = PlanBridge.analyzed(rAliased)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
+    val values = valueCols.map(attr(rPlan, _))
+    val matched = values.map(v =>
+      AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, key),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched)
+    PlanBridge.ofRows(left.sparkSession, node)
+  }
+}
+
+/** Logical as-of join node. Constructed only over ANALYZED children (all
+  * attributes resolved), so the analyzer has nothing left to do; unknown
+  * to every optimizer rewrite, it passes through optimization untouched
+  * and is planned solely by [[AsOfJoinStrategy]].
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightValues: Seq[Attribute], matched: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ matched
+
+  // the asof_* attributes are GENERATED by this node, not referenced from
+  // children — without this, CheckAnalysis reports them missing from input
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(matched)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftKey, p.rightKey, p.leftTime, p.rightTime,
+        p.rightValues, p.matched) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of exec: children hash-clustered on the key and sorted by
+  * (key, time[, values…]); one streaming pass per partition carries the
+  * latest qualifying right value row.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightValues: Seq[Attribute], matched: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ matched
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(matched)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    // value columns in the right ordering make the (key, time) tie winner
+    // deterministic: the LAST row consumed is the greatest value tuple —
+    // the composed form's __vals tiebreak
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightValues.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val valueExprs: Seq[Expression] = rightValues
+    val matchedAttrs = matched
+    val outAttrs = output
+    val lKeyExpr = BindReferences.bindReference(leftKey: Expression, lOut)
+    val lTimeExpr = BindReferences.bindReference(leftTime: Expression, lOut)
+    val rKeyExpr = BindReferences.bindReference(rightKey: Expression, rOut)
+    val rTimeExpr = BindReferences.bindReference(rightTime: Expression, rOut)
+    val boundValues = valueExprs.map(BindReferences.bindReference(_, rOut))
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(keyType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr))
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr))
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr))
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr))
+      val valueProj = UnsafeProjection.create(boundValues)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ matchedAttrs)
+      val nullVals = new GenericInternalRow(matchedAttrs.size)
+      val joined = new JoinedRow
+
+      // single-row lookahead over the right stream; sorted-exec rows are
+      // REUSED buffers, so the held head must be a copy
+      var rHead: InternalRow = null
+      def advance(): Unit =
+        rHead = if (rIter.hasNext) rIter.next().copy() else null
+      advance()
+
+      var lastKey: UnsafeRow = null   // copied key of the carried right row
+      var lastVals: UnsafeRow = null  // copied value tuple of that row
+
+      lIter.map { l =>
+        val lt = lTimeProj(l)
+        // consume every right row before (key, time) of this left row;
+        // the last one consumed per key is the as-of match candidate
+        var continue = rHead != null
+        while (continue) {
+          val c = keyOrd.compare(rKeyProj(rHead), lKeyProj(l))
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
+            lastKey = rKeyProj(rHead).copy()
+            lastVals = valueProj(rHead).copy()
+            advance()
+            continue = rHead != null
+          } else continue = false
+        }
+        val m: InternalRow =
+          if (lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0) lastVals
+          else nullVals
+        resultProj(joined(l, m))
+      }
+    }
+  }
+}

@@ -73,6 +73,10 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
   * is hand-scheduled).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => LevenshteinThresholdRule)
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan into the
+    // native sort-merge AsOfJoinExec
+    extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

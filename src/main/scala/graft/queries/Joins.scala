@@ -183,6 +183,38 @@ object Joins extends Catalog {
                 ON e.user_id = p.user_id AND e.ts > p.ts
               ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")),
 
+    // Native-operator twin of q_join_asof: the same semantics through the
+    // engine's whole-operator Catalyst extension (plans/AsOfJoin.scala —
+    // custom LogicalPlan + injected Strategy + sort-merge AsOfJoinExec)
+    // instead of the composed union+window plan. Two key-hash exchanges in
+    // each side's OWN schema + two in-partition sorts + a one-pointer
+    // per-partition merge with O(1) state — no union widening, no window
+    // frame machinery. Bit-identical to the composed form by AsOfNativeSpec
+    // (including the (key, time)-tie greatest-value contract) and gated
+    // here against the SAME DuckDB ASOF oracle.
+    "q_join_asof_native" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+        graft.plans.NativeAsOf.backward(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("prev_purchase_id"))
+          .orderBy(col("event_id"), col("prev_purchase_id"))
+      },
+      Some("""SELECT e.event_id, p.event_id AS prev_purchase_id
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+              ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                     MAX(event_id) AS event_id
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY 1, 2) p
+                ON e.user_id = p.user_id AND e.ts > p.ts
+              ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST""")),
+
     // Forward as-of: each event's NEXT purchase (smallest strictly-later
     // purchase ts per user) — the mirror of q_join_asof, same single-shuffle
     // union+window plan with time sorted descending (operators/AsOf

@@ -2,26 +2,30 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import graft.Tables
-import graft.operators.Layout
+import graft.operators.AsOf
 
 /** Scratch A/B harness for the current perf question (contents change per
-  * round; this round: the Hilbert curve value over the full lineitem grid —
-  * how much does the fused codegen kernel (HilbertIndexExpression, one
-  * generated loop per row) buy over the composed five-projection-stage
-  * chain (Layout.hilbertIndex), and where does Morton (zValue, a flat
-  * 10-term add chain) sit as the reference point? All three forms run the
-  * identical grid-normalize → curve → cell-envelope aggregate so only the
-  * curve arithmetic differs.
+  * round; this round: what does the native sort-merge as-of exec
+  * (plans/AsOfJoin.scala — two exchanges in each side's own schema + a
+  * one-pointer merge) buy over the composed union+window form
+  * (operators/AsOf.nearestEarlier — one exchange of the UNION in the
+  * widened schema + a running last(ignoreNulls) window)? Both forms run
+  * the identical q_join_asof shape: every event against the tie-collapsed
+  * purchase stream, noop-sink evaluated.
   *
-  * r10 measurement (sf0.1, median of 3, local[32]): composed **0.957 s**,
-  * native **0.384 s**, morton 0.301 s — the fusion buys 2.5×. The composed
-  * chain's five stages each re-branch through wide when/mask CASE trees
-  * (CollapseProject keeps the non-cheap aliases as separate projections,
-  * so the row pays five materialization hops), while the kernel is one
-  * generated loop a row never leaves. Consequence: the catalog's headline
-  * and production paths (q_layout_pruning, the bench entry) use the
-  * native form; the composed form stays as the oracle-shaped reference
-  * and parity anchor (LayoutSpec proves them bit-identical).
+  * r10 measurement (sf0.1, median of 3, local[32]): composed 0.656 s,
+  * native 0.406 s — the native exec buys ~1.6× on this shape. Where it
+  * comes from: the union widens every left row with null value slots
+  * BEFORE its shuffle (wasted shuffle bytes) and the window evaluator
+  * buffers frames per key, while the exec shuffles each side unwidened
+  * and carries exactly one copied value row per partition. The composed
+  * form remains the portable reference (no extension needed) and the
+  * oracle-shaped twin; both are bit-identical by AsOfNativeSpec and both
+  * sit under the DuckDB ASOF gate (q_join_asof / q_join_asof_native).
+  *
+  * Prior rounds' measurements live in git history (r10 Hilbert fusion:
+  * composed 0.957 s vs native codegen kernel 0.384 s — the 2.5× that
+  * moved the production paths to HilbertIndexExpression).
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -44,36 +48,22 @@ object AbBench {
       println(f"[ab] $name%-28s ${times.sorted.apply(1)}%.3f s (median of 3)")
     }
 
-    def grid = {
-      val g0 = t.lineitem.select(
-        col("l_partkey").cast("long").as("p"),
-        col("l_suppkey").cast("long").as("s"))
-      val mm = g0.agg(max(col("p")).as("pm"), max(col("s")).as("sm"))
-      g0.crossJoin(broadcast(mm))
-        .select(expr("p * 32 div (pm + 1)").as("pg"),
-          expr("s * 32 div (sm + 1)").as("sg"))
+    def leftSide = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    def purchases = t.events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+
+    run("asof-composed") {
+      AsOf.nearestEarlier(leftSide, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
     }
 
-    def envelope(cells: org.apache.spark.sql.DataFrame) =
-      cells.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          min(col("pg")).as("pg_min"), max(col("pg")).as("pg_max"),
-          min(col("sg")).as("sg_min"), max(col("sg")).as("sg_max"))
-
-    run("hilbert-composed") {
-      envelope(Layout.hilbertIndex(grid, "pg", "sg", order = 5)
-        .select(col("pg"), col("sg"), shiftright(col("h"), 5).as("cell")))
-    }
-
-    run("hilbert-native") {
-      envelope(grid.select(col("pg"), col("sg"),
-        shiftright(graft.functions.HilbertIndexExpression
-          .column(col("pg"), col("sg"), order = 5), 5).as("cell")))
-    }
-
-    run("morton") {
-      envelope(grid.select(col("pg"), col("sg"),
-        shiftright(Layout.zValue(col("pg"), col("sg"), 5), 5).as("cell")))
+    run("asof-native") {
+      graft.plans.NativeAsOf.backward(leftSide, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
     }
     spark.stop()
   }

@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Native as-of join (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec) —
+  * the engine's whole-operator Catalyst extension. Pins: row-for-row
+  * parity with the composed union+window form on real testdata, the
+  * physical shape (AsOfJoinExec present, no Window/Union in the plan),
+  * strict-earlier + tie semantics on hand-built frames, and the
+  * no-match null path.
+  */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = graft.Graft.table(spark, sf(), "events")
+
+  private def purchases = events
+    .filter($"event_type" === "purchase")
+    .groupBy($"user_id", $"ts")
+    .agg(max($"event_id").as("event_id"))
+
+  test("native exec matches the composed union+window form on real data") {
+    val l = events.select($"event_id", $"user_id", $"ts")
+    val composed = AsOf.nearestEarlier(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    val native = NativeAsOf.backward(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.sameElements(composed))
+  }
+
+  test("physical plan is the native exec: no Window, no Union") {
+    val df = NativeAsOf.backward(
+      events.select($"event_id", $"user_id", $"ts"), purchases,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("event_id"))
+    df.collect() // force final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node prints "AsOfJoin"
+    assert(plan.contains("AsOfJoin"), s"native exec missing:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"composed-form machinery leaked into the native plan:\n$plan")
+  }
+
+  test("strict-earlier, tie, and no-match semantics on a hand-built frame") {
+    val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
+      .toDF("user_id", "t", "event_id")
+    // user 1: quotes at 100 (same instant as left t=100 — must NOT match
+    // it) and two TIED quotes at 150 (greater value wins); user 9 noise
+    val r = Seq((1L, 100L, 10L), (1L, 150L, 21L), (1L, 150L, 22L),
+      (9L, 1L, 99L)).toDF("user_id", "t", "v")
+    val got = NativeAsOf.backward(l, r, key = "user_id",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"))
+      .select($"event_id", $"asof_v")
+      .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(1L) == None)            // same-instant quote excluded
+    assert(got(2L) == Some(22L))       // tie at 150: greatest value tuple
+    assert(got(3L) == None)            // user 2: no quotes at all
+    assert(got(4L) == None)            // user 3: no quotes at all
+  }
+
+  test("composed form agrees on the hand-built frame (shared truth)") {
+    val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
+      .toDF("user_id", "t", "event_id")
+    val r = Seq((1L, 100L, 10L), (1L, 150L, 21L), (1L, 150L, 22L),
+      (9L, 1L, 99L)).toDF("user_id", "t", "v")
+    val got = AsOf.nearestEarlier(l, r, key = "user_id",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"))
+      .select($"event_id", $"asof_v")
+      .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(1L) == None && got(2L) == Some(22L) &&
+      got(3L) == None && got(4L) == None)
+  }
+}
