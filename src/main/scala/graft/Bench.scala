@@ -74,7 +74,10 @@ object Bench {
     // CEP symbol-string build (collect_list + array_sort + regex — the
     // heaviest per-user reassembly in the catalog).
     "q_ts_rolling_median",
-    "q_events_pattern_match")
+    "q_events_pattern_match",
+    // the whole-operator extension next to its composed twin (q_join_asof
+    // above): round-over-round signal for the native exec
+    "q_join_asof_native")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of

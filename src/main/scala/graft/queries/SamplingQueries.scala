@@ -162,6 +162,50 @@ object SamplingQueries extends Catalog {
                |WHERE rk <= 50
                |ORDER BY doc_id NULLS FIRST""".stripMargin)),
 
+    // Temporal split with an embargo gap — the leakage guard hash splits
+    // CANNOT give for time-series models: a hash split scatters each
+    // user's timeline across train and test, so the model trains on the
+    // future of its own eval set (lookahead leakage), and rows adjacent
+    // to the cut leak through autocorrelation. The fix is the standard
+    // backtest protocol (de Prado's purged split): train strictly before
+    // cut − gap, test strictly after the cut, and the gap-width embargo
+    // zone DROPPED. The cut is the 80% point of the observed time range
+    // (broadcast min/max scalar — one tiny aggregate, no quantile scan);
+    // all arithmetic is integer µs. Map-side banding, one 3-group count.
+    "q_sample_temporal_split" -> Q(
+      t => {
+        val gapUs = 86400000000L // 1-day embargo
+        val ev = t.events.select(expr("unix_micros(ts)").as("us"))
+        val mm = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+        ev.crossJoin(broadcast(mm))
+          .select(col("us"),
+            expr("t0 + (t1 - t0) * 4 div 5").as("cut"))
+          .select(col("us"),
+            when(col("us") <= col("cut") - gapUs, "train")
+              .when(col("us") > col("cut"), "test")
+              .otherwise("embargo").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("us")).as("min_us"),
+            max(col("us")).as("max_us"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH ev AS (
+              |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+              |), mm AS (
+              |  SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev
+              |), b AS (
+              |  SELECT us,
+              |         CASE WHEN us <= t0 + (t1 - t0) * 4 // 5 - 86400000000
+              |                THEN 'train'
+              |              WHEN us > t0 + (t1 - t0) * 4 // 5 THEN 'test'
+              |              ELSE 'embargo' END AS split
+              |  FROM ev CROSS JOIN mm
+              |)
+              |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+              |       MIN(us) AS min_us, MAX(us) AS max_us
+              |FROM b GROUP BY split
+              |ORDER BY split NULLS FIRST""".stripMargin)),
+
     // Group-aware split: hash the GROUP key (source), not the row id, so
     // every document of a source lands in the same split — the leakage
     // guard an eval split needs when near-duplicate rows cluster within a

@@ -215,6 +215,30 @@ object TextQueries extends Catalog {
            |ORDER BY predicted_lang NULLS FIRST, n NULLS FIRST""".stripMargin
       }),
 
+    // Classifier-eval confusion matrix: the n-gram langid heuristic
+    // scored against the documents table's LABELED lang column — the
+    // eval loop every heuristic filter needs before it gates a corpus
+    // (precision per class falls straight out of the (label, predicted)
+    // counts; the sibling of q_sim_nearest_centroid's embedding-space
+    // confusion). One map-side classification + one two-key hash
+    // aggregate — eval cost is a single corpus pass at any scale.
+    "q_text_lang_confusion" -> Q(
+      t => t.documents
+        .groupBy(col("lang").as("label"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted")),
+      Some {
+        val scoreStructs = TextAnalysis.LangMarkers.map { case (code, pattern) =>
+          s"{'neg_score': -CAST(len(regexp_extract_all(lower(text), '${pattern}')) AS BIGINT), 'lang': '$code'}"
+        }.mkString("[", ", ", "]")
+        s"""SELECT lang AS label, list_min($scoreStructs).lang AS predicted,
+           |       COUNT(*) AS n
+           |FROM documents
+           |GROUP BY 1, 2
+           |ORDER BY label NULLS FIRST, predicted NULLS FIRST""".stripMargin
+      }),
+
     "q_text_fingerprint" -> Q(
       t => t.documents.select(
         col("doc_id"),
