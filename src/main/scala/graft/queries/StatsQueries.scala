@@ -318,6 +318,141 @@ object StatsQueries extends Catalog {
               |FROM m
               |ORDER BY user_id NULLS FIRST""".stripMargin)),
 
+    // CUSUM change-point detection — the sequential drift monitor
+    // (Page 1954) whose textbook form S_t = max(0, S_{t-1} + dev_t) is a
+    // RECURSION no window frame expresses directly; the engine uses the
+    // prefix-sum identity S_t = P_t − min(0, min_{j≤t} P_j) (P = running
+    // dev sum), which turns the recursion into TWO stacked windows on one
+    // (user) sort — running sum, then running min over it. Deviations are
+    // exact milli-cents against the user's own mean (integer div), the
+    // alarm threshold is 5 mean-days of cumulative excess, and the output
+    // reports each user's peak statistic and FIRST alarm day (null when
+    // never crossed). Scale shape: per-user daily collapse, then both
+    // windows share a single user_id exchange + in-partition sort.
+    "q_ts_cusum" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val m = daily.groupBy(col("user_id").as("m_uid"))
+          .agg(expr("sum(v) * 1000 div count(1)").as("mean_milli"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = daily.join(m, col("user_id") === col("m_uid"))
+          .select(col("user_id"), col("day"), col("mean_milli"),
+            (col("v") * 1000 - col("mean_milli")).as("dev"))
+          .withColumn("p", sum(col("dev")).over(w))
+          .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+        scored
+          .groupBy(col("user_id"))
+          .agg(max(col("s")).as("max_cusum_milli"),
+            min(when(col("s") > col("mean_milli") * 5, col("day"))).as("first_alarm_day"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), m AS (
+              |  SELECT user_id, CAST(SUM(v) AS BIGINT) * 1000
+              |           // CAST(COUNT(*) AS BIGINT) AS mean_milli
+              |  FROM daily GROUP BY user_id
+              |), pfx AS (
+              |  SELECT d.user_id, d.day, m.mean_milli,
+              |         CAST(SUM(d.v * 1000 - m.mean_milli) OVER (
+              |           PARTITION BY d.user_id ORDER BY d.day
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |         AS BIGINT) AS p
+              |  FROM daily d JOIN m ON d.user_id = m.user_id
+              |), s AS (
+              |  SELECT user_id, day, mean_milli,
+              |         p - LEAST(CAST(MIN(p) OVER (
+              |           PARTITION BY user_id ORDER BY day
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |         AS BIGINT), 0) AS cusum
+              |  FROM pfx
+              |)
+              |SELECT user_id, MAX(cusum) AS max_cusum_milli,
+              |       MIN(CASE WHEN cusum > mean_milli * 5 THEN day END)
+              |         AS first_alarm_day
+              |FROM s GROUP BY user_id
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
+    // Rolling lag-1 autocorrelation — the regime-shift indicator next to
+    // q_ts_cusum's level-shift alarm: over each trailing 14-day window of
+    // (today, yesterday) pairs, the Pearson r of the q_events_regression
+    // convention (exact BIGINT moments from SIX same-frame window sums
+    // sharing one sort, fixed-op-order double only at the very end,
+    // zero-variance windows null). Rolling second-moment statistics are
+    // the frame-expressible complement of the rolling MEDIAN's rank
+    // rewrite: here plain ROWS frames suffice, so the whole query is one
+    // user-keyed exchange + one in-partition sort. Full windows only
+    // (n = 14) so every reported r is comparable.
+    "q_win_rolling_corr" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val w1 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val w14 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(-13, 0)
+        val mo = daily
+          .withColumn("x", lag(col("v"), 1).over(w1))
+          .filter(col("x").isNotNull)
+          .select(col("user_id"), col("day"),
+            count(lit(1)).over(w14).as("n"),
+            sum(col("v")).over(w14).as("sy"),
+            sum(col("x")).over(w14).as("sx"),
+            sum(col("v") * col("x")).over(w14).as("sxy"),
+            sum(col("v") * col("v")).over(w14).as("syy"),
+            sum(col("x") * col("x")).over(w14).as("sxx"))
+          .filter(col("n") === 14)
+        val nD = col("n").cast("double")
+        val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+        val varX = nD * col("sxx") - col("sx").cast("double") * col("sx")
+        val varY = nD * col("syy") - col("sy").cast("double") * col("sy")
+        mo.select(col("user_id"), col("day"),
+            when(varX > 0 && varY > 0, round(cov / sqrt(varX * varY), 6))
+              .otherwise(lit(null).cast("double")).as("r14"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), p AS (
+              |  SELECT user_id, day, v,
+              |         lag(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS x
+              |  FROM daily
+              |), mo AS (
+              |  SELECT user_id, day,
+              |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+              |         CAST(SUM(v) OVER w AS BIGINT) AS sy,
+              |         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+              |         CAST(SUM(v * x) OVER w AS BIGINT) AS sxy,
+              |         CAST(SUM(v * v) OVER w AS BIGINT) AS syy,
+              |         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+              |  FROM p WHERE x IS NOT NULL
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+              |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+              |)
+              |SELECT user_id, day,
+              |       CASE WHEN CAST(n AS DOUBLE) * sxx
+              |                   - CAST(sx AS DOUBLE) * sx > 0
+              |             AND CAST(n AS DOUBLE) * syy
+              |                   - CAST(sy AS DOUBLE) * sy > 0
+              |            THEN ROUND((CAST(n AS DOUBLE) * sxy
+              |                - CAST(sx AS DOUBLE) * sy)
+              |              / sqrt((CAST(n AS DOUBLE) * sxx
+              |                  - CAST(sx AS DOUBLE) * sx)
+              |                * (CAST(n AS DOUBLE) * syy
+              |                  - CAST(sy AS DOUBLE) * sy)) * 1000000) / 1000000
+              |            ELSE NULL END AS r14
+              |FROM mo WHERE n = 14
+              |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin)),
+
     // Gini concentration coefficient of per-user spend — the inequality
     // statistic behind "do 1% of users drive 90% of volume", which
     // decides whether per-user partitioning needs salting the same way
