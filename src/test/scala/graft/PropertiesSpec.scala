@@ -271,4 +271,101 @@ class PropertiesSpec extends SparkSpec {
       assert(got(g) == expected, s"group $g: got ${got(g)}, expected $expected")
     }
   }
+
+  /** Generated keyed series (key, position, value) with contiguous
+    * positions — the shared input shape for the three stateful-rewrite
+    * fuzz tests below.
+    */
+  private def genSeries(nKeys: Int, maxLen: Int, lo: Long, hi: Long): Seq[(Long, Long, Long)] =
+    (1 to nKeys).flatMap { k =>
+      val len = Gen.chooseNum(1, maxLen).sample.get
+      (1 to len).map(i => (k.toLong, i.toLong,
+        Gen.chooseNum(lo, hi).sample.get))
+    }
+
+  test("CUSUM prefix-min identity matches the sequential recursion on signed series") {
+    // q_ts_cusum's rewrite: S_t = P_t − min(0, min P_j) must equal the
+    // textbook recursion S_t = max(0, S_{t−1} + dev_t) — on deviations of
+    // BOTH signs (the identity's whole point is surviving negative runs).
+    import org.apache.spark.sql.expressions.Window
+    val rows = genSeries(4, 40, -50L, 50L)
+    val w = Window.partitionBy($"k").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = rows.toDF("k", "i", "v")
+      .withColumn("p", sum($"v").over(w))
+      .withColumn("s", $"p" - least(min($"p").over(w), lit(0L)))
+      .select($"k", $"i", $"s").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      var s = 0L
+      rs.sortBy(_._2).foreach { case (_, i, v) =>
+        s = math.max(0L, s + v)
+        assert(got((k, i)) == s, s"key $k pos $i: got ${got((k, i))}, want $s")
+      }
+    }
+  }
+
+  test("EWMA forward-explode matches the direct weighted sum on generated series") {
+    // q_ts_ewma's rewrite: each row pushes v·2^(D−j) to positions
+    // rn..rn+D; the (key, position) aggregate joined back must equal the
+    // straight trailing-window weighted sum computed per row.
+    import org.apache.spark.sql.expressions.Window
+    val D = 4
+    val rows = genSeries(3, 25, 0L, 1000L)
+    val df = rows.toDF("k", "rn", "v")
+    val contrib = df
+      .select($"k".as("ck"), $"rn", $"v",
+        explode(sequence(lit(0), lit(D))).as("j"))
+      .select($"ck", ($"rn" + $"j").as("target"),
+        expr(s"v * shiftleft(cast(1 as bigint), $D - j)").as("wv"),
+        expr(s"shiftleft(cast(1 as bigint), $D - j)").as("w"))
+      .groupBy($"ck", $"target").agg(sum($"wv").as("num"), sum($"w").as("den"))
+    val got = df.join(contrib, $"k" === $"ck" && $"rn" === $"target")
+      .select($"k", $"rn", expr("num * 1000 div den").as("e"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val byPos = rs.map(r => r._2 -> r._3).toMap
+      rs.foreach { case (_, t, _) =>
+        val terms = (0 to D).flatMap { lag =>
+          byPos.get(t - lag).map(v => (v * (1L << (D - lag)), 1L << (D - lag)))
+        }
+        val want = terms.map(_._1).sum * 1000 / terms.map(_._2).sum
+        assert(got((k, t)) == want, s"key $k pos $t: got ${got((k, t))}, want $want")
+      }
+    }
+  }
+
+  test("rolling-median forward-explode matches sorted-slice lower medians") {
+    // q_ts_rolling_median's rewrite: bounded forward explode + the
+    // crossing test over ≤W-row groups must equal the lower median of
+    // each trailing W-row slice taken directly.
+    import org.apache.spark.sql.expressions.Window
+    val W = 3 // trailing rows: rn−2..rn
+    val rows = genSeries(3, 20, 0L, 30L) // small range → ties occur
+    val df = rows.toDF("k", "rn", "v")
+    val contrib = df
+      .select($"k".as("ck"), $"rn", $"v", explode(sequence(lit(0), lit(W - 1))).as("j"))
+      .select($"ck", ($"rn" + $"j").as("target"), $"v")
+    val byv = contrib.groupBy($"ck", $"target", $"v").agg(count(lit(1)).as("w"))
+    val cum = Window.partitionBy($"ck", $"target").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy($"ck", $"target")
+    val med = byv
+      .select($"ck", $"target", $"v",
+        sum($"w").over(cum).as("cw"), sum($"w").over(all).as("tw"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"ck", $"target").agg(min($"v").as("m"))
+    val got = df.join(med, $"k" === $"ck" && $"rn" === $"target")
+      .select($"k", $"rn", $"m").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val byPos = rs.map(r => r._2 -> r._3).toMap
+      rs.foreach { case (_, t, _) =>
+        val slice = ((t - W + 1) to t).flatMap(byPos.get).sorted
+        val want = slice.zipWithIndex
+          .collectFirst { case (v, i) if 2 * (i + 1) >= slice.size => v }.get
+        assert(got((k, t)) == want, s"key $k pos $t: got ${got((k, t))}, want $want")
+      }
+    }
+  }
 }
