@@ -331,9 +331,12 @@ object StatsQueries extends Catalog {
     // windows share a single user_id exchange + in-partition sort.
     "q_ts_cusum" -> Q(
       t => {
+        // daily feeds both the deviation stream and the per-user mean —
+        // eager checkpoint so the corpus scan + collapse run once
         val daily = t.events
           .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
           .agg(sum(cents(col("value"))).cast("long").as("v"))
+          .localCheckpoint(true)
         val m = daily.groupBy(col("user_id").as("m_uid"))
           .agg(expr("sum(v) * 1000 div count(1)").as("mean_milli"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("day"))

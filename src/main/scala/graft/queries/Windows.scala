@@ -361,13 +361,18 @@ object Windows extends Catalog {
           .withColumn("is_state", col("us") * 2 <= col("t0") + col("t1"))
           .localCheckpoint(true)
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        // state feeds THREE consumers (untouched / closed / open) and
+        // affected feeds three joins — eager checkpoints so the version
+        // window and the distinct run once, not per branch (the
+        // q_join_waiting_suppliers multi-arm discipline)
         val state = tagged.filter(col("is_state"))
           .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
           .withColumn("version", row_number().over(w).cast("long"))
           .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .localCheckpoint(true)
         val delta = tagged.filter(!col("is_state"))
           .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
-        val affected = delta.select(col("user_id")).distinct()
+        val affected = delta.select(col("user_id")).distinct().localCheckpoint(true)
         val untouched = state.join(affected, Seq("user_id"), "left_anti")
           .select(col("user_id"), col("version"), col("event_type"),
             col("us").as("valid_from_us"), col("valid_to_us"),
