@@ -382,6 +382,100 @@ object StatsQueries extends Catalog {
               |FROM s GROUP BY user_id
               |ORDER BY user_id NULLS FIRST""".stripMargin)),
 
+    // Kaplan–Meier risk table — survival analysis's exact-integer data
+    // product (time-to-conversion from signup, administratively censored
+    // at the observation horizon): per duration day, the number at risk,
+    // events, and censorings. Deliberately the TABLE, not the survival
+    // curve: the K-M product Π(1 − d/n) needs float products (or log
+    // sums — libm, banned by the determinism rules), while the table IS
+    // the estimator's sufficient statistic and stays BIGINT end-to-end.
+    // at_risk(d) = Σ_{d'≥d} cohort(d') falls out of one
+    // current-row-to-unbounded-following window over the duration-
+    // collapsed relation (distinct durations, not users). Scale shape:
+    // two user-keyed aggregates + one broadcast horizon scalar + a
+    // global window on the tiny collapsed table.
+    "q_events_survival" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+          .localCheckpoint(true)
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .filter(col("us") >= col("s_us"))
+          .groupBy(col("user_id").as("p_uid")).agg(min(col("us")).as("p_us"))
+        val horizon = ev.agg(max(col("us")).as("t_max"))
+        val durations = signup
+          .join(firstPurchase, col("user_id") === col("p_uid"), "left")
+          .crossJoin(broadcast(horizon))
+          .select(
+            expr("(coalesce(p_us, t_max) - s_us) div 86400000000").as("d"),
+            when(col("p_us").isNotNull, 1L).otherwise(0L).as("event"))
+        val byD = durations.groupBy(col("d"))
+          .agg(sum(col("event")).as("n_events"),
+            sum(lit(1L) - col("event")).as("n_censored"))
+        val wAtRisk = Window.orderBy(col("d"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        byD.select(col("d"),
+            sum(col("n_events") + col("n_censored")).over(wAtRisk).as("at_risk"),
+            col("n_events"), col("n_censored"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH ev AS (
+              |  SELECT user_id, event_type,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              |  FROM events
+              |), signup AS (
+              |  SELECT user_id, MIN(us) AS s_us FROM ev
+              |  WHERE event_type = 'signup' GROUP BY user_id
+              |), fp AS (
+              |  SELECT e.user_id, MIN(e.us) AS p_us
+              |  FROM ev e JOIN signup s ON e.user_id = s.user_id
+              |  WHERE e.event_type = 'purchase' AND e.us >= s.s_us
+              |  GROUP BY e.user_id
+              |), horizon AS (
+              |  SELECT MAX(us) AS t_max FROM ev
+              |), dur AS (
+              |  SELECT (coalesce(f.p_us, h.t_max) - s.s_us) // 86400000000 AS d,
+              |         CASE WHEN f.p_us IS NOT NULL THEN 1 ELSE 0 END AS event
+              |  FROM signup s
+              |  LEFT JOIN fp f ON s.user_id = f.user_id
+              |  CROSS JOIN horizon h
+              |), byd AS (
+              |  SELECT d, CAST(SUM(event) AS BIGINT) AS n_events,
+              |         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+              |  FROM dur GROUP BY d
+              |)
+              |SELECT d,
+              |       CAST(SUM(n_events + n_censored) OVER (
+              |         ORDER BY d ROWS BETWEEN CURRENT ROW
+              |         AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk,
+              |       n_events, n_censored
+              |FROM byd
+              |ORDER BY d NULLS FIRST""".stripMargin)),
+
+    // Hour-of-day × day-of-week activity heatmap — the seasonality
+    // profile behind capacity planning and anomaly baselining (the
+    // static complement of q_ts_cusum's sequential alarm). One two-key
+    // hash aggregate with partial combine; dow aligned across engines by
+    // shifting DuckDB's 0-based Sunday to Spark's 1-based.
+    "q_events_heatmap" -> Q(
+      t => t.events
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).cast("long").as("cents"))
+        .orderBy(col("dow"), col("hr")),
+      Some("""SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+              |       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+              |       CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              |         AS cents
+              |FROM events
+              |GROUP BY 1, 2
+              |ORDER BY dow NULLS FIRST, hr NULLS FIRST""".stripMargin)),
+
     // Rolling lag-1 autocorrelation — the regime-shift indicator next to
     // q_ts_cusum's level-shift alarm: over each trailing 14-day window of
     // (today, yesterday) pairs, the Pearson r of the q_events_regression

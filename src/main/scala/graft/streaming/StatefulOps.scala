@@ -244,4 +244,57 @@ object StatefulOps {
       .groupByKey(_.userId)
       .transformWithState(new PatternProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class CusumState(userId: Long, nEvents: Long, cusum: Long,
+    firstAlarmEventId: Long) // -1 while no alarm
+
+  /** Streaming CUSUM drift monitor — the incremental twin of q_ts_cusum:
+    * the batch query needs the prefix-min identity because window frames
+    * can't express the recursion, but the RECURSION ITSELF is exactly
+    * one long of streaming state: S ← max(0, S + (cents − target)).
+    * Deviations are against a FIXED target (the deployed-monitor reality:
+    * the baseline is calibrated offline, the monitor compares against
+    * it), the alarm fires when S crosses `threshold`, and the first
+    * alarming event id is latched so a replay reports the same detection
+    * point. Rows fold in (tsUs, eventId) order within a trigger; ordered
+    * trigger splits are invariant (state carries), pinned by
+    * CusumStreamSpec against a sequential replay.
+    */
+  final class CusumProcessor(target: Long, threshold: Long)
+      extends StatefulProcessor[Long, StreamOps.UserEvent, CusumState] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[(Long, Long, Long)](
+        "cusum",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[StreamOps.UserEvent],
+        timerValues: TimerValues): Iterator[CusumState] = {
+      var (n, s, alarm) = if (st.exists()) st.get() else (0L, 0L, -1L)
+      rows.toVector.sortBy(r => (r.tsUs, r.eventId)).foreach { r =>
+        n += 1
+        s = math.max(0L, s + (r.cents - target))
+        if (s > threshold && alarm < 0) alarm = r.eventId
+      }
+      st.update((n, s, alarm))
+      Iterator.single(CusumState(userId, n, s, alarm))
+    }
+  }
+
+  /** Wire the CUSUM monitor; Update-mode rows of the latest per-user
+    * (events, statistic, first-alarm event id) state.
+    */
+  def cusumMonitor(events: Dataset[StreamOps.UserEvent], target: Long,
+      threshold: Long): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new CusumProcessor(target, threshold),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
