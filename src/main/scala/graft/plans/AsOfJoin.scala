@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, BindReferences, Expression,
-  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
-  UnsafeRow}
+  Ascending, Attribute, AttributeReference, BindReferences, Descending,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -51,7 +51,23 @@ object NativeAsOf {
     * `AsOf.nearestEarlier` (left columns ++ asof_<value> columns).
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
+    build(left, right, key, leftTime, rightTime, valueCols, forward = false)
+
+  /** Forward as-of (smallest right time STRICTLY later; (key, time) ties
+    * resolve to the greatest value tuple — `AsOf.nearestLater`'s
+    * contract). Same two-exchange merge shape; the right child sorts its
+    * value columns DESCENDING so the first qualifying row peeked is the
+    * tie winner, and the merge only ever PEEKS (several left rows may
+    * share one forward match).
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
+    build(left, right, key, leftTime, rightTime, valueCols, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     // extension-registered sessions (Graft.session) already carry the
     // strategy; foreign sessions (the driver's Verify, bare test sessions)
     // get it injected idempotently here
@@ -77,7 +93,7 @@ object NativeAsOf {
       AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
     val node = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched, forward)
     PlanBridge.ofRows(left.sparkSession, node)
   }
 }
@@ -91,7 +107,8 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    rightValues: Seq[Attribute], matched: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute], matched: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -111,7 +128,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.rightKey, p.leftTime, p.rightTime,
-        p.rightValues, p.matched) :: Nil
+        p.rightValues, p.matched, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -124,7 +141,8 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    rightValues: Seq[Attribute], matched: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute], matched: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -137,10 +155,12 @@ final case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     // value columns in the right ordering make the (key, time) tie winner
-    // deterministic: the LAST row consumed is the greatest value tuple —
-    // the composed form's __vals tiebreak
+    // deterministic — the greatest value tuple, the composed forms'
+    // __vals tiebreak: backward consumes rows and keeps the LAST (values
+    // ascending), forward PEEKS the first qualifying row (values
+    // descending)
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-      rightValues.map(SortOrder(_, Ascending)))
+      rightValues.map(SortOrder(_, if (forward) Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -186,7 +206,28 @@ final case class AsOfJoinExec(
       var lastKey: UnsafeRow = null   // copied key of the carried right row
       var lastVals: UnsafeRow = null  // copied value tuple of that row
 
-      lIter.map { l =>
+      if (forward) {
+        // forward merge: PEEK the first right row with same key and time
+        // STRICTLY later (values sort descending, so the peeked row is the
+        // tie winner); never consume on match — several left rows can
+        // share one forward match
+        lIter.map { l =>
+          val lt = lTimeProj(l)
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKeyProj(l))
+            if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
+              advance()
+              continue = rHead != null
+            } else continue = false
+          }
+          val m: InternalRow =
+            if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKeyProj(l)) == 0)
+              valueProj(rHead)
+            else nullVals
+          resultProj(joined(l, m))
+        }
+      } else lIter.map { l =>
         val lt = lTimeProj(l)
         // consume every right row before (key, time) of this left row;
         // the last one consumed per key is the as-of match candidate

@@ -244,6 +244,34 @@ object Joins extends Catalog {
                 ON e.user_id = p.user_id AND e.ts < p.ts
               ORDER BY e.event_id NULLS FIRST, next_purchase_id NULLS FIRST""")),
 
+    // Native-operator twin of q_join_asof_forward: the same semantics via
+    // AsOfJoinExec's forward mode — the right child sorts values
+    // DESCENDING so the first peeked qualifying row is the tie winner,
+    // and the merge only peeks (several left rows can share one forward
+    // match). Same two-exchange shape as the backward native twin.
+    "q_join_asof_native_forward" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+        graft.plans.NativeAsOf.forward(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("next_purchase_id"))
+          .orderBy(col("event_id"), col("next_purchase_id"))
+      },
+      Some("""SELECT e.event_id, p.event_id AS next_purchase_id
+              FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+              ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                     MAX(event_id) AS event_id
+                              FROM events WHERE event_type = 'purchase'
+                              GROUP BY 1, 2) p
+                ON e.user_id = p.user_id AND e.ts < p.ts
+              ORDER BY e.event_id NULLS FIRST, next_purchase_id NULLS FIRST""")),
+
     // Nearest as-of in either direction (operators/AsOf.nearest): each
     // event's CLOSEST purchase by absolute time distance, earlier winning
     // an exact two-sided tie — the feature-join variant backward/forward

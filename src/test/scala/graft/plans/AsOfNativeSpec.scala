@@ -67,6 +67,39 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got(4L) == None)            // user 3: no quotes at all
   }
 
+  test("forward native exec matches the composed nearestLater form on real data") {
+    val l = events.select($"event_id", $"user_id", $"ts")
+    val composed = AsOf.nearestLater(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    val native = NativeAsOf.forward(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.sameElements(composed))
+  }
+
+  test("forward strict-later, tie, and shared-match semantics on a hand-built frame") {
+    val l = Seq((1L, 100L, 1L), (1L, 150L, 2L), (1L, 400L, 3L), (2L, 50L, 4L))
+      .toDF("user_id", "t", "event_id")
+    // user 1: TIED quotes at 300 (greatest value wins), a same-instant
+    // quote at 150 (must NOT match left t=150), nothing after 400
+    val r = Seq((1L, 150L, 10L), (1L, 300L, 21L), (1L, 300L, 22L),
+      (9L, 999L, 99L)).toDF("user_id", "t", "v")
+    val got = NativeAsOf.forward(l, r, key = "user_id",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"))
+      .select($"event_id", $"asof_v")
+      .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(1L) == Some(10L))       // next after 100 is the 150 quote
+    assert(got(2L) == Some(22L))       // strictly later: 300; tie → 22
+    assert(got(3L) == None)            // nothing after 400
+    assert(got(4L) == None)            // user 2: no quotes
+  }
+
   test("composed form agrees on the hand-built frame (shared truth)") {
     val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
       .toDF("user_id", "t", "event_id")
