@@ -593,6 +593,103 @@ object StatsQueries extends Catalog {
               |         // (n_users * total_cents) AS gini_bp
               |FROM m""".stripMargin)),
 
+    // Winsorization — the robust-cleaning transform that CLIPS instead of
+    // dropping (q_events_mad_outliers flags, this repairs): per-user
+    // exact 5th/95th percentiles by the weighted-median crossing test
+    // generalized to any quantile (p05 = smallest v with 20·cw ≥ tw,
+    // p95 = smallest v with 20·cw ≥ 19·tw — ceil semantics, pure
+    // BIGINT, no percentile_cont interpolation float), then every value
+    // clamps into [p05, p95]. Scale shape: the rank windows run on the
+    // per-(user, value) COLLAPSED relation; the clip is one broadcast-or-
+    // shuffled join back on user_id + a map; output compares raw vs
+    // winsorized exact sums per user.
+    "q_events_winsorize" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"), cents(col("value")).cast("long").as("v"))
+          .localCheckpoint(true)
+        val byVal = ev.groupBy(col("user_id"), col("v")).agg(count(lit(1)).as("w"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("user_id"))
+        val ranked = byVal.select(col("user_id").as("q_uid"), col("v"),
+          sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
+        val quantiles = ranked
+          .groupBy(col("q_uid"))
+          .agg(min(when(col("cw") * 20 >= col("tw"), col("v"))).as("p05"),
+            min(when(col("cw") * 20 >= col("tw") * 19, col("v"))).as("p95"))
+        ev.join(quantiles, col("user_id") === col("q_uid"))
+          .select(col("user_id"), col("v"),
+            greatest(col("p05"), least(col("p95"), col("v"))).as("vw"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_raw_cents"),
+            sum(col("vw")).as("sum_wins_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+              |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              |  FROM events
+              |), byv AS (
+              |  SELECT user_id, v, CAST(COUNT(*) AS BIGINT) AS w
+              |  FROM ev GROUP BY 1, 2
+              |), rk AS (
+              |  SELECT user_id, v,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id ORDER BY v
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |           AS BIGINT) AS cw,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id) AS BIGINT) AS tw
+              |  FROM byv
+              |), q AS (
+              |  SELECT user_id,
+              |         MIN(CASE WHEN cw * 20 >= tw THEN v END) AS p05,
+              |         MIN(CASE WHEN cw * 20 >= tw * 19 THEN v END) AS p95
+              |  FROM rk GROUP BY user_id
+              |)
+              |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+              |       CAST(SUM(e.v) AS BIGINT) AS sum_raw_cents,
+              |       CAST(SUM(GREATEST(q.p05, LEAST(q.p95, e.v))) AS BIGINT)
+              |         AS sum_wins_cents
+              |FROM ev e JOIN q ON e.user_id = q.user_id
+              |GROUP BY e.user_id
+              |ORDER BY e.user_id NULLS FIRST""".stripMargin)),
+
+    // Lorenz curve deciles — the distributional detail behind
+    // q_events_gini's single number: users ranked by spend into exact
+    // ntile(10) buckets, each decile's share of total in integer ppm
+    // (the "bottom 50% hold X%" readout). Ranking runs on the per-user
+    // COLLAPSED relation; the total is one broadcast scalar.
+    "q_events_lorenz" -> Q(
+      t => {
+        val per = t.events.groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).cast("long").as("x"))
+          .localCheckpoint(true)
+        val tot = per.agg(sum(col("x")).as("total"))
+        per.select(col("x"),
+            ntile(10).over(Window.orderBy(col("x"), col("user_id")))
+              .cast("long").as("decile"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("decile_cents"),
+            expr("sum(x) * 1000000 div max(total)").as("share_ppm"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              |  FROM events GROUP BY user_id
+              |), tot AS (
+              |  SELECT CAST(SUM(x) AS BIGINT) AS total FROM per
+              |), d AS (
+              |  SELECT x, CAST(ntile(10) OVER (ORDER BY x, user_id) AS BIGINT) AS decile
+              |  FROM per
+              |)
+              |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+              |       CAST(SUM(x) AS BIGINT) AS decile_cents,
+              |       CAST(SUM(x) AS BIGINT) * 1000000
+              |         // CAST(MAX(t.total) AS BIGINT) AS share_ppm
+              |FROM d CROSS JOIN tot t
+              |GROUP BY decile
+              |ORDER BY decile NULLS FIRST""".stripMargin)),
+
     // Robust per-user outlier detection via MAD (median absolute
     // deviation) — the robust-statistics twin of q_events_outliers' 2σ
     // rule: a single whale purchase inflates a user's σ enough to hide
