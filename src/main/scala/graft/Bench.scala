@@ -286,7 +286,8 @@ object ScaleProbe {
     // ONE copy at any factor — that is the 100 TB reality the probe models
     // (facts grow, dims do not), and unioning factor identical copies
     // would wrongly multiply every dim join's fan-out.
-    val growable = Set("customer", "orders", "lineitem", "documents", "embeddings")
+    val growable = Set("customer", "orders", "lineitem", "documents",
+      "embeddings", "events")
     if (!growable(name)) return base
     val copies = (0 until factor).map { i =>
       val off = i * KeyStride
@@ -301,6 +302,12 @@ object ScaleProbe {
         case "documents" =>
           base.withColumn("doc_id", col("doc_id") + off)
             .withColumn("text", regexp_replace(col("text"), lit("\\s+"), lit(s" r$i ")))
+        case "events" =>
+          // more USERS over the same time range (the realistic growth
+          // axis): per-user history length stays fixed, keyed operators
+          // must scale in user count
+          base.withColumn("event_id", col("event_id") + off)
+            .withColumn("user_id", col("user_id") + off)
         case _ =>
           base.withColumn("vec_id", col("vec_id") + off)
       }
@@ -397,7 +404,12 @@ object ScaleProbe {
         // the probe exists to catch: a plan that re-broadcast a grown side
         // or re-shuffled a dim would bend this ratio superlinear.
         catalogWork("q_join_star", "customer", "orders", "lineitem",
-          "nation", "region")) ++
+          "nation", "region"),
+        // the native as-of exec at factor×: user count grows, per-user
+        // history stays fixed — the key-partitioned one-pointer merge must
+        // scale linearly in users (a regression to a buffered or
+        // re-shuffled form would bend this curve)
+        catalogWork("q_join_asof_native", "events")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench

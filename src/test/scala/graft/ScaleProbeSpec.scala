@@ -36,6 +36,21 @@ class ScaleProbeSpec extends SparkSpec {
       Graft.table(spark, dir, "region").count())
   }
 
+  test("events replication grows users, not per-user history") {
+    // the as-of probe's growth axis: factor× distinct users over the same
+    // time range, each user's history length unchanged — if replicas
+    // collided on user_id the per-user merge state would densify and the
+    // probe would measure a different (per-key-quadratic-ish) workload
+    val base = Graft.table(spark, dir, "events")
+    val r3 = ScaleProbe.replicate(spark, dir, "events", 3)
+    assert(r3.count() == 3 * base.count())
+    assert(r3.select($"user_id").distinct().count() ==
+      3 * base.select($"user_id").distinct().count())
+    val m1 = base.groupBy($"user_id").count().agg(max($"count")).head.getLong(0)
+    val m3 = r3.groupBy($"user_id").count().agg(max($"count")).head.getLong(0)
+    assert(m1 == m3, s"per-user history changed under replication: $m1 -> $m3")
+  }
+
   test("star-join probe workload runs on a replicated probe dir with dims") {
     // the full q_join_star plan against a factor-2 probe dir — the exact
     // combination that failed when the probe dir lacked the dim tables
