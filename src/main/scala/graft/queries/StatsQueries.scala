@@ -318,6 +318,124 @@ object StatsQueries extends Catalog {
               |FROM m
               |ORDER BY user_id NULLS FIRST""".stripMargin)),
 
+    // Market-basket affinity (Apriori level 2): which event types
+    // co-occur within a user-day beyond chance — support, confidence,
+    // and lift in exact integer ppm (lift > 1e6 means positive
+    // association). The CO-OCCURRENCE complement of q_events_markov's
+    // SEQUENTIAL transitions. Scale shape: collapse to distinct
+    // (user-day, type) FIRST — the only corpus-sized step — then the
+    // pair self-join is bounded by |types|² per basket and the final
+    // count groups by a ≤|types|² key space, map-side combined.
+    "q_events_basket_affinity" -> Q(
+      t => {
+        val ud = t.events.select(
+            concat(col("user_id"), lit(":"),
+              expr("unix_micros(ts) div 86400000000")).as("basket"),
+            col("event_type")).distinct()
+          .localCheckpoint(true)
+        val nb = ud.select(col("basket")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val single = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+        val pairs = ud.join(
+            ud.select(col("basket").as("b2"), col("event_type").as("tb")),
+            col("basket") === col("b2") && col("event_type") < col("tb"))
+          .groupBy(col("event_type").as("ta"), col("tb"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(single.select(col("event_type").as("ta"),
+            col("n_single").as("n_a"))), "ta")
+          .join(broadcast(single.select(col("event_type").as("tb"),
+            col("n_single").as("n_b"))), "tb")
+          .crossJoin(broadcast(nb))
+          .select(col("ta"), col("tb"), col("n_ab"),
+            expr("n_ab * 1000000 div n_baskets").as("support_ppm"),
+            expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+            expr("n_ab * n_baskets * 1000000 div (n_a * n_b)").as("lift_ppm"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH ud AS (
+              |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+              |           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+              |                AS VARCHAR) AS basket,
+              |         event_type
+              |  FROM events
+              |), nb AS (
+              |  SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM ud
+              |), single AS (
+              |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+              |  FROM ud GROUP BY event_type
+              |), pairs AS (
+              |  SELECT a.event_type AS ta, b.event_type AS tb,
+              |         CAST(COUNT(*) AS BIGINT) AS n_ab
+              |  FROM ud a JOIN ud b
+              |    ON a.basket = b.basket AND a.event_type < b.event_type
+              |  GROUP BY 1, 2
+              |)
+              |SELECT p.ta, p.tb, p.n_ab,
+              |       p.n_ab * 1000000 // nb.n AS support_ppm,
+              |       p.n_ab * 1000000 // sa.n_single AS conf_ppm,
+              |       p.n_ab * nb.n * 1000000 // (sa.n_single * sb.n_single)
+              |         AS lift_ppm
+              |FROM pairs p
+              |JOIN single sa ON p.ta = sa.event_type
+              |JOIN single sb ON p.tb = sb.event_type
+              |CROSS JOIN nb
+              |ORDER BY p.ta NULLS FIRST, p.tb NULLS FIRST""".stripMargin)),
+
+    // Wilson score interval for per-group rates — the A/B family's
+    // interval estimate beside q_events_ab_ttest's point test: the
+    // binomial CI that stays inside [0,1] and behaves at small n, where
+    // the Wald interval collapses. Moments are exact BIGINTs (n, k);
+    // the interval itself is the q_events_regression convention — one
+    // FIXED sequence of IEEE ops (every divide/multiply/sqrt correctly
+    // rounded, identical literals on both engines), rounded at the end.
+    "q_agg_rate_ci" -> Q(
+      t => {
+        val m = t.events
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("k"))
+        val nD = col("n").cast("double")
+        val pd = col("k").cast("double") / nD
+        val cn = lit(3.8416) / nD
+        val denom = lit(1.0) + cn
+        val center = (pd + cn / 2.0) / denom
+        val half = (lit(1.96) * sqrt(pd * (lit(1.0) - pd) / nD + cn / (lit(4.0) * nD))) / denom
+        m.select(col("event_type"), col("n"), col("k"),
+            round(center - half, 6).as("ci_lo"),
+            round(center + half, 6).as("ci_hi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+              |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+              |              AS BIGINT) AS k
+              |  FROM events GROUP BY event_type
+              |)
+              |SELECT event_type, n, k,
+              |       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              |           + (3.8416 / CAST(n AS DOUBLE)) / 2.0)
+              |         / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+              |         - (1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              |             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              |             / CAST(n AS DOUBLE)
+              |             + (3.8416 / CAST(n AS DOUBLE))
+              |               / (4.0 * CAST(n AS DOUBLE))))
+              |           / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000)
+              |         / 1000000 AS ci_lo,
+              |       ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              |           + (3.8416 / CAST(n AS DOUBLE)) / 2.0)
+              |         / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+              |         + (1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              |             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              |             / CAST(n AS DOUBLE)
+              |             + (3.8416 / CAST(n AS DOUBLE))
+              |               / (4.0 * CAST(n AS DOUBLE))))
+              |           / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000)
+              |         / 1000000 AS ci_hi
+              |FROM m
+              |ORDER BY event_type NULLS FIRST""".stripMargin)),
+
     // CUSUM change-point detection — the sequential drift monitor
     // (Page 1954) whose textbook form S_t = max(0, S_{t-1} + dev_t) is a
     // RECURSION no window frame expresses directly; the engine uses the
