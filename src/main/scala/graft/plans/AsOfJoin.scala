@@ -52,7 +52,7 @@ object NativeAsOf {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
-    build(left, right, key, leftTime, rightTime, valueCols, forward = false)
+    build(left, right, key, leftTime, rightTime, valueCols, mode = "backward")
 
   /** Forward as-of (smallest right time STRICTLY later; (key, time) ties
     * resolve to the greatest value tuple — `AsOf.nearestLater`'s
@@ -63,11 +63,22 @@ object NativeAsOf {
     */
   def forward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
-    build(left, right, key, leftTime, rightTime, valueCols, forward = true)
+    build(left, right, key, leftTime, rightTime, valueCols, mode = "forward")
+
+  /** Nearest as-of in EITHER direction (`AsOf.nearest`'s contract: min
+    * |Δt|, the earlier row wins an exact two-sided tie, a same-instant
+    * row wins outright). One merge pass holds BOTH candidates — the
+    * carried backward row and the peeked forward row — and picks by
+    * exact integer distance, so times must be TimestampType or integral
+    * (the same precondition the composed form documents).
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
+    build(left, right, key, leftTime, rightTime, valueCols, mode = "nearest")
 
   private def build(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String],
-      forward: Boolean): DataFrame = {
+      mode: String): DataFrame = {
     // extension-registered sessions (Graft.session) already carry the
     // strategy; foreign sessions (the driver's Verify, bare test sessions)
     // get it injected idempotently here
@@ -93,7 +104,7 @@ object NativeAsOf {
       AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
     val node = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched, forward)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched, mode)
     PlanBridge.ofRows(left.sparkSession, node)
   }
 }
@@ -108,7 +119,7 @@ final case class AsOfJoinPlan(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute], matched: Seq[Attribute],
-    forward: Boolean = false) extends BinaryNode {
+    mode: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -128,7 +139,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.rightKey, p.leftTime, p.rightTime,
-        p.rightValues, p.matched, p.forward) :: Nil
+        p.rightValues, p.matched, p.mode) :: Nil
     case _ => Nil
   }
 }
@@ -142,7 +153,7 @@ final case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute], matched: Seq[Attribute],
-    forward: Boolean = false) extends BinaryExecNode {
+    mode: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -160,7 +171,7 @@ final case class AsOfJoinExec(
     // ascending), forward PEEKS the first qualifying row (values
     // descending)
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-      rightValues.map(SortOrder(_, if (forward) Descending else Ascending)))
+      rightValues.map(SortOrder(_, if (mode == "forward") Descending else Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -206,7 +217,7 @@ final case class AsOfJoinExec(
       var lastKey: UnsafeRow = null   // copied key of the carried right row
       var lastVals: UnsafeRow = null  // copied value tuple of that row
 
-      if (forward) {
+      if (mode == "forward") {
         // forward merge: PEEK the first right row with same key and time
         // STRICTLY later (values sort descending, so the peeked row is the
         // tie winner); never consume on match — several left rows can
@@ -224,6 +235,47 @@ final case class AsOfJoinExec(
           val m: InternalRow =
             if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKeyProj(l)) == 0)
               valueProj(rHead)
+            else nullVals
+          resultProj(joined(l, m))
+        }
+      } else if (mode == "nearest") {
+        // both candidates in one pass: the CARRIED backward row (greatest
+        // time ≤ left time — same-instant included, it wins at distance 0)
+        // and the PEEKED forward row (smallest time strictly later). Pick
+        // by exact integer distance, backward winning the two-sided tie —
+        // AsOf.nearest's contract. Distance arithmetic needs integral
+        // times (TimestampType evaluates to µs longs).
+        def asLong(a: Any): Long = a match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case s: java.lang.Short => s.toLong
+          case other => throw new IllegalArgumentException(
+            s"nearest as-of needs integral/timestamp times, got $other")
+        }
+        var lastTime = 0L
+        val lTimeGet = lTimeExpr
+        val rTimeGet = rTimeExpr
+        lIter.map { l =>
+          val lt = asLong(lTimeGet.eval(l))
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKeyProj(l))
+            if (c < 0 || (c == 0 && asLong(rTimeGet.eval(rHead)) <= lt)) {
+              lastKey = rKeyProj(rHead).copy()
+              lastVals = valueProj(rHead).copy()
+              lastTime = asLong(rTimeGet.eval(rHead))
+              advance()
+              continue = rHead != null
+            } else continue = false
+          }
+          val hasBack = lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0
+          val hasFwd = rHead != null && keyOrd.compare(rKeyProj(rHead), lKeyProj(l)) == 0
+          val m: InternalRow =
+            if (hasBack && hasFwd) {
+              if (lt - lastTime <= asLong(rTimeGet.eval(rHead)) - lt) lastVals
+              else valueProj(rHead)
+            } else if (hasBack) lastVals
+            else if (hasFwd) valueProj(rHead)
             else nullVals
           resultProj(joined(l, m))
         }

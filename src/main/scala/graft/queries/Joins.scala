@@ -280,6 +280,41 @@ object Joins extends Catalog {
     // all-pairs-per-user argmin formulation the window plan avoids at
     // scale; the purchase side is tie-collapsed per (user_id, ts) so both
     // formulations are deterministic.
+    // Native-operator twin of q_join_asof_nearest: AsOfJoinExec's nearest
+    // mode holds the carried backward candidate and the peeked forward
+    // candidate in ONE merge pass and picks by exact integer µs distance
+    // (backward wins the two-sided tie) — the composed form needs two
+    // window frames over its union; the native form needs no union at
+    // all. Same quadratic per-user argmin oracle as the composed twin.
+    "q_join_asof_native_nearest" -> Q(
+      t => {
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+        graft.plans.NativeAsOf.nearest(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("event_id"))
+          .select(col("event_id"), col("asof_event_id").as("near_purchase_id"))
+          .orderBy(col("event_id"), col("near_purchase_id"))
+      },
+      Some("""SELECT event_id, near_purchase_id FROM (
+              |  SELECT e.event_id, p.event_id AS near_purchase_id,
+              |         row_number() OVER (PARTITION BY e.event_id
+              |           ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+              |                      - epoch_us(p.ts)),
+              |                    p.ts) AS rn
+              |  FROM events e
+              |  LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+              |                    MAX(event_id) AS event_id
+              |             FROM events WHERE event_type = 'purchase'
+              |             GROUP BY 1, 2) p
+              |    ON e.user_id = p.user_id)
+              |WHERE rn = 1
+              |ORDER BY event_id NULLS FIRST, near_purchase_id NULLS FIRST""".stripMargin)),
+
     "q_join_asof_nearest" -> Q(
       t => {
         val events = t.events

@@ -100,6 +100,38 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got(4L) == None)            // user 2: no quotes
   }
 
+  test("nearest native exec matches the composed two-frame form on real data") {
+    val l = events.select($"event_id", $"user_id", $"ts")
+    val composed = AsOf.nearest(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    val native = NativeAsOf.nearest(l, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.sameElements(composed))
+  }
+
+  test("nearest semantics: two-sided tie to earlier, same-instant wins outright") {
+    val l = Seq((1L, 200L, 1L), (1L, 300L, 2L), (1L, 105L, 3L))
+      .toDF("user_id", "t", "v" /* unused */).toDF("user_id", "t", "event_id")
+    // quotes: 100 and 300 → left t=200 is an exact two-sided tie (earlier
+    // 100 wins); left t=300 has a same-instant quote (wins at distance 0);
+    // left t=105 is nearer to 100 than 300
+    val r = Seq((1L, 100L, 10L), (1L, 300L, 30L)).toDF("user_id", "t", "v")
+    val got = NativeAsOf.nearest(l, r, key = "user_id",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"))
+      .select($"event_id", $"asof_v")
+      .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(1L) == Some(10L)) // |200-100| == |300-200| → earlier wins
+    assert(got(2L) == Some(30L)) // same instant, distance 0
+    assert(got(3L) == Some(10L)) // plain nearer-earlier
+  }
+
   test("composed form agrees on the hand-built frame (shared truth)") {
     val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
       .toDF("user_id", "t", "event_id")
