@@ -272,6 +272,75 @@ object StatsQueries extends Catalog {
               |GROUP BY a.user_id
               |ORDER BY a.user_id NULLS FIRST""".stripMargin)),
 
+    // Inter-arrival burstiness — the telemetry statistic behind rate
+    // limiting and anomaly baselining: per user, the exact lower MEDIAN
+    // and 95th percentile of consecutive-event gaps (seconds), both by
+    // the weighted-median crossing test (cw·2 ≥ tw / cw·20 ≥ 19·tw — no
+    // percentile_cont float interpolation), plus the mean as an integer
+    // division. A bursty user shows p95 ≫ median; a scheduled one shows
+    // them equal. Scale shape: one lead window + rank windows on the
+    // per-(user, gap) COLLAPSED relation, all on the user_id exchange.
+    "q_events_inter_arrival" -> Q(
+      t => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val gaps = t.events
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select(col("user_id"), expr("(next_us - us) div 1000000").as("g"))
+          .localCheckpoint(true)
+        val byG = gaps.groupBy(col("user_id"), col("g")).agg(count(lit(1)).as("w"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("g"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("user_id"))
+        val ranked = byG.select(col("user_id").as("r_uid"), col("g"),
+          sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
+        val q = ranked.groupBy(col("r_uid"))
+          .agg(min(when(col("cw") * 2 >= col("tw"), col("g"))).as("median_gap_s"),
+            min(when(col("cw") * 20 >= col("tw") * 19, col("g"))).as("p95_gap_s"))
+        gaps.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("sum(g) div count(1)").as("mean_gap_s"))
+          .join(q, col("user_id") === col("r_uid"))
+          .select(col("user_id"), col("n_gaps"), col("mean_gap_s"),
+            col("median_gap_s"), col("p95_gap_s"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH gaps AS (
+              |  SELECT user_id,
+              |         (lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+              |            PARTITION BY user_id
+              |            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+              |          - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS g
+              |  FROM events
+              |), gg AS (
+              |  SELECT user_id, g FROM gaps WHERE g IS NOT NULL
+              |), byg AS (
+              |  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS w
+              |  FROM gg GROUP BY 1, 2
+              |), rk AS (
+              |  SELECT user_id, g,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id ORDER BY g
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |           AS BIGINT) AS cw,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id) AS BIGINT) AS tw
+              |  FROM byg
+              |), q AS (
+              |  SELECT user_id,
+              |         MIN(CASE WHEN cw * 2 >= tw THEN g END) AS median_gap_s,
+              |         MIN(CASE WHEN cw * 20 >= tw * 19 THEN g END) AS p95_gap_s
+              |  FROM rk GROUP BY user_id
+              |), m AS (
+              |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              |         CAST(SUM(g) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+              |           AS mean_gap_s
+              |  FROM gg GROUP BY user_id
+              |)
+              |SELECT m.user_id, m.n_gaps, m.mean_gap_s,
+              |       q.median_gap_s, q.p95_gap_s
+              |FROM m JOIN q ON m.user_id = q.user_id
+              |ORDER BY m.user_id NULLS FIRST""".stripMargin)),
+
     // Time-weighted average — the billing/IoT mean where each reading
     // holds until the next one: Σ v·duration / Σ duration over the
     // lead-defined validity intervals (the q_win_scd2 interval algebra
