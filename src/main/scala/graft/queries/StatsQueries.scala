@@ -387,6 +387,63 @@ object StatsQueries extends Catalog {
               |FROM m
               |ORDER BY user_id NULLS FIRST""".stripMargin)),
 
+    // Windowed-absence detection (cart abandonment): views with NO
+    // purchase by the same user within the following day — the negated
+    // funnel, which EXISTS/anti-join expresses and a window join cannot
+    // (absence has no row to join). Scale shape: the view side is
+    // computed once (eager checkpoint) then split by one LEFT SEMI and
+    // one LEFT ANTI against the purchase stream on the SAME user_id
+    // key + time-band condition — the q_join_waiting_suppliers dual-
+    // correlation discipline; per-user candidate space is bounded by
+    // that user's purchases. Abandonment rate in exact integer ppm.
+    "q_events_abandonment" -> Q(
+      t => {
+        val dayUs = 86400000000L
+        val views = t.events.filter(col("event_type") === "view")
+          .select(col("user_id"), expr("unix_micros(ts)").as("v_us"),
+            col("event_id"))
+          .localCheckpoint(true)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), expr("unix_micros(ts)").as("p_us"))
+        val cond = col("user_id") === col("p_uid") &&
+          col("p_us") >= col("v_us") && col("p_us") <= col("v_us") + dayUs
+        val converted = views.join(purchases, cond, "left_semi")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_converted"))
+        val abandoned = views.join(purchases, cond, "left_anti")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_abandoned"))
+        views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+          .join(converted, Seq("user_id"), "left")
+          .join(abandoned, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_views"),
+            coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+            coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+            expr("coalesce(n_abandoned, 0) * 1000000 div n_views").as("abandon_ppm"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (
+              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS v_us, event_id
+              |  FROM events WHERE event_type = 'view'
+              |), p AS (
+              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+              |  FROM events WHERE event_type = 'purchase'
+              |), flagged AS (
+              |  SELECT v.user_id,
+              |         CASE WHEN EXISTS (
+              |           SELECT 1 FROM p
+              |           WHERE p.user_id = v.user_id
+              |             AND p.p_us >= v.v_us
+              |             AND p.p_us <= v.v_us + 86400000000) THEN 1 ELSE 0
+              |         END AS conv
+              |  FROM v
+              |)
+              |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+              |       CAST(SUM(conv) AS BIGINT) AS n_converted,
+              |       CAST(SUM(1 - conv) AS BIGINT) AS n_abandoned,
+              |       CAST(SUM(1 - conv) AS BIGINT) * 1000000
+              |         // CAST(COUNT(*) AS BIGINT) AS abandon_ppm
+              |FROM flagged GROUP BY user_id
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
     // Market-basket affinity (Apriori level 2): which event types
     // co-occur within a user-day beyond chance — support, confidence,
     // and lift in exact integer ppm (lift > 1e6 means positive

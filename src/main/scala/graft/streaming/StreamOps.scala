@@ -266,6 +266,27 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-static POINT-IN-TIME enrichment — the serving-side twin of
+    * q_join_point_in_time: each streaming event joins the dimension
+    * VERSION valid at its own event time. The dim ships as closed
+    * validity INTERVALS (the q_win_scd2 product: valid_from ≤ t <
+    * valid_to, intervals partition time per key), so the band predicate
+    * matches exactly one version per event and the whole join rides the
+    * broadcast hash on the key with the band as a residual filter — no
+    * stream shuffle, no per-event aggregate, no state. This is the
+    * training-serving-skew guard ON the serving path: the same versioned
+    * dim the batch PIT join trains against, consulted with the same
+    * validity rule at inference time (StreamingPitSpec pins version
+    * selection at boundaries and the no-version null path).
+    */
+  def pointInTimeEnrich(stream: DataFrame, dimVersions: DataFrame,
+      key: String, tsCol: String): DataFrame = {
+    val cond = stream(key) === dimVersions(key) &&
+      stream(tsCol) >= dimVersions("valid_from_us") &&
+      stream(tsCol) < dimVersions("valid_to_us")
+    stream.join(broadcast(dimVersions), cond, "left").drop(dimVersions(key))
+  }
+
   /** One user event on the attribution stream (ts/ids as plain longs so the
     * lexicographic (tsUs, eventId) order is encoder-cheap). */
   final case class UserEvent(
