@@ -322,6 +322,64 @@ object SimilarityQueries extends Catalog {
                |FROM ranked WHERE rank <= 3
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
+    // k-NN classification eval — the non-parametric sibling of
+    // q_sim_nearest_centroid's prototype classifier: each sampled query
+    // takes its 5 nearest neighbors' majority label (ties to the lowest
+    // label — deterministic), scored as a (label, predicted) confusion
+    // matrix. Embedding-quality probes like this decide whether a space
+    // is good enough to drive semantic dedup. Scale shape: the candidate
+    // expansion is bounded by |queries|·|corpus| with the query side a
+    // fixed broadcast sample (the brute-force contract); production
+    // swaps in the IVF/LSH candidate generators under the same vote.
+    "q_sim_knn_eval" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val labels = t.embeddings.select(col("vec_id"), col("label"))
+        val nb = Similarity.bruteForceTopK(emb.filter(col("id") < 50), emb, k = 5)
+          .join(labels.select(col("vec_id").as("cid"),
+            col("label").cast("long").as("nlabel")), "cid")
+        val votes = nb.groupBy(col("qid"), col("nlabel"))
+          .agg(count(lit(1)).as("nv"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("nv").desc, col("nlabel"))
+        val pred = votes
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nlabel").as("predicted"))
+        pred.join(labels.select(col("vec_id").as("qid"),
+            col("label").cast("long").as("true_label")), "qid")
+          .groupBy(col("true_label"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("predicted"))
+      },
+      Some(s"""$duckVecCte, scored AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nlabel,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM n q JOIN n c ON q.vec_id < 50 AND q.vec_id <> c.vec_id
+               |), ranked AS (
+               |  SELECT qid, nlabel,
+               |         row_number() OVER (PARTITION BY qid
+               |           ORDER BY sim DESC, cid) AS rank
+               |  FROM scored
+               |), votes AS (
+               |  SELECT qid, CAST(nlabel AS BIGINT) AS nlabel,
+               |         CAST(COUNT(*) AS BIGINT) AS nv
+               |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+               |), pred AS (
+               |  SELECT qid, nlabel AS predicted FROM (
+               |    SELECT qid, nlabel,
+               |           row_number() OVER (PARTITION BY qid
+               |             ORDER BY nv DESC, nlabel) AS rn
+               |    FROM votes)
+               |  WHERE rn = 1
+               |)
+               |SELECT CAST(e.label AS BIGINT) AS true_label, p.predicted,
+               |       CAST(COUNT(*) AS BIGINT) AS n
+               |FROM pred p JOIN e ON p.qid = e.vec_id
+               |GROUP BY 1, 2
+               |ORDER BY true_label NULLS FIRST, predicted NULLS FIRST""".stripMargin)),
+
     "q_sim_ivf_topk" -> Q(
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),

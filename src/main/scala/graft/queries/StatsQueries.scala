@@ -794,6 +794,30 @@ object StatsQueries extends Catalog {
               |FROM mo WHERE n = 14
               |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin)),
 
+    // Log2 (power-of-two) histogram — the latency-style distribution
+    // profile for heavy-tailed values, where equi-width bins
+    // (q_agg_histogram) waste resolution on the tail: bucket =
+    // ⌊log2(x)⌋+1 computed EXACTLY as the binary-string length (both
+    // engines' bin() — no log2() float boundary, per the no-libm rule).
+    // One per-user collapse + one ≤64-group map-side-combined count.
+    "q_agg_histogram_log2" -> Q(
+      t => {
+        val per = t.events.groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).cast("long").as("x"))
+        per.select(length(bin(col("x"))).cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              |  FROM events GROUP BY user_id
+              |)
+              |SELECT CAST(length(bin(x)) AS BIGINT) AS bucket,
+              |       CAST(COUNT(*) AS BIGINT) AS n_users
+              |FROM per GROUP BY 1
+              |ORDER BY bucket NULLS FIRST""".stripMargin)),
+
     // Gini concentration coefficient of per-user spend — the inequality
     // statistic behind "do 1% of users drive 90% of volume", which
     // decides whether per-user partitioning needs salting the same way
