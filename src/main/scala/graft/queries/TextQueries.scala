@@ -897,6 +897,45 @@ object TextQueries extends Catalog {
               |GROUP BY h
               |ORDER BY doc_id NULLS FIRST, h NULLS FIRST""".stripMargin)),
 
+    // Cross-source duplication matrix — dedup OBSERVABILITY: the same
+    // LSH near-dup pairs aggregated by (source, source), which tells a
+    // corpus owner WHERE the duplication lives (mirror sites, syndicated
+    // feeds, self-duplication within one crawl) and which source pair to
+    // dedup first. Pair sides normalize to an unordered (sa ≤ sb) key so
+    // mirror-direction pairs collapse. Same candidate bound as
+    // q_dedup_lsh_pairs (band blocking, Σ|bucket|²); the source
+    // attribution is two broadcast-scale joins back to documents.
+    "q_dedup_cross_source" -> Q(
+      t => {
+        val pairs = Dedup.lshNearDupPairs(t.documents, "doc_id", "text",
+          threshold = 0.5)
+        val src = t.documents.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+          .select(least(col("src_a"), col("src_b")).as("sa"),
+            greatest(col("src_a"), col("src_b")).as("sb"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some(s"""$duckShingleCtes$duckBandCandCtes, near AS (
+               |  SELECT a, b
+               |  FROM cand
+               |  JOIN sh sa ON cand.a = sa.doc_id
+               |  JOIN sh sb ON cand.b = sb.doc_id
+               |  WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+               |        / len(list_distinct(sa.shd || sb.shd)) >= 0.5
+               |)
+               |SELECT LEAST(da.source, db.source) AS sa,
+               |       GREATEST(da.source, db.source) AS sb,
+               |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+               |FROM near
+               |JOIN documents da ON near.a = da.doc_id
+               |JOIN documents db ON near.b = db.doc_id
+               |GROUP BY 1, 2
+               |ORDER BY sa NULLS FIRST, sb NULLS FIRST""".stripMargin)),
+
     "q_dedup_lsh_pairs" -> Q(
       t => Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
