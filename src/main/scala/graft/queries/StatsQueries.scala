@@ -720,6 +720,76 @@ object StatsQueries extends Catalog {
               |GROUP BY 1, 2
               |ORDER BY dow NULLS FIRST, hr NULLS FIRST""".stripMargin)),
 
+    // Theil–Sen robust trend — the median of all pairwise slopes, the
+    // estimator OLS regression (q_events_regression) is not: one outlier
+    // day bends a least-squares slope arbitrarily, while the pairwise-
+    // slope median tolerates ~29% contamination. Slopes quantize to
+    // integer milli-cents/day (truncating div, non-negative denominator
+    // by construction d2 > d1) so the median rides the standard crossing
+    // test — no rational-number ordering needed. Scale note: the pair
+    // expansion is quadratic in DAYS PER USER (bounded: Σ|user-days|²
+    // per user, ~70² here); long series first downsample to
+    // weekly/monthly points — the estimator's accepted practice — or
+    // switch to the repeated-median variant with the same machinery.
+    "q_ts_theil_sen" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+          .localCheckpoint(true)
+        val slopes = daily
+          .join(daily.select(col("user_id").as("u2"), col("day").as("d2"),
+            col("v").as("v2")),
+            col("user_id") === col("u2") && col("day") < col("d2"))
+          .select(col("user_id"),
+            // slopes go NEGATIVE: explicit floor division (num − pmod)
+            // so Spark's truncating div can't split from DuckDB's
+            // flooring // — the q_ts_interpolate lesson
+            expr("((v2 - v) * 1000 - pmod((v2 - v) * 1000, d2 - day))" +
+              " div (d2 - day)").as("s"))
+        val byS = slopes.groupBy(col("user_id"), col("s")).agg(count(lit(1)).as("w"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(col("user_id"))
+        byS.select(col("user_id"), col("s"),
+            sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("user_id"))
+          .agg(min(col("s")).as("slope_milli_per_day"), max(col("tw")).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), slopes AS (
+              |  -- explicit floor division (non-negative remainder form):
+              |  -- DuckDB's // truncates toward zero on negative operands
+              |  SELECT a.user_id,
+              |         ((b.v - a.v) * 1000
+              |           - (((b.v - a.v) * 1000 % (b.day - a.day))
+              |              + (b.day - a.day)) % (b.day - a.day))
+              |           // (b.day - a.day) AS s
+              |  FROM daily a JOIN daily b
+              |    ON a.user_id = b.user_id AND a.day < b.day
+              |), bys AS (
+              |  SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS w
+              |  FROM slopes GROUP BY 1, 2
+              |), rk AS (
+              |  SELECT user_id, s,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id ORDER BY s
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |           AS BIGINT) AS cw,
+              |         CAST(SUM(w) OVER (PARTITION BY user_id) AS BIGINT) AS tw
+              |  FROM bys
+              |)
+              |SELECT user_id, MIN(s) AS slope_milli_per_day,
+              |       MAX(tw) AS n_pairs
+              |FROM rk WHERE cw * 2 >= tw
+              |GROUP BY user_id
+              |ORDER BY user_id NULLS FIRST""".stripMargin)),
+
     // Rolling lag-1 autocorrelation — the regime-shift indicator next to
     // q_ts_cusum's level-shift alarm: over each trailing 14-day window of
     // (today, yesterday) pairs, the Pearson r of the q_events_regression
