@@ -75,8 +75,16 @@ object Bench {
     // heaviest per-user reassembly in the catalog).
     "q_ts_rolling_median",
     "q_events_pattern_match",
-    // the whole-operator extension next to its composed twin (q_join_asof
-    // above): round-over-round signal for the native exec
+    // The whole-operator extension next to its composed twin (q_join_asof
+    // above): round-over-round signal for the native exec. NOTE (r11,
+    // reconciling r10 verdict task 3): these two catalog entries read as
+    // PARITY here by construction — the catalog queries append a global
+    // orderBy (oracle determinism) whose range-sort costs the same in both
+    // forms and floors the comparison (AbBench r11: catalog twins 0.744 vs
+    // 0.728 s). The operator-level number is the bare A/B in
+    // tools/AbBench.scala: native 1.43× over composed at sf0.1 (0.487 vs
+    // 0.696 s, medians of 5 under this same estimator). Treat these two
+    // rows as regression canaries, not as the exec-vs-composed comparison.
     "q_join_asof_native")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
@@ -193,6 +201,11 @@ object Bench {
       (name, median, runs)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // stdout variant: 3-decimal medians (ms precision is all the estimator
+    // can resolve anyway; full doubles cost ~6 chars × 29 entries of the
+    // fixed tail window)
+    val qsCompact =
+      results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs) =>
       s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -205,34 +218,54 @@ object Bench {
     // a NonFatal failure degrades to an explicit error marker (a silently
     // empty section would be indistinguishable from a disabled probe), while
     // fatal errors (OOM, interrupt) still propagate and fail the bench.
-    val probeJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
+    // Probe JSON in two shapes (r10 verdict task 1 — the stdout line had
+    // lost its head to the driver's fixed 2000-char tail window for TWO
+    // rounds because it embedded the probe's raw runs1/runsN arrays):
+    //  - full (file): t1/tN/ratio plus the raw interleaved runs arrays;
+    //  - compact (stdout): t1/tN/ratio only, ~50 bytes per workload.
+    val (probeFull, probeCompact) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ("", "")
       else try {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
         val probe = ScaleProbe.run(spark, sfDir, factor)
-        val entries = probe.map { p =>
+        def entries(withRuns: Boolean) = probe.map { p =>
           def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-          f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f,"runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
+          val head = f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f"""
+          if (withRuns) head + s""","runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
+          else head + "}"
         }.mkString(",")
-        s""","scale_probe":{"factor":$factor,"queries":{$entries}}"""
+        (s""","scale_probe":{"factor":$factor,"queries":{${entries(true)}}}""",
+          s""","scale_probe":{"factor":$factor,"queries":{${entries(false)}}}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          s""","scale_probe":{"error":"$msg"}"""
+          val j = s""","scale_probe":{"error":"$msg"}"""
+          (j, j)
       }
 
-    // Two artifacts (r9 verdict task 3 — the r9 JSON line outgrew the
-    // driver's fixed-size tail-capture window and lost its head, taking 9
-    // of 10 comparable medians with it):
-    //  - target/bench.json: the FULL record including the per-query raw
-    //    runs arrays, for forensics;
-    //  - stdout: ONE compact line (medians + total + probe, runs only in
-    //    the file) small enough that the tail window always holds all of it.
+    // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
+    // the r9 AND r10 JSON lines outgrew the driver's fixed-size tail-capture
+    // window, measured at exactly 2000 chars in BENCH_r10 with sbt's
+    // "[success] Total time" footer consuming ~80 of them, and lost their
+    // heads):
+    //  - target/bench.json: the FULL record including the per-query and
+    //    per-probe raw runs arrays, for forensics;
+    //  - stdout: ONE compact line (3-decimal medians + total + runs-free
+    //    probe) sized for the tail window, with a hard guard: if the line
+    //    would still exceed 1800 chars (window minus sbt footer, with
+    //    margin), the probe object is dropped from stdout entirely — the
+    //    headline medians are the record that must never truncate, and the
+    //    probe stays available in the file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeJson}"""
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_file":"target/bench.json"$probeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull}"""
+    def compactLine(probe: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe}"""
+    val compact = {
+      val withProbe = compactLine(probeCompact)
+      if (withProbe.length <= 1800) withProbe
+      else compactLine(s""","scale_probe":"see target/bench.json"""")
+    }
     try {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full)
@@ -271,8 +304,22 @@ object Bench {
   */
 object ScaleProbe {
 
-  /** One probed query: best time at each scale point, median per-pair
-    * ratio, and the raw interleaved runs behind them.
+  /** One probed query: the representative (t1, tN) pair, its ratio, and the
+    * raw interleaved runs behind them.
+    *
+    * Estimator (r10 verdict task 2): t1, tN, and ratio all come from ONE
+    * pair — the median-ratio pair after trimming interference-polluted
+    * pairs — so the three displayed numbers are self-consistent
+    * (tN / t1 == ratio exactly). r10 had reported per-side minima next to a
+    * median-pair ratio, which disagreed by up to 60% when a 17-62s machine
+    * pause landed in one run (q_dedup_cc read t1 2.423 / tN 5.452 = 2.25×
+    * beside ratio 3.60×). A pair is "polluted" when either element exceeds
+    * 3× that side's minimum across all pairs (the observed pauses are
+    * 5-25× swings, well past 3×, while genuine run-to-run variance on this
+    * box stays within ~1.5×); if trimming would discard everything, the
+    * untrimmed set is used (the min pair always survives the filter, so
+    * this fallback is only reachable when every pair is polluted on the
+    * OTHER side simultaneously).
     */
   final case class ProbePoint(name: String, t1: Double, tN: Double,
       ratio: Double, runs1: Seq[Double], runsN: Seq[Double])
@@ -467,9 +514,14 @@ object ScaleProbe {
           Bench.quiesce(spark)
           System.gc()
           val pairs = Seq.fill(5)((once(w, s"$root/x1"), once(w, s"$root/x$factor")))
-          val ratios = pairs.map { case (a, b) => b / a }.sorted
-          Some(ProbePoint(w.name, pairs.map(_._1).min, pairs.map(_._2).min,
-            ratios(ratios.size / 2), pairs.map(_._1), pairs.map(_._2)))
+          // trimmed median-pair estimator — see ProbePoint scaladoc
+          val min1 = pairs.map(_._1).min
+          val minN = pairs.map(_._2).min
+          val clean = pairs.filter { case (a, b) => a <= 3 * min1 && b <= 3 * minN }
+          val usable = if (clean.nonEmpty) clean else pairs
+          val (t1, tN) = usable.sortBy { case (a, b) => b / a }.apply(usable.size / 2)
+          Some(ProbePoint(w.name, t1, tN, tN / t1,
+            pairs.map(_._1), pairs.map(_._2)))
         } catch {
           // One broken workload must not erase the other probes' evidence
           // (the r10 lesson: a missing probe-dir table zeroed the WHOLE

@@ -5,23 +5,30 @@ import graft.Tables
 import graft.operators.AsOf
 
 /** Scratch A/B harness for the current perf question (contents change per
-  * round; this round: what does the native sort-merge as-of exec
-  * (plans/AsOfJoin.scala — two exchanges in each side's own schema + a
-  * one-pointer merge) buy over the composed union+window form
-  * (operators/AsOf.nearestEarlier — one exchange of the UNION in the
-  * widened schema + a running last(ignoreNulls) window)? Both forms run
-  * the identical q_join_asof shape: every event against the tie-collapsed
-  * purchase stream, noop-sink evaluated.
+  * round; this round, r11: RECONCILE the two published native-as-of
+  * numbers (r10 verdict task 3). AbBench r10 measured the bare operators
+  * at 1.6× (composed 0.656 s vs native 0.406 s), but the driver's
+  * headline had the two CATALOG queries at parity (0.656 vs 0.633). The
+  * suspect: the catalog queries append a global
+  * `.orderBy(event_id, prev_purchase_id)` (oracle determinism) — a
+  * range-exchange + sort over the FULL event output that costs the same
+  * in both forms and floors the measurement. This harness runs all four
+  * variants (composed/native × bare/with-catalog-orderBy) under the
+  * HEADLINE estimator (warmup, quiesce+GC, 5 timed runs, median) so the
+  * numbers are directly comparable to BENCH_r{N}.
   *
-  * r10 measurement (sf0.1, median of 3, local[32]): composed 0.656 s,
-  * native 0.406 s — the native exec buys ~1.6× on this shape. Where it
-  * comes from: the union widens every left row with null value slots
-  * BEFORE its shuffle (wasted shuffle bytes) and the window evaluator
-  * buffers frames per key, while the exec shuffles each side unwidened
-  * and carries exactly one copied value row per partition. The composed
-  * form remains the portable reference (no extension needed) and the
-  * oracle-shaped twin; both are bit-identical by AsOfNativeSpec and both
-  * sit under the DuckDB ASOF gate (q_join_asof / q_join_asof_native).
+  * r11 RESULT (sf0.1, local[32], this harness, medians of 5): bare
+  * composed 0.696 s vs bare native 0.487 s → **1.43×, same direction as
+  * AbBench r10's 1.6×**; with the catalog orderBy composed 0.744 s vs
+  * native 0.728 s → 1.02×, parity, reproducing the r10 headline.
+  * Reconciliation: BOTH r10 numbers were real — the global range-sort
+  * (~0.25 s, plus the shared scan + tie-collapse construction) dominates
+  * the catalog twins and costs the same in both forms, so the exec's win,
+  * which lives entirely in the join stage it replaces, is invisible
+  * there. The honest production claim is the bare-operator ~1.4-1.6×
+  * (run-to-run band across r10/r11); the headline twins remain useful
+  * only as a round-over-round regression canary, not as the operator
+  * comparison (noted at the headline list in Bench.scala).
   *
   * Prior rounds' measurements live in git history (r10 Hilbert fusion:
   * composed 0.957 s vs native codegen kernel 0.384 s — the 2.5× that
@@ -38,14 +45,19 @@ object AbBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // the headline estimator (Bench.runOnce shape): t0 before plan
+    // construction, noop-sink write, warmup + quiesce + GC, 5 runs, median
     def run(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      mk.write.format("noop").mode("overwrite").save() // warm
-      val times = (1 to 3).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[ab] $name%-28s ${times.sorted.apply(1)}%.3f s (median of 3)")
+      once() // warm
+      graft.Bench.quiesce(spark)
+      System.gc()
+      val times = Seq.fill(5)(once()).sorted
+      println(f"[ab] $name%-28s ${times(2)}%.3f s (median of 5: ${times.map(x => f"$x%.3f").mkString(", ")})")
     }
 
     def leftSide = t.events.select(col("event_id"), col("user_id"), col("ts"))
@@ -54,17 +66,20 @@ object AbBench {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("event_id"))
 
-    run("asof-composed") {
-      AsOf.nearestEarlier(leftSide, purchases,
-        key = "user_id", leftTime = "ts", rightTime = "ts",
-        valueCols = Seq("event_id"))
-    }
+    def composed = AsOf.nearestEarlier(leftSide, purchases,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("event_id"))
+    def native = graft.plans.NativeAsOf.backward(leftSide, purchases,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("event_id"))
+    def catalogTail(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("asof_event_id").as("prev_purchase_id"))
+      .orderBy(col("event_id"), col("prev_purchase_id"))
 
-    run("asof-native") {
-      graft.plans.NativeAsOf.backward(leftSide, purchases,
-        key = "user_id", leftTime = "ts", rightTime = "ts",
-        valueCols = Seq("event_id"))
-    }
+    run("asof-composed-bare")(composed)
+    run("asof-native-bare")(native)
+    run("asof-composed-catalog")(catalogTail(composed))
+    run("asof-native-catalog")(catalogTail(native))
     spark.stop()
   }
 }
