@@ -47,16 +47,15 @@ object PageRank {
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Hash-partition the static edge relation on the superstep join key
-    // BEFORE the checkpoint (LocalRelation checkpoints preserve output
-    // partitioning): at gated scale AQE broadcasts the rank side and the
-    // partitioning is moot, but at 100 TB ranks outgrow broadcast and the
-    // per-superstep join plans as SMJ — without this explicit partitioning
-    // that join would re-hash the EDGES side every superstep (AQE
-    // broadcasts deg when building withDeg, leaving the checkpoint in scan
-    // order). One upfront shuffle buys K shuffle-free edge sides.
-    val withDeg = edges.join(deg, "src")
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    // BEFORE the checkpoint: at gated scale AQE broadcasts the rank side
+    // and the partitioning is moot, but at 100 TB ranks outgrow broadcast
+    // and the per-superstep join plans as SMJ — without this explicit
+    // partitioning that join would re-hash the EDGES side every superstep.
+    // One upfront shuffle buys K shuffle-free edge sides. Must go through
+    // Checkpoints.partitioned: a plain repartition+localCheckpoint under
+    // AQE records UnknownPartitioning and the contract silently breaks
+    // (caught by GraphPlanFenceSpec — see Checkpoints scaladoc).
+    val withDeg = Checkpoints.partitioned(edges.join(deg, "src"), col("src"))
     var ranks = deg.select(col("src").as("node"), lit(InitRank).as("pr"))
     for (_ <- 1 to iters) {
       ranks = withDeg

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{PageRank, Triangles}
+import graft.operators.{Checkpoints, PageRank, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relations the engine already holds — the iterative
@@ -320,7 +320,16 @@ object GraphQueries extends Catalog {
         val edges = fwd
           .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
-          .localCheckpoint(true)
+          // hash-partition on the superstep join key BEFORE the checkpoint
+          // (same contract as PageRank.run, pinned by GraphPlanFenceSpec):
+          // distinct() leaves the relation partitioned on (src, dst), which
+          // does NOT satisfy the per-round join's src distribution — without
+          // this, every superstep re-shuffles the full edge relation at SMJ
+          // scale; with it, one upfront shuffle buys K shuffle-free sides.
+          // Checkpoints.partitioned, not a bare repartition+localCheckpoint:
+          // under AQE the latter records UnknownPartitioning and the
+          // contract silently breaks (see Checkpoints scaladoc).
+          .transform(Checkpoints.partitioned(_, col("src")))
         val seeds = t.part.filter(col("p_size") === 1)
           .select((col("p_partkey") * 2 + 1).as("node"), lit(0L).as("dist"))
         var dist = seeds
@@ -377,7 +386,9 @@ object GraphQueries extends Catalog {
     "q_graph_label_prop" -> Q(
       t => {
         val edges = symmetrize(coEdges(t, minShared = 2))
-          .localCheckpoint(true)
+          // pre-partition on the vote-join key (see q_graph_bfs note;
+          // pinned by GraphPlanFenceSpec)
+          .transform(Checkpoints.partitioned(_, col("u")))
         var lab = edges.select(col("u").as("node")).distinct()
           .select(col("node"), col("node").as("lbl"))
         for (_ <- 1 to 2) {
@@ -438,7 +449,9 @@ object GraphQueries extends Catalog {
           .agg(min(col("l_quantity").cast("long")).as("w"))
         val edges = fwd
           .union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-          .localCheckpoint(true)
+          // pre-partition on the relax-join key (see q_graph_bfs note;
+          // pinned by GraphPlanFenceSpec)
+          .transform(Checkpoints.partitioned(_, col("src")))
         val seeds = t.part.filter(col("p_size") === 1)
           .select((col("p_partkey") * 2 + 1).as("node"), lit(0L).as("dist"))
         var dist = seeds

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.queries.AllQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** Plan fence for the superstep (Pregel-shaped) iteration family
+  * (r10 verdict task 5): the scale contract of [[PageRank.run]] — and of
+  * the same pattern inlined in q_graph_bfs / q_graph_sssp /
+  * q_graph_label_prop — is that the static edge relation is hash-
+  * partitioned on the superstep join key BEFORE its one-time checkpoint,
+  * so each of the K per-round joins consumes the checkpointed edges
+  * WITHOUT re-shuffling them; only the O(nodes) rank/frontier side moves.
+  * That claim was comment-only; this spec executes the plans with
+  * broadcast forced off (at test scale AQE would otherwise broadcast the
+  * rank side and hide the question — at 100 TB ranks outgrow broadcast
+  * and the join is SMJ, which is exactly the regime the fence pins) and
+  * asserts structurally, per superstep join, that the side fed by the
+  * checkpoint scan reaches the join through NO shuffle exchange. Dropping
+  * the `repartition(src)` before the checkpoint fails this spec: the scan
+  * comes back partitioned on distinct()'s (src, dst) — or scan order —
+  * and EnsureRequirements inserts an exchange above it in every round.
+  */
+class GraphPlanFenceSpec extends SparkSpec {
+
+  /** All nodes of the executed tree, descending through AQE wrappers and
+    * materialized query stages (whose subtrees hang off `plan`, not
+    * `children`).
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: below.flatMap(flatten)
+  }
+
+  /** The unary chain from a join input downward: wrappers (sort, codegen,
+    * AQE reads, exchanges, stage boundaries) until the first leaf or
+    * multi-child node. A side whose chain terminates at the checkpoint's
+    * RDD scan is an edge side; the fence is that such a chain holds no
+    * shuffle.
+    */
+  private def chain(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: chain(a.executedPlan)
+    case q: QueryStageExec => p +: chain(q.plan)
+    case u if u.children.size == 1 => p +: chain(u.children.head)
+    case leafOrBranch => Seq(leafOrBranch)
+  }
+
+  private def assertEdgeSidesUnshuffled(df: DataFrame, expectedJoins: Int): Unit = {
+    df.collect() // AQE finalizes stages only at runtime
+    val smjs = flatten(df.queryExecution.executedPlan)
+      .collect { case j: SortMergeJoinExec => j }
+    // >= not ==: the bfs/sssp unrolled rounds reference the prior frontier
+    // twice (union + join), so the physical tree instantiates some round
+    // joins more than once until exchange/stage reuse collapses them
+    assert(smjs.size >= expectedJoins,
+      s"expected at least $expectedJoins superstep SMJs, got ${smjs.size}:\n" +
+        df.queryExecution.executedPlan)
+    val edgeJoins = smjs.map { j =>
+      Seq(j.left, j.right)
+        .map(chain)
+        .filter(_.lastOption.exists(_.isInstanceOf[RDDScanExec]))
+    }.filter(_.nonEmpty)
+    assert(edgeJoins.size >= expectedJoins,
+      s"expected at least $expectedJoins joins fed directly by the checkpoint " +
+        s"scan, got ${edgeJoins.size}:\n" + df.queryExecution.executedPlan)
+    edgeJoins.flatten.foreach { c =>
+      val shuffles = c.count {
+        case _: ShuffleExchangeLike => true
+        case _ => false
+      }
+      assert(shuffles == 0,
+        s"checkpointed edge side re-shuffles before the superstep join " +
+          s"(the repartition-before-checkpoint contract is broken):\n" +
+          c.map(_.nodeName).mkString(" <- "))
+    }
+  }
+
+  /** Session confs forced for the duration of `body`, then restored. */
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private val forceSmj = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  test("PageRank supersteps consume checkpointed edges with no re-shuffle") {
+    withConf(forceSmj: _*) {
+      // the q_graph_pagerank edge shape, 2 supersteps so the fence also
+      // covers a round whose rank side is itself a prior superstep
+      val li = Tables(spark, sf()).lineitem
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val pr = PageRank.run(edges, iters = 2)
+      assertEdgeSidesUnshuffled(pr, expectedJoins = 2)
+    }
+  }
+
+  test("BFS supersteps consume checkpointed edges with no re-shuffle") {
+    withConf(forceSmj: _*) {
+      val df = AllQueries.all("q_graph_bfs").run(Tables(spark, sf()))
+      assertEdgeSidesUnshuffled(df, expectedJoins = 3)
+    }
+  }
+
+  test("SSSP relax rounds consume checkpointed edges with no re-shuffle") {
+    withConf(forceSmj: _*) {
+      val df = AllQueries.all("q_graph_sssp").run(Tables(spark, sf()))
+      assertEdgeSidesUnshuffled(df, expectedJoins = 3)
+    }
+  }
+}
