@@ -451,14 +451,24 @@ object StatsQueries extends Catalog {
     // SEQUENTIAL transitions. Scale shape: collapse to distinct
     // (user-day, type) FIRST — the only corpus-sized step — then the
     // pair self-join is bounded by |types|² per basket and the final
-    // count groups by a ≤|types|² key space, map-side combined.
+    // count groups by a ≤|types|² key space, map-side combined. The
+    // per-basket bound holds because event_type is a small closed
+    // domain; Guards.boundedGroups enforces it (≤ 1024 distinct types
+    // per basket) so re-pointing the query at a high-cardinality item
+    // column fails loudly instead of expanding quietly.
     "q_events_basket_affinity" -> Q(
       t => {
-        val ud = t.events.select(
-            concat(col("user_id"), lit(":"),
-              expr("unix_micros(ts) div 86400000000")).as("basket"),
-            col("event_type")).distinct()
-          .localCheckpoint(true)
+        val ud = graft.operators.Guards.boundedGroups(
+          t.events.select(
+              concat(col("user_id"), lit(":"),
+                expr("unix_micros(ts) div 86400000000")).as("basket"),
+              col("event_type")).distinct()
+            .localCheckpoint(true),
+          cap = 1024,
+          hint = "Apriori-2 over a high-cardinality item domain needs " +
+            "frequent-item pruning (drop items below a support floor) " +
+            "before the pair join.",
+          col("basket"))
         val nb = ud.select(col("basket")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val single = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
@@ -731,12 +741,21 @@ object StatsQueries extends Catalog {
     // per user, ~70² here); long series first downsample to
     // weekly/monthly points — the estimator's accepted practice — or
     // switch to the repeated-median variant with the same machinery.
+    // That precondition is ENFORCED by Guards.boundedGroups over the
+    // checkpointed daily relation (≤ 4096 days/user ≈ 11 years of daily
+    // points, ~8.4M pairs for the one worst user — the loud-failure
+    // line past which the caller must pre-downsample).
     "q_ts_theil_sen" -> Q(
       t => {
-        val daily = t.events
-          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-          .agg(sum(cents(col("value"))).cast("long").as("v"))
-          .localCheckpoint(true)
+        val daily = graft.operators.Guards.boundedGroups(
+          t.events
+            .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+            .agg(sum(cents(col("value"))).cast("long").as("v"))
+            .localCheckpoint(true),
+          cap = 4096,
+          hint = "Downsample the series to weekly/monthly points before " +
+            "Theil-Sen (the estimator's accepted practice for long series).",
+          col("user_id"))
         val slopes = daily
           .join(daily.select(col("user_id").as("u2"), col("day").as("d2"),
             col("v").as("v2")),
