@@ -58,6 +58,24 @@ object Bpe {
     * eagerly localCheckpoints the rewritten vocab so plan lineage stays flat
     * across iterations (the k-means lesson — and eager, so no lazy backfill
     * job races the next action).
+    *
+    * ==Ceiling: one Spark job per merge rank==
+    * Driver TRAFFIC per merge is one row (the argmax pair) — constant in
+    * corpus and vocabulary size — but driver ROUND-TRIPS are `nMerges`:
+    * each rank schedules one vocab-sized job serially, because greedy BPE's
+    * rank-k choice depends on the counts AFTER rank k-1 is applied (batching
+    * the top-B pre-computed pairs is NOT equivalent: a merge can mint a new
+    * pair — e.g. `(x, ab)` after merging `(a, b)` — whose count exceeds the
+    * pre-computed rank-2 candidate, so any exact batch bound needs the very
+    * recount it would skip). At the gated 5 merges, and up to a few hundred,
+    * this is fine (~0.1-0.3 s/rank on a materialized vocab); at a real
+    * tokenizer's 30k-100k merges it is hours of job-scheduling overhead, and
+    * the right tool is a driver-side (single-node) trainer over the
+    * collected word-frequency table — vocab-sized, NOT corpus-sized, so it
+    * fits comfortably where the corpus never could — with [[segment]]
+    * applying the learned rules distributively. The sequential-greedy
+    * contract itself is pinned by BpeSpec's fuzz parity against an
+    * in-memory reference trainer.
     */
   def train(wordFreq: DataFrame, nMerges: Int): DataFrame = {
     val spark = wordFreq.sparkSession

@@ -50,4 +50,64 @@ class BpeSpec extends SparkSpec {
     val got = train(Seq("ab" -> 2L, "c" -> 5L), 4)
     assert(got == List((1, "a", "b", "ab", 2L)))
   }
+
+  /** Driver-side sequential-greedy BPE with the library's exact contract
+    * (frequency-weighted counts, (count desc, w1, w2) argmax, left-to-right
+    * non-overlapping replace) — the in-memory reference the fuzz parity
+    * below pins Bpe.train against. Kept embarrassingly direct on purpose.
+    */
+  private def referenceTrain(wordFreq: Map[String, Long], nMerges: Int)
+      : List[(Int, String, String, String, Long)] = {
+    var cur: Map[String, (Long, String)] = wordFreq.map { case (w, f) =>
+      w -> ((f, w.map(c => s" $c").mkString + " "))
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var m = 1
+    var done = false
+    while (m <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (f, s)) <- cur) {
+        val syms = s.trim.split(" ").filter(_.nonEmpty)
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((w1, w2), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += ((m, w1, w2, w1 + w2, c))
+        cur = cur.map { case (w, (f, s)) =>
+          w -> ((f, s.replace(s" $w1 $w2 ", s" $w1$w2 ")))
+        }
+        m += 1
+      }
+    }
+    out.toList
+  }
+
+  test("fuzz parity: train matches the in-memory sequential-greedy reference") {
+    // small alphabets force interacting merges (runs, shared symbols, ties)
+    // — exactly the surfaces where a batched or re-ordered induction would
+    // split from sequential greedy; pins the contract the scaladoc ceiling
+    // documents (one job per merge rank because ranks are data-dependent)
+    import org.scalacheck.Gen
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 7)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = for {
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, wordGen)
+      fs <- Gen.listOfN(n, Gen.chooseNum(1L, 5L))
+    } yield ws.zip(fs).groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }
+    val vocabs = Gen.listOfN(6, vocabGen).sample.get
+    vocabs.foreach { vocab =>
+      val got = train(vocab.toSeq, 4)
+      val want = referenceTrain(vocab, 4)
+      assert(got == want, s"vocab $vocab: spark $got vs reference $want")
+    }
+  }
 }
