@@ -72,13 +72,18 @@ object Sampling {
   def systematic(df: DataFrame, idCol: String, k: Int,
       salt: String = "sys"): DataFrame = {
     require(k >= 1, s"stride k must be >= 1, got $k")
+    // collision-safe internal names (r10 ADVICE: the old draw/bucket/rn
+    // silently overwrote same-named input columns and draw/bucket leaked
+    // into the output schema); output schema == input schema — callers
+    // wanting the draw for display recompute it via [[hashKey]], a pure
+    // content hash, exactly as the q_sample_systematic catalog query does
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("draw"), col(idCol))
-    df.withColumn("draw", hashKey(col(idCol), salt))
-      .withColumn("bucket", substring(col("draw"), 1, 1))
-      .withColumn("rn", row_number().over(w))
-      .filter(pmod(col("rn") - 1, lit(k)) === 0)
-      .drop("rn")
+      .partitionBy(col("__sys_bucket")).orderBy(col("__sys_draw"), col(idCol))
+    df.withColumn("__sys_draw", hashKey(col(idCol), salt))
+      .withColumn("__sys_bucket", substring(col("__sys_draw"), 1, 1))
+      .withColumn("__sys_rn", row_number().over(w))
+      .filter(pmod(col("__sys_rn") - 1, lit(k)) === 0)
+      .drop("__sys_draw", "__sys_bucket", "__sys_rn")
   }
 
   /** Per-stratum sampling rates (e.g. downsample dominant languages, keep

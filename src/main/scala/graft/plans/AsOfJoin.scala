@@ -41,9 +41,22 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * row. Cost at 100 TB: two key-hash exchanges + two in-partition sorts —
   * the sort-merge-join floor — with O(1) state per partition.
   *
-  * Preconditions: key and time columns are non-null on both sides (the
-  * merge compares them with natural orderings; the engine's callers join
-  * on generated ids and event times, both non-null by construction).
+  * Null semantics (r11, closing the r10 ADVICE): SQL as-of semantics —
+  * null keys and null times match NOTHING, never each other. Enforced in
+  * two places rather than assumed: [[NativeAsOf.build]] inserts an
+  * IsNotNull filter over the right child when its key/time are nullable
+  * (a right row with a null key or time can match no left row, so the
+  * filter is semantics-preserving and keeps such rows out of the
+  * natural-ordering merge, where nulls-first would have let them pair
+  * with null left keys); the merge itself emits the null match tuple for
+  * any left row whose key or time is null (left rows are KEPT —
+  * left-join semantics — just never matched; previously a null left time
+  * in forward mode silently matched the key's first right row, and in
+  * nearest mode threw from the distance arithmetic). `mode = "nearest"`
+  * additionally validates AT CONSTRUCTION that both time columns are
+  * timestamp/integral (its distance arithmetic needs exact longs) — a
+  * plan-build IllegalArgumentException instead of a runtime one from a
+  * task.
   */
 object NativeAsOf {
 
@@ -83,6 +96,22 @@ object NativeAsOf {
     // strategy; foreign sessions (the driver's Verify, bare test sessions)
     // get it injected idempotently here
     PlanBridge.ensureStrategy(left.sparkSession, AsOfJoinStrategy)
+    if (mode == "nearest") {
+      // fail at plan construction, not from a task mid-job (r10 ADVICE)
+      import org.apache.spark.sql.types._
+      def integral(side: String, df: DataFrame, name: String): Unit = {
+        val dt = df.schema(name).dataType
+        dt match {
+          case TimestampType | TimestampNTZType | DateType |
+               LongType | IntegerType | ShortType => ()
+          case other => throw new IllegalArgumentException(
+            s"nearest as-of needs timestamp/integral time columns for its " +
+              s"exact distance arithmetic; $side time column '$name' is $other")
+        }
+      }
+      integral("left", left, leftTime)
+      integral("right", right, rightTime)
+    }
     val lPlan = PlanBridge.analyzed(left)
     // self-join guard: when both inputs derive from one DataFrame (events
     // as-of events), the right plan's key/time attributes can carry the
@@ -94,7 +123,16 @@ object NativeAsOf {
     // collision-free attributes to reference; dedup of the subtree below
     // the aliases stays internally consistent.
     import org.apache.spark.sql.functions.col
-    val rAliased = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val rAliased0 = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    // a right row with a null key or time matches no left row under SQL
+    // as-of semantics — filter them out BEFORE the natural-ordering merge,
+    // where nulls-first would otherwise pair them with null left keys
+    // (see the null-semantics scaladoc above); no-op when the schema
+    // already guarantees non-null
+    val rAliased =
+      if (rAliased0.schema(key).nullable || rAliased0.schema(rightTime).nullable)
+        rAliased0.filter(col(key).isNotNull && col(rightTime).isNotNull)
+      else rAliased0
     val rPlan = PlanBridge.analyzed(rAliased)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
@@ -217,12 +255,21 @@ final case class AsOfJoinExec(
       var lastKey: UnsafeRow = null   // copied key of the carried right row
       var lastVals: UnsafeRow = null  // copied value tuple of that row
 
+      // SQL null semantics for the LEFT side: a null key or time matches
+      // nothing (the row itself is kept — left join). Null left rows sort
+      // first within the (key, time) ordering, so skipping the right-stream
+      // advance for them loses no later matches.
+      def leftNull(l: InternalRow): Boolean =
+        lKeyProj(l).isNullAt(0) || lTimeProj(l).isNullAt(0)
+
       if (mode == "forward") {
         // forward merge: PEEK the first right row with same key and time
         // STRICTLY later (values sort descending, so the peeked row is the
         // tie winner); never consume on match — several left rows can
         // share one forward match
         lIter.map { l =>
+          if (leftNull(l)) resultProj(joined(l, nullVals))
+          else {
           val lt = lTimeProj(l)
           var continue = rHead != null
           while (continue) {
@@ -237,6 +284,7 @@ final case class AsOfJoinExec(
               valueProj(rHead)
             else nullVals
           resultProj(joined(l, m))
+          }
         }
       } else if (mode == "nearest") {
         // both candidates in one pass: the CARRIED backward row (greatest
@@ -256,6 +304,8 @@ final case class AsOfJoinExec(
         val lTimeGet = lTimeExpr
         val rTimeGet = rTimeExpr
         lIter.map { l =>
+          if (leftNull(l)) resultProj(joined(l, nullVals))
+          else {
           val lt = asLong(lTimeGet.eval(l))
           var continue = rHead != null
           while (continue) {
@@ -278,8 +328,11 @@ final case class AsOfJoinExec(
             else if (hasFwd) valueProj(rHead)
             else nullVals
           resultProj(joined(l, m))
+          }
         }
       } else lIter.map { l =>
+        if (leftNull(l)) resultProj(joined(l, nullVals))
+        else {
         val lt = lTimeProj(l)
         // consume every right row before (key, time) of this left row;
         // the last one consumed per key is the as-of match candidate
@@ -297,6 +350,7 @@ final case class AsOfJoinExec(
           if (lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0) lastVals
           else nullVals
         resultProj(joined(l, m))
+        }
       }
     }
   }

@@ -57,7 +57,12 @@ object SamplingQueries extends Catalog {
     // exercised in every bucket.
     "q_sample_systematic" -> Q(
       t => Sampling.systematic(t.documents, "doc_id", k = 7, salt = "s5")
-        .select(col("doc_id"), col("bucket"), col("draw"))
+        // the operator no longer leaks its helper columns; recompute the
+        // draw for display — hashKey is a pure content hash, so this is
+        // the identical value the stride used
+        .select(col("doc_id"),
+          substring(Sampling.hashKey(col("doc_id"), "s5"), 1, 1).as("bucket"),
+          Sampling.hashKey(col("doc_id"), "s5").as("draw"))
         .orderBy(col("bucket"), col("draw"), col("doc_id")),
       Some(s"""WITH drawn AS (
                |  SELECT doc_id,

@@ -118,22 +118,35 @@ object StatefulOps {
         timerValues: TimerValues): Iterator[SessionSummary] = {
       val out = Vector.newBuilder[SessionSummary]
       var cur = if (sess.exists()) Some(sess.get()) else None
+      // Earlier-session accumulator for late-but-within-watermark events
+      // that fall more than gap BEFORE the stored session start: standard
+      // session semantics make them separate earlier sessions, never a
+      // backwards extension whose internal gap would exceed gapMs. The
+      // batch is sorted, so consecutive such stragglers within gap of each
+      // other fold into ONE pending fragment here instead of emitting one
+      // singleton each; the pending fragment closes when a straggler
+      // arrives beyond its gap, or at end of batch. Residual (documented):
+      // stragglers in DIFFERENT batches that are within gap of each other
+      // still emit as separate fragments — exact cross-batch fragment
+      // merging needs a multi-interval state list, which this processor
+      // trades away for fixed-size state.
+      var pending: Option[(Long, Long, Long, Long)] = None
+      def closePending(): Unit = pending.foreach { case (ps, pl, pn, pc) =>
+        out += SessionSummary(userId, ps, pl, pn, pc)
+        pending = None
+      }
       rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
         val t = r.ts.getTime
         cur match {
           case Some((s, _, _, _)) if t < s - gapMs =>
-            // a late-but-within-watermark event more than gap BEFORE the
-            // stored session start can never belong to it — standard
-            // session semantics make it a separate earlier session, not a
-            // backwards extension whose internal gap would exceed gapMs.
-            // The state holds one open (latest) session per user, so the
-            // earlier fragment closes immediately as a singleton. Residual
-            // (documented): two such stragglers in different batches that
-            // are within gap of EACH OTHER emit as two fragments instead
-            // of one merged session; exact fragment merging needs a
-            // multi-interval state list, which this processor trades away
-            // for fixed-size state.
-            out += SessionSummary(userId, t, t, 1L, r.cents)
+            pending match {
+              case Some((ps, pl, pn, pc)) if t - pl <= gapMs =>
+                // sorted batch ⇒ t ≥ pl, so max() is just belt-and-braces
+                pending = Some((ps, math.max(pl, t), pn + 1L, pc + r.cents))
+              case _ =>
+                closePending()
+                pending = Some((t, t, 1L, r.cents))
+            }
           case Some((s, last, n, c)) if t - last <= gapMs =>
             // min on the start too: a late-but-within-watermark event that
             // predates the stored session start by AT MOST the gap must
@@ -149,6 +162,7 @@ object StatefulOps {
             cur = Some((t, t, 1L, r.cents))
         }
       }
+      closePending()
       cur.foreach { st =>
         sess.update(st)
         // re-arm: exactly one live timer per open session

@@ -26,11 +26,22 @@ object PlanBridge {
     * spark.sql.extensions path only fires at session creation; callers on
     * foreign sessions — the driver's Verify, test suites — still need the
     * strategy present before planning).
+    *
+    * The check-then-append is synchronized on the session so two threads
+    * planning their first native as-of concurrently can't each append a
+    * copy (r10 ADVICE). Note a session built WITH the
+    * SparkSessionExtensions registration will still gain a second,
+    * experimental-list copy here — `extraStrategies` can't see
+    * extension-injected strategies — which is harmless (both candidates
+    * produce the same physical plan; the planner takes the first match)
+    * but expected, not a bug, if observed in `experimental.extraStrategies`.
     */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val s = spark.asInstanceOf[SparkSession]
-    if (!s.experimental.extraStrategies.contains(strategy))
-      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+    s.synchronized {
+      if (!s.experimental.extraStrategies.contains(strategy))
+        s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+    }
   }
 }

@@ -132,6 +132,25 @@ class SamplingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < 200)
   }
 
+  test("systematic keeps the input schema and survives draw/bucket/rn input columns") {
+    // r10 ADVICE: the helper columns used to overwrite same-named inputs
+    // and leak into the output; now internals are __sys_-prefixed and
+    // dropped, so output schema == input schema and user columns survive
+    val df = spark.range(100).toDF("doc_id")
+      .withColumn("draw", $"doc_id" * 2)
+      .withColumn("bucket", $"doc_id" * 3)
+      .withColumn("rn", $"doc_id" * 5)
+    val got = Sampling.systematic(df, "doc_id", k = 4)
+    assert(got.columns.toSeq == Seq("doc_id", "draw", "bucket", "rn"))
+    val rows = got.collect()
+    assert(rows.nonEmpty && rows.length < 100)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id * 2 && r.getLong(2) == id * 3 && r.getLong(3) == id * 5,
+        s"user columns must pass through untouched: $r")
+    }
+  }
+
   test("salt decorrelates draws") {
     val x = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "a")
       .select($"doc_id").as[Long].collect().toSet

@@ -132,6 +132,52 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got(3L) == Some(10L)) // plain nearer-earlier
   }
 
+  test("SQL null semantics: null keys/times match nothing, left rows kept") {
+    // left: a null-key row, a null-time row, and a normal row per mode;
+    // right: a null-key row and a null-time row that must match NOTHING
+    // (natural nulls-first ordering would otherwise pair the null keys),
+    // plus one real quote. The r11 guards: right-side IsNotNull filter +
+    // left-null → null-match emission in the merge (previously forward
+    // matched a null left time to the key's first right row and nearest
+    // threw from the distance arithmetic).
+    def jl(x: java.lang.Long) = x
+    val l = Seq(
+      (jl(null), jl(100L), 1L),   // null key
+      (jl(1L), jl(null), 2L),     // null time
+      (jl(1L), jl(200L), 3L))     // real: backward→10, forward→30, nearest→10
+      .toDF("user_id", "t", "event_id")
+    val r = Seq(
+      (jl(null), jl(50L), 77L),   // null key: matches nothing
+      (jl(1L), jl(null), 88L),    // null time: matches nothing
+      (jl(1L), jl(150L), 10L),
+      (jl(1L), jl(300L), 30L)).toDF("user_id", "t", "v")
+    for ((mode, want3) <- Seq(
+        ("backward", Some(10L)), ("forward", Some(30L)), ("nearest", Some(10L)))) {
+      val f = mode match {
+        case "backward" => NativeAsOf.backward _
+        case "forward" => NativeAsOf.forward _
+        case _ => NativeAsOf.nearest _
+      }
+      val got = f(l, r, "user_id", "t", "t", Seq("v"))
+        .select($"event_id", $"asof_v")
+        .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+      assert(got.size == 3, s"$mode must keep all left rows")
+      assert(got(1L) == None, s"$mode: null left key must match nothing")
+      assert(got(2L) == None, s"$mode: null left time must match nothing")
+      assert(got(3L) == want3, s"$mode: real row got ${got(3L)}")
+    }
+  }
+
+  test("nearest rejects non-integral time columns at plan construction") {
+    val l = Seq((1L, "a", 1L)).toDF("user_id", "t", "event_id")
+    val r = Seq((1L, "b", 10L)).toDF("user_id", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOf.nearest(l, r, "user_id", "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("nearest as-of"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("composed form agrees on the hand-built frame (shared truth)") {
     val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
       .toDF("user_id", "t", "event_id")

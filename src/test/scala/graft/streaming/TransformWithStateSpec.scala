@@ -163,6 +163,41 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("same-batch stragglers within gap of each other merge into one fragment") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_frag_merge").start()
+      in.addData(TimedEvent(t(base + 300000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // one later batch with TWO stragglers, both > gap before the stored
+      // start but within gap (30s) of EACH OTHER: they must fold into ONE
+      // earlier fragment (the pending accumulator), not two singletons —
+      // the in-batch half of the r10 ADVICE; the cross-batch residual
+      // remains documented
+      in.addData(
+        TimedEvent(t(base), 1L, 2L, 50L),
+        TimedEvent(t(base + 30000L), 1L, 3L, 25L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_frag_merge").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(got.length == 2, s"expected merged fragment + main session, got ${got.toList}")
+      assert(got(0).startMs == base && got(0).endMs == base + 30000L &&
+        got(0).nEvents == 2L && got(0).cents == 75L)
+      assert(got(1).startMs == base + 300000L && got(1).nEvents == 1L)
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
