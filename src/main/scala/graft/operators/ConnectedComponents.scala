@@ -48,12 +48,18 @@ object ConnectedComponents {
   def label(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     // Canonical orientation u > v; drop self-loops and duplicates.
-    var e = edges
+    // Checkpoints.preserving, not a bare localCheckpoint: the closing
+    // distinct() leaves the relation hash-partitioned on (u, v), which is
+    // exactly what the per-round convergence probe joins on — a bare
+    // checkpoint under AQE records UnknownPartitioning and the probe
+    // re-exchanges BOTH checkpointed sides every round (the r11
+    // GraphPlanFenceSpec discovery, same mechanism), pinned by
+    // CheckpointsSpec.
+    var e = Checkpoints.preserving(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     var converged = e.isEmpty
     var iter = 0
@@ -74,12 +80,11 @@ object ConnectedComponents {
       // smaller neighbor and u itself re-attach to m. All outputs keep
       // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always).
       val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smallMin, "u")
+      val small = Checkpoints.preserving(large.join(smallMin, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(smallMin.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct()) // (u, v)-partitioned — see the initial checkpoint note
 
       // Fixed point: the edge set is stable. Both sets are distinct, so
       // set equality ⟺ no row is missing from either side of a full outer

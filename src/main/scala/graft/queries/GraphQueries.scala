@@ -511,15 +511,20 @@ object GraphQueries extends Catalog {
     "q_graph_kcore" -> Q(
       t => {
         val K = 3
-        var edges = symmetrize(coEdges(t, minShared = 2))
-          .localCheckpoint(true)
+        // u-partitioned checkpoints (Checkpoints.partitioned — a bare
+        // localCheckpoint under AQE records UnknownPartitioning): each
+        // round's degree count AND first semi join both key on u, so the
+        // preserved partitioning removes two edge-sized exchanges per
+        // round, leaving only the unavoidable v-side exchange
+        var edges = Checkpoints.partitioned(
+          symmetrize(coEdges(t, minShared = 2)), col("u"))
         for (_ <- 1 to 3) {
           val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
             .filter(col("d") >= K).select(col("u").as("n"))
-          edges = edges
+          edges = Checkpoints.partitioned(edges
             .join(keep, col("u") === col("n"), "left_semi")
-            .join(keep.select(col("n").as("n2")), col("v") === col("n2"), "left_semi")
-            .localCheckpoint(true)
+            .join(keep.select(col("n").as("n2")), col("v") === col("n2"), "left_semi"),
+            col("u"))
         }
         edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
           .orderBy(col("node"))

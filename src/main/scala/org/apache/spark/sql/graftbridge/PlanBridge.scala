@@ -1,8 +1,13 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{
+  HashPartitioning, UnknownPartitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Narrow `private[sql]` bridge for the engine's custom logical plans
   * (graft.plans.AsOfJoinPlan): building a DataFrame from a hand-constructed
@@ -21,6 +26,75 @@ object PlanBridge {
   /** The analyzed (attribute-resolved) plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[Dataset[_]].queryExecution.analyzed
+
+  /** Eager local checkpoint that records the executed plan's final HASH
+    * partitioning — with AQE still ON for the materialization job.
+    *
+    * `Dataset.localCheckpoint(true)` records
+    * `queryExecution.executedPlan.outputPartitioning` into its LogicalRDD,
+    * but under AQE the executed plan is the AdaptiveSparkPlanExec wrapper,
+    * which reports the default UnknownPartitioning — so every downstream
+    * consumer re-shuffles the checkpoint (the r11 GraphPlanFenceSpec
+    * discovery). The first fix (running the whole materialization with AQE
+    * off) preserved the partitioning but cost the build job its runtime
+    * broadcasts — measured 2.4× slower on the CC rounds at sf0.1. This
+    * bridge keeps AQE fully on — runtime broadcasts AND partition
+    * coalescing (a second attempt that scoped coalescing off paid ~0.2 s
+    * of 32-tiny-task stages per checkpoint at gated scale: CC's ~8 rounds
+    * went 1.8 s → 3.5 s) — and instead:
+    *
+    *  1. materializes the RDD exactly like Dataset.localCheckpoint(true)
+    *     (row-copy → localCheckpoint → count, eager so no backfill job
+    *     races a later action);
+    *  2. reads the FINAL adaptive plan's outputPartitioning and records
+    *     it in a hand-built LogicalRDD — but ONLY when it is a plain
+    *     HashPartitioning over this plan's own output attributes with the
+    *     materialized partition count; anything else (notably a coalesced
+    *     shuffle read, whose row→partition map is NOT hash%n) degrades to
+    *     UnknownPartitioning — correctness never rides on an optimistic
+    *     claim, since a wrongly-declared partitioning would silently
+    *     mis-join.
+    *
+    * The recording condition is scale-adaptive in exactly the right
+    * direction: a user `repartition(keys)` tail is never coalesced by AQE
+    * (REPARTITION_BY_COL origin), so [[graft.operators.Checkpoints
+    * .partitioned]] always records; an ENSURE_REQUIREMENTS tail (e.g. a
+    * closing distinct) coalesces at small scale — where saving tiny-task
+    * overhead beats saving an exchange — and stays plain at the data
+    * volumes where the downstream exchange is the real cost, which is
+    * when the partitioning gets recorded.
+    */
+  def checkpointPreservingHash(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    val session = ds.sparkSession
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // materializes the checkpoint AND finalizes the AQE plan
+    val finalPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val out = qe.analyzed.output
+    val part = finalPlan.outputPartitioning match {
+      case h: HashPartitioning
+          if h.references.subsetOf(AttributeSet(out)) &&
+            h.numPartitions == rdd.getNumPartitions => h
+      case _ => UnknownPartitioning(rdd.getNumPartitions)
+    }
+    // carry the optimized plan's statistics and constraints exactly like
+    // Dataset.checkpoint (LogicalRDD.fromDataset) does — without them the
+    // checkpoint reports defaultSizeInBytes and the static planner can
+    // never broadcast it (AQE recovers at runtime, but first-attempt plans
+    // and join-order choices degrade; measured +0.6 s on the bfs/sssp
+    // rounds at sf0.1). Output attrs are reused verbatim from the analyzed
+    // plan, so no attribute rewrite is needed.
+    val stats = scala.util.Try(qe.optimizedPlan.stats).toOption
+    val constraints = scala.util.Try(qe.optimizedPlan.constraints).toOption
+    Dataset.ofRows(session,
+      LogicalRDD(out, rdd, part, Nil, isStreaming = false)(
+        session, stats, constraints))
+  }
 
   /** Idempotently add a planner strategy to an EXISTING session (the
     * spark.sql.extensions path only fires at session creation; callers on
