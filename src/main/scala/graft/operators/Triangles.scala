@@ -37,12 +37,18 @@ object Triangles {
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oe = e
+    // s-partitioned checkpoint (Checkpoints.partitioned — bare checkpoints
+    // record UnknownPartitioning under AQE, see Checkpoints scaladoc): the
+    // wedge join below is oe⋈oe on s === s2, and alias-aware partitioning
+    // propagation makes BOTH sides reuse the recorded hash — two of the
+    // triple self-join's six potential exchanges removed; the closing
+    // (t, t2) join legitimately re-keys and keeps its own
+    val oe = Checkpoints.partitioned(e
       .join(deg.select(col("node").as("nu"), col("d").as("du")), col("u") === col("nu"))
       .join(deg.select(col("node").as("nv"), col("d").as("dv")), col("v") === col("nv"))
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true)
+        when(lower, col("v")).otherwise(col("u")).as("t")),
+      col("s"))
     oe
       .join(oe.select(col("s").as("s2"), col("t").as("t2")),
         col("s") === col("s2") && col("t") =!= col("t2"))
