@@ -127,16 +127,33 @@ object Similarity {
         col("qdot"), col("qcos"))
   }
 
+  /** Fused native-kernel cosine — bit-identical to [[cosine]] (same
+    * left-to-right IEEE accumulation; VectorKernelSpec proves pairwise
+    * equality), but one generated loop per pair instead of three HOF folds.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarityExpression.column(a, b)
+
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
     * corpus, rank per query. `queries`/`corpus`: (id, vec double[]).
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForce(queries, corpus, k, cosine)
+
+  /** [[bruteForceTopK]] with the fused native kernel in the pair loop —
+    * same rows bit-for-bit; the scoring loop is the only difference.
+    */
+  def bruteForceTopKNative(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForce(queries, corpus, k, cosineNative)
+
+  private def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+      sim: (Column, Column) => Column): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
     val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))

@@ -322,6 +322,33 @@ object SimilarityQueries extends Catalog {
                |FROM ranked WHERE rank <= 3
                |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
 
+    // Native-kernel twin of q_sim_bruteforce_topk: the per-pair cosine runs
+    // as ONE fused codegen loop (graft.functions.VectorKernels.cosine)
+    // instead of three interpreted HOF folds — same left-to-right IEEE
+    // accumulation, so the SAME DuckDB oracle gates it bit-for-bit
+    // (VectorKernelSpec additionally proves pairwise equality of the two
+    // forms over every embedding pair).
+    "q_sim_bruteforce_topk_native" -> Q(
+      t => {
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        Similarity.bruteForceTopKNative(emb.filter(col("id") < 5), emb, k = 3)
+          .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
+      },
+      Some(s"""$duckVecCte, scored AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+               |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+               |), ranked AS (
+               |  SELECT qid, cid, sim,
+               |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+               |  FROM scored
+               |)
+               |SELECT qid, rank, cid, ROUND(sim, 4) AS sim
+               |FROM ranked WHERE rank <= 3
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST, sim NULLS FIRST""".stripMargin)),
+
     // k-NN classification eval — the non-parametric sibling of
     // q_sim_nearest_centroid's prototype classifier: each sampled query
     // takes its 5 nearest neighbors' majority label (ties to the lowest
