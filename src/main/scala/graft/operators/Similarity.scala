@@ -31,7 +31,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed-HOF cosine — the REFERENCE semantics the DuckDB oracles are
+    * written against (three left-to-right folds: dot + both norms). Kept
+    * as the reference form and for the VectorKernelSpec parity fence;
+    * [[cosine]] routes to the bit-identical fused kernel (AbBench r11-2:
+    * 69× on the 2000×2000 pair grid — HOF lambda trees re-interpret per
+    * element, the kernel is one primitive loop in codegen).
+    */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosine(a: Column, b: Column): Column = cosineNative(a, b)
 
   /** Coarse quantization bucket: bit i set iff dimension i is non-negative.
     * 2^nbits buckets; deterministic and computable engine-independently.
@@ -64,9 +73,16 @@ object Similarity {
       when(maxabs === 0.0, lit(0L))
         .otherwise(floor(x * 127.0 / maxabs + 0.5).cast("long")))
 
-  /** Exact int64 dot of two quantized vectors. */
-  def intDot(a: Column, b: Column): Column =
+  /** Composed-HOF int64 dot — reference semantics for the parity fence;
+    * [[intDot]] routes to the bit-identical fused kernel (AbBench r11-2:
+    * 25× on the pair grid).
+    */
+  def intDotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact int64 dot of two quantized vectors (fused native kernel). */
+  def intDot(a: Column, b: Column): Column =
+    graft.functions.DotProductLongExpression.column(a, b)
 
   /** Quantized brute-force top-k: ranks by the COSINE OF THE QUANTIZED
     * vectors — cross dot and both self-dots are exact int64 arithmetic, so
@@ -136,15 +152,17 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: broadcast the query set, stream the
     * corpus, rank per query. `queries`/`corpus`: (id, vec double[]).
+    * Scores with the fused kernel; [[bruteForceTopKComposed]] is the
+    * reference-form twin (bit-identical rows, three HOF folds per pair).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
-    bruteForce(queries, corpus, k, cosine)
-
-  /** [[bruteForceTopK]] with the fused native kernel in the pair loop —
-    * same rows bit-for-bit; the scoring loop is the only difference.
-    */
-  def bruteForceTopKNative(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     bruteForce(queries, corpus, k, cosineNative)
+
+  /** Composed-HOF twin of [[bruteForceTopK]] — the documented reference
+    * baseline the oracle SQL mirrors; kept in the catalog for the A/B.
+    */
+  def bruteForceTopKComposed(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    bruteForce(queries, corpus, k, cosineComposed)
 
   private def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
       sim: (Column, Column) => Column): DataFrame = {

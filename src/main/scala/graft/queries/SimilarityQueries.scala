@@ -305,7 +305,7 @@ object SimilarityQueries extends Catalog {
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),
           Similarity.toDouble(col("embedding")).as("vec"))
-        Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, k = 3)
+        Similarity.bruteForceTopKComposed(emb.filter(col("id") < 5), emb, k = 3)
           .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
           .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
       },
@@ -332,7 +332,7 @@ object SimilarityQueries extends Catalog {
       t => {
         val emb = t.embeddings.select(col("vec_id").as("id"),
           Similarity.toDouble(col("embedding")).as("vec"))
-        Similarity.bruteForceTopKNative(emb.filter(col("id") < 5), emb, k = 3)
+        Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, k = 3)
           .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
           .orderBy(col("qid"), col("rank"), col("cid"), col("sim"))
       },

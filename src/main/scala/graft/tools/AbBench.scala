@@ -2,37 +2,33 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import graft.Tables
-import graft.operators.AsOf
+import graft.operators.Similarity
 
 /** Scratch A/B harness for the current perf question (contents change per
-  * round; this round, r11: RECONCILE the two published native-as-of
-  * numbers (r10 verdict task 3). AbBench r10 measured the bare operators
-  * at 1.6× (composed 0.656 s vs native 0.406 s), but the driver's
-  * headline had the two CATALOG queries at parity (0.656 vs 0.633). The
-  * suspect: the catalog queries append a global
-  * `.orderBy(event_id, prev_purchase_id)` (oracle determinism) — a
-  * range-exchange + sort over the FULL event output that costs the same
-  * in both forms and floors the measurement. This harness runs all four
-  * variants (composed/native × bare/with-catalog-orderBy) under the
-  * HEADLINE estimator (warmup, quiesce+GC, 5 timed runs, median) so the
-  * numbers are directly comparable to BENCH_r{N}.
+  * round; prior rounds' measurements live in git history — r10 Hilbert
+  * fusion 2.5×, r11-1 as-of reconciliation: bare composed 0.696 s vs bare
+  * native 0.487 s = 1.43×, catalog twins at parity because the shared
+  * global orderBy floors them).
   *
-  * r11 RESULT (sf0.1, local[32], this harness, medians of 5): bare
-  * composed 0.696 s vs bare native 0.487 s → **1.43×, same direction as
-  * AbBench r10's 1.6×**; with the catalog orderBy composed 0.744 s vs
-  * native 0.728 s → 1.02×, parity, reproducing the r10 headline.
-  * Reconciliation: BOTH r10 numbers were real — the global range-sort
-  * (~0.25 s, plus the shared scan + tie-collapse construction) dominates
-  * the catalog twins and costs the same in both forms, so the exec's win,
-  * which lives entirely in the join stage it replaces, is invisible
-  * there. The honest production claim is the bare-operator ~1.4-1.6×
-  * (run-to-run band across r10/r11); the headline twins remain useful
-  * only as a round-over-round regression canary, not as the operator
-  * comparison (noted at the headline list in Bench.scala).
+  * r11-2: the fused vector kernels ([[graft.functions.VectorKernels]])
+  * versus the composed HOF folds they replace, on the full 2000×2000
+  * all-pairs scoring grid at sf0.1 (64-dim embeddings, 4M pairs — the
+  * per-pair scoring loop dominates; a cheap per-qid aggregate consumes the
+  * scores so no window sort pollutes the measurement).
   *
-  * Prior rounds' measurements live in git history (r10 Hilbert fusion:
-  * composed 0.957 s vs native codegen kernel 0.384 s — the 2.5× that
-  * moved the production paths to HilbertIndexExpression).
+  * r11 RESULT (sf0.1, local[32], medians of 5):
+  *   cosine-composed  69.842 s  vs  cosine-native  1.007 s  → **69×**
+  *   intdot-composed  23.998 s  vs  intdot-native  0.953 s  → **25×**
+  * The HOF forms pay three interpreted fold trees per pair — `zip_with`
+  * materializes an intermediate array, `aggregate` walks it through a
+  * lambda tree, and `cosine` does that three times (dot + both norms) —
+  * while the kernels run one fused primitive loop inside whole-stage
+  * codegen. The magnitude moved the decision: every per-PAIR scoring path
+  * in [[Similarity]] now routes through the kernels (bit-parity proven by
+  * VectorKernelSpec, so the composed-form oracles still gate them);
+  * the composed `cosine`/`intDot` remain as the per-VECTOR forms (norms,
+  * self-dots — linear work where interpretation cost is irrelevant) and
+  * as the documented reference semantics.
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -60,26 +56,30 @@ object AbBench {
       println(f"[ab] $name%-28s ${times(2)}%.3f s (median of 5: ${times.map(x => f"$x%.3f").mkString(", ")})")
     }
 
-    def leftSide = t.events.select(col("event_id"), col("user_id"), col("ts"))
-    def purchases = t.events
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("event_id"))
+    def emb = t.embeddings.select(col("vec_id").as("id"),
+      Similarity.toDouble(col("embedding")).as("vec"))
+    def doublePairs = emb.select(col("id").as("qid"), col("vec").as("qv"))
+      .crossJoin(broadcast(emb.select(col("id").as("cid"), col("vec").as("cv"))))
+    def quant = emb.withColumn("__ma", Similarity.maxAbs(col("vec")))
+      .select(col("id"), Similarity.quantize(col("vec"), col("__ma")).as("qv"))
+    def longPairs = quant.select(col("id").as("qid"), col("qv").as("qa"))
+      .crossJoin(broadcast(quant.select(col("id").as("cid"), col("qv").as("qb"))))
 
-    def composed = AsOf.nearestEarlier(leftSide, purchases,
-      key = "user_id", leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("event_id"))
-    def native = graft.plans.NativeAsOf.backward(leftSide, purchases,
-      key = "user_id", leftTime = "ts", rightTime = "ts",
-      valueCols = Seq("event_id"))
-    def catalogTail(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("event_id"), col("asof_event_id").as("prev_purchase_id"))
-      .orderBy(col("event_id"), col("prev_purchase_id"))
+    def consume(df: org.apache.spark.sql.DataFrame, score: org.apache.spark.sql.Column) =
+      df.withColumn("s", score).groupBy(col("qid")).agg(sum(col("s")).as("t"), max(col("s")).as("m"))
 
-    run("asof-composed-bare")(composed)
-    run("asof-native-bare")(native)
-    run("asof-composed-catalog")(catalogTail(composed))
-    run("asof-native-catalog")(catalogTail(native))
+    run("cosine-composed") {
+      consume(doublePairs, Similarity.cosine(col("qv"), col("cv")))
+    }
+    run("cosine-native") {
+      consume(doublePairs, Similarity.cosineNative(col("qv"), col("cv")))
+    }
+    run("intdot-composed") {
+      consume(longPairs, Similarity.intDot(col("qa"), col("qb")))
+    }
+    run("intdot-native") {
+      consume(longPairs, graft.functions.DotProductLongExpression.column(col("qa"), col("qb")))
+    }
     spark.stop()
   }
 }

@@ -23,7 +23,7 @@ class VectorKernelSpec extends SparkSpec {
     val pairs = a.filter(col("aid") < 20).crossJoin(broadcast(b))
     val diff = pairs
       .select(
-        Similarity.cosine(col("av"), col("bv")).as("composed"),
+        Similarity.cosineComposed(col("av"), col("bv")).as("composed"),
         Similarity.cosineNative(col("av"), col("bv")).as("native"))
       .filter(col("composed") =!= col("native")) // bitwise: any ULP difference shows
       .count()
@@ -38,7 +38,7 @@ class VectorKernelSpec extends SparkSpec {
     val b = q.select(col("id").as("bid"), col("qv").as("bq"))
     val diff = a.filter(col("aid") < 20).crossJoin(broadcast(b))
       .select(
-        Similarity.intDot(col("aq"), col("bq")).as("composed"),
+        Similarity.intDotComposed(col("aq"), col("bq")).as("composed"),
         graft.functions.DotProductLongExpression.column(col("aq"), col("bq")).as("native"))
       .filter(col("composed") =!= col("native"))
       .count()
@@ -53,7 +53,7 @@ class VectorKernelSpec extends SparkSpec {
       (4L, None, Some(Seq(Some(3.0), Some(4.0))))                             // null array
     ).toDF("id", "a", "b")
     val out = df.select(col("id"),
-        Similarity.cosine(col("a"), col("b")).as("composed"),
+        Similarity.cosineComposed(col("a"), col("b")).as("composed"),
         Similarity.cosineNative(col("a"), col("b")).as("native"))
       .orderBy(col("id"))
       .as[(Long, Option[Double], Option[Double])]
@@ -73,7 +73,7 @@ class VectorKernelSpec extends SparkSpec {
       .as[Double].collect()
     assert(n.isNaN)
     val ex = intercept[Exception] {
-      df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+      df.select(Similarity.cosineComposed(col("a"), col("b")).as("c")).collect()
     }
     assert(ex.getMessage.contains("DIVIDE_BY_ZERO") ||
       Option(ex.getCause).exists(_.getMessage.contains("DIVIDE_BY_ZERO")))
