@@ -152,6 +152,38 @@ object Joins extends Catalog {
               GROUP BY r_name
               ORDER BY r_name NULLS FIRST""")),
 
+    // Bloom semi-join reduction (operators/BloomPrefilter): the fact side
+    // is cut to might-join rows BEFORE any exchange, via Spark's own
+    // BloomFilterAggregate/BloomFilterMightContain pair planted explicitly
+    // (a scalar-subquery bloom build over the filtered dim keys — the
+    // rewrite InjectRuntimeFilter performs when its thresholds fire). The
+    // oracle is the PLAIN join SQL: might_contain admits false positives
+    // only, and the exact join that follows removes them, so the bloom
+    // never changes the result — only the exchange volume. The broadcast
+    // dim join here would of course not need the bloom at all; the shape
+    // stands in for the shuffle join it protects at 100 TB (see
+    // BloomPrefilterSpec for the measured reduction + plan fence).
+    "q_join_bloom_prefilter" -> Q(
+      t => {
+        val dim = t.supplier.filter(col("s_nationkey") === 7)
+          .select(col("s_suppkey"), col("s_name"))
+        val fact = graft.operators.BloomPrefilter.prefilter(
+          t.lineitem, "l_suppkey", dim.select(col("s_suppkey")),
+          expectedItems = 10000L)
+        fact.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("n_items"),
+            round(msum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+                     ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey = 7
+              GROUP BY s_suppkey, s_name
+              ORDER BY s_suppkey NULLS FIRST""")),
+
     // The purchase side is pre-aggregated to ONE row per (user_id, ts),
     // keeping max(event_id), in both the Spark query and the oracle SQL:
     // DuckDB's ASOF JOIN leaves the choice among right rows tying on the
