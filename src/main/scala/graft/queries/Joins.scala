@@ -165,7 +165,7 @@ object Joins extends Catalog {
     // BloomPrefilterSpec for the measured reduction + plan fence).
     "q_join_bloom_prefilter" -> Q(
       t => {
-        val dim = t.supplier.filter(col("s_nationkey") === 7)
+        val dim = t.supplier.filter(col("s_nationkey") % 5 === 3)
           .select(col("s_suppkey"), col("s_name"))
         val fact = graft.operators.BloomPrefilter.prefilter(
           t.lineitem, "l_suppkey", dim.select(col("s_suppkey")),
@@ -180,7 +180,7 @@ object Joins extends Catalog {
                      ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
               FROM lineitem
               JOIN supplier ON l_suppkey = s_suppkey
-              WHERE s_nationkey = 7
+              WHERE s_nationkey % 5 = 3
               GROUP BY s_suppkey, s_name
               ORDER BY s_suppkey NULLS FIRST""")),
 

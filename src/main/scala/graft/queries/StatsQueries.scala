@@ -883,6 +883,162 @@ object StatsQueries extends Catalog {
               |FROM mo WHERE n = 14
               |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin)),
 
+    // Autocorrelation function (ACF lags 1..5) per user — the global
+    // companion of q_win_rolling_corr's ROLLING lag-1 r: one Pearson r
+    // per (user, lag) over the user's whole daily series, the series
+    // profile that picks seasonality periods and AR orders. Pairs are
+    // calendar-lagged (a pair exists iff BOTH day and day-k have data —
+    // join semantics, not row-shift), so gaps don't smear lags. Exact
+    // BIGINT moments, one fixed-op-order double at the end (the
+    // q_events_regression convention); degenerate/zero-variance groups
+    // null out. Scale shape: the 5 lags ride ONE 5×-explode + one
+    // (user, prev-day) equi-join + one (user, lag) hash aggregate — no
+    // per-lag passes, no window sort; linear in user-days.
+    "q_ts_acf" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val lagged = daily
+          .select(col("user_id"), col("day"), col("v"),
+            explode(sequence(lit(1), lit(5))).as("lag"))
+          .withColumn("pday", col("day") - col("lag"))
+        val pairs = lagged.join(
+          daily.select(col("user_id").as("u2"), col("day").as("pday2"),
+            col("v").as("x")),
+          col("user_id") === col("u2") && col("pday") === col("pday2"))
+        val mo = pairs.groupBy(col("user_id"), col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sy"), sum(col("x")).as("sx"),
+            sum(col("v") * col("x")).as("sxy"),
+            sum(col("v") * col("v")).as("syy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n") >= 10)
+        val nD = col("n").cast("double")
+        val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+        val varX = nD * col("sxx") - col("sx").cast("double") * col("sx")
+        val varY = nD * col("syy") - col("sy").cast("double") * col("sy")
+        mo.select(col("user_id"), col("lag").cast("long").as("lag"),
+            col("n").as("n_pairs"),
+            when(varX > 0 && varY > 0, round(cov / sqrt(varX * varY), 6))
+              .otherwise(lit(null).cast("double")).as("r"))
+          .orderBy(col("user_id"), col("lag"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT user_id,
+              |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1, 2
+              |), pairs AS (
+              |  SELECT a.user_id, t.lag, a.v, b.v AS x
+              |  FROM daily a
+              |  CROSS JOIN range(1, 6) AS t(lag)
+              |  JOIN daily b ON b.user_id = a.user_id AND b.day = a.day - t.lag
+              |), mo AS (
+              |  SELECT user_id, CAST(lag AS BIGINT) AS lag,
+              |         CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(v) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx,
+              |         CAST(SUM(v * x) AS BIGINT) AS sxy,
+              |         CAST(SUM(v * v) AS BIGINT) AS syy,
+              |         CAST(SUM(x * x) AS BIGINT) AS sxx
+              |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10
+              |)
+              |SELECT user_id, lag, n AS n_pairs,
+              |       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+              |             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+              |            THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              |              * 1000000) / 1000000
+              |            ELSE NULL END AS r
+              |FROM mo
+              |ORDER BY user_id NULLS FIRST, lag NULLS FIRST""".stripMargin)),
+
+    // Day-of-week seasonal index — the decomposition primitive under
+    // gapfill/forecast-eval: each weekday's share of daily volume as
+    // EXACT integer basis points, index_bp = (sum_dow·N·10⁴) div
+    // (n_dow·S) — a single product form, so no intermediate truncating
+    // division leaks precision. dow is pure day arithmetic
+    // (pmod(day+4, 7), 0 = Sunday; day 0 = Thursday 1970-01-01) — no
+    // engine dayofweek() dialect dependence. Scale shape: one daily
+    // collapse (map-side combined), then a 7-row aggregate with its
+    // grand totals taken by a window over those 7 rows — nothing
+    // driver-side, nothing quadratic.
+    "q_ts_seasonal_dow" -> Q(
+      t => {
+        val daily = t.events
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(cents(col("value"))).cast("long").as("v"))
+        val dow = daily
+          .groupBy(pmod(col("day") + 4, lit(7)).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("v")).as("sum_v"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        dow.select(col("dow"), col("n_days"),
+            sum(col("n_days")).over(wAll).as("nn"),
+            sum(col("sum_v")).over(wAll).as("ss"), col("sum_v"))
+          .select(col("dow"), col("n_days"),
+            expr("sum_v div n_days").as("avg_cents"),
+            expr("sum_v * nn * 10000 div (n_days * ss)").as("index_bp"))
+          .orderBy(col("dow"))
+      },
+      Some("""WITH daily AS (
+              |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM events GROUP BY 1
+              |), dw AS (
+              |  SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+              |         CAST(COUNT(*) AS BIGINT) AS n_days,
+              |         CAST(SUM(v) AS BIGINT) AS sum_v
+              |  FROM daily GROUP BY 1
+              |)
+              |SELECT dow, n_days,
+              |       CAST(sum_v // n_days AS BIGINT) AS avg_cents,
+              |       CAST(sum_v * (SELECT SUM(n_days) FROM dw) * 10000
+              |            // (n_days * (SELECT SUM(sum_v) FROM dw)) AS BIGINT) AS index_bp
+              |FROM dw
+              |ORDER BY dow NULLS FIRST""".stripMargin)),
+
+    // Calibration / reliability bins (the ECE decomposition a quality-
+    // classifier pipeline reports before its scores gate training data):
+    // a deterministic monotone score in basis points stands in for the
+    // model probability (capped cents(value)/10 — the COMPUTATION is the
+    // subject; swap in a real model column at will), outcome = purchase.
+    // Per decile bin: exact integer mean predicted bp, realized positive
+    // rate bp, absolute gap, and the n·gap weight whose sum/N is ECE.
+    // One map-side projection + one ≤10-group aggregate; nothing scales
+    // with users or history length.
+    "q_events_calibration" -> Q(
+      t => {
+        val scored = t.events.select(
+          least(lit(9999L), expr("cast(floor(value * 100 + 0.5) as bigint) div 10")).as("p_bp"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        scored
+          .groupBy(expr("p_bp div 1000").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("p_bp")).as("sp"), sum(col("y")).as("pos"))
+          .select(col("bin"), col("n"),
+            expr("sp div n").as("avg_pred_bp"),
+            expr("pos * 10000 div n").as("pos_rate_bp"),
+            abs(expr("sp div n") - expr("pos * 10000 div n")).as("gap_bp"),
+            (col("n") * abs(expr("sp div n") - expr("pos * 10000 div n"))).as("gap_weight"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH scored AS (
+              |  SELECT LEAST(9999, CAST(floor(value * 100 + 0.5) AS BIGINT) // 10) AS p_bp,
+              |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+              |  FROM events
+              |), b AS (
+              |  SELECT p_bp // 1000 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+              |         CAST(SUM(p_bp) AS BIGINT) AS sp, CAST(SUM(y) AS BIGINT) AS pos
+              |  FROM scored GROUP BY 1
+              |)
+              |SELECT CAST(bin AS BIGINT) AS bin, n,
+              |       CAST(sp // n AS BIGINT) AS avg_pred_bp,
+              |       CAST(pos * 10000 // n AS BIGINT) AS pos_rate_bp,
+              |       CAST(abs(sp // n - pos * 10000 // n) AS BIGINT) AS gap_bp,
+              |       CAST(n * abs(sp // n - pos * 10000 // n) AS BIGINT) AS gap_weight
+              |FROM b
+              |ORDER BY bin NULLS FIRST""".stripMargin)),
+
     // Log2 (power-of-two) histogram — the latency-style distribution
     // profile for heavy-tailed values, where equi-width bins
     // (q_agg_histogram) waste resolution on the tail: bucket =

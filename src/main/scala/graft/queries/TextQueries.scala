@@ -1332,6 +1332,63 @@ object TextQueries extends Catalog {
               |ORDER BY doc_id NULLS FIRST, shard NULLS FIRST, tok_offset NULLS FIRST,
               |         chunk NULLS FIRST""".stripMargin)),
 
+    // Packing-efficiency report over q_pack_chunks' layout: per shard,
+    // the chunk count the token mass actually needs, the tail fill rate,
+    // and the document fragmentation rate (docs whose tokens straddle a
+    // seqLen boundary — the attention-masking cost of concat-and-chunk
+    // packing). Pure integer arithmetic over the pack assignment
+    // (crossing ⇔ tok_offset div L ≠ (tok_offset+n−1) div L, guarded to
+    // non-empty docs so a zero-token doc can't point one before itself);
+    // one per-shard aggregate on the already-sharded layout, so the
+    // report adds no exchange beyond the packing's own.
+    "q_pack_utilization" -> Q(
+      t => {
+        val L = 1024
+        val packed = graft.operators.Packing.packChunks(
+          t.documents.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = L, nShards = 8)
+        val crossing = (col("n_tokens") > 0) &&
+          expr(s"tok_offset div $L") =!= expr(s"(tok_offset + n_tokens - 1) div $L")
+        packed
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            sum(when(crossing, 1L).otherwise(0L)).as("n_crossing"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            expr(s"(total_tokens + ${L - 1}) div $L").as("n_chunks"),
+            expr(s"total_tokens * 10000 div (((total_tokens + ${L - 1}) div $L) * $L)")
+              .as("fill_bp"),
+            col("n_crossing"),
+            expr("n_crossing * 10000 div n_docs").as("crossing_bp"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH tok AS (
+              |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+              |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              |  FROM documents
+              |), packed AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              |  FROM tok
+              |), s AS (
+              |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |         CAST(SUM(CASE WHEN n_tokens > 0
+              |                        AND tok_offset // 1024 <> (tok_offset + n_tokens - 1) // 1024
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+              |  FROM packed GROUP BY shard
+              |)
+              |SELECT shard, n_docs, total_tokens,
+              |       CAST((total_tokens + 1023) // 1024 AS BIGINT) AS n_chunks,
+              |       CAST(total_tokens * 10000
+              |            // (((total_tokens + 1023) // 1024) * 1024) AS BIGINT) AS fill_bp,
+              |       n_crossing,
+              |       CAST(n_crossing * 10000 // n_docs AS BIGINT) AS crossing_bp
+              |FROM s
+              |ORDER BY shard NULLS FIRST""".stripMargin)),
+
     // Near-dup CLUSTERS: LSH pairs → connected components (large-star /
     // small-star, operators/ConnectedComponents) → every document labeled
     // with its component = min reachable doc_id; unpaired docs label

@@ -9,7 +9,7 @@ class BloomPrefilterSpec extends SparkSpec {
   private def supplier = spark.read.parquet(s"${sf()}/supplier.parquet")
 
   private def dimKeys = supplier
-    .filter(col("s_nationkey") === 7)
+    .filter(col("s_nationkey") % 5 === 3)
     .select(col("s_suppkey"))
 
   test("prefilter admits every joinable row and only bounded extras") {
@@ -23,8 +23,8 @@ class BloomPrefilterSpec extends SparkSpec {
     // No false negatives: everything that joins must pass.
     assert(passed >= joinable)
     // Effectiveness: the pass-through must be a real cut of the fact side,
-    // not a no-op (nation-7 suppliers are a small fraction of all
-    // suppliers; default fpp 3% adds at most a few percent of total).
+    // not a no-op (the nation%5 slice keeps ~1/5 of suppliers; default
+    // fpp 3% adds at most a few percent of total).
     assert(passed < total)
     assert(passed - joinable <= (total * 0.05).toLong,
       s"false-positive overhang too large: passed=$passed joinable=$joinable total=$total")
@@ -33,11 +33,11 @@ class BloomPrefilterSpec extends SparkSpec {
   test("prefiltered join is row-identical to the plain join") {
     val pre = BloomPrefilter
       .prefilter(lineitem, "l_suppkey", dimKeys, expectedItems = 10000L)
-      .join(supplier.filter(col("s_nationkey") === 7),
+      .join(supplier.filter(col("s_nationkey") % 5 === 3),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"))
     val plain = lineitem
-      .join(supplier.filter(col("s_nationkey") === 7),
+      .join(supplier.filter(col("s_nationkey") % 5 === 3),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"))
     assert(pre.exceptAll(plain).isEmpty && plain.exceptAll(pre).isEmpty)
