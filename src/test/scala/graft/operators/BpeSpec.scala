@@ -110,4 +110,38 @@ class BpeSpec extends SparkSpec {
       assert(got == want, s"vocab $vocab: spark $got vs reference $want")
     }
   }
+
+  test("fuzz parity: trainInMemory (heap + incremental counts) matches the reference") {
+    // The fast driver-side trainer must be rule-for-rule identical to the
+    // naive full-recount reference — interacting merges, odd runs, ties,
+    // and count-revisits (a stale heap snapshot becoming valid again) all
+    // live in small alphabets with many merges.
+    import org.scalacheck.Gen
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 9)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = for {
+      n <- Gen.chooseNum(1, 10)
+      ws <- Gen.listOfN(n, wordGen)
+      fs <- Gen.listOfN(n, Gen.chooseNum(1L, 5L))
+    } yield ws.zip(fs).groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }
+    val vocabs = Gen.listOfN(25, vocabGen).sample.get
+    vocabs.foreach { vocab =>
+      val got = Bpe.trainInMemory(vocab.toArray, 12).toList
+      val want = referenceTrain(vocab, 12)
+      assert(got == want, s"vocab $vocab: local $got vs reference $want")
+    }
+  }
+
+  test("trainLocal equals distributed train on the real corpus vocabulary") {
+    import org.apache.spark.sql.functions._
+    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val dist = Bpe.train(words, 8).orderBy(col("merge_rank")).collect().toSeq
+    val local = Bpe.trainLocal(words, 8).orderBy(col("merge_rank")).collect().toSeq
+    assert(local == dist)
+  }
 }
