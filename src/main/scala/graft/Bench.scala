@@ -85,7 +85,11 @@ object Bench {
     // tools/AbBench.scala: native 1.43× over composed at sf0.1 (0.487 vs
     // 0.696 s, medians of 5 under this same estimator). Treat these two
     // rows as regression canaries, not as the exec-vs-composed comparison.
-    "q_join_asof_native")
+    "q_join_asof_native",
+    // r11 addition: the explicit bloom semi-join reduction (scalar-subquery
+    // BloomFilterAggregate build + might_contain probe on the fact scan) —
+    // the exchange-volume lever the catalog's other joins don't exercise.
+    "q_join_bloom_prefilter")
 
   /** Wait (bounded) until no job, stage, or task is still in flight, so a
     * following System.gc() cannot race in-flight work — the root cause of

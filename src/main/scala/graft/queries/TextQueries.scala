@@ -1637,7 +1637,10 @@ object TextQueries extends Catalog {
           .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("f"))
           .localCheckpoint(true)
-        val merges = graft.operators.Bpe.train(words, 5)
+        // trainLocal, not train: the rule list is collected to the driver
+        // anyway, and the local trainer induces it with zero per-merge
+        // Spark jobs (rule-for-rule identical — BpeSpec parity)
+        val merges = graft.operators.Bpe.trainLocal(words, 5)
           .orderBy(col("merge_rank"))
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         graft.operators.Bpe.segment(words, merges)
@@ -1654,6 +1657,51 @@ object TextQueries extends Catalog {
            |GROUP BY 1
            |ORDER BY n DESC NULLS LAST, piece NULLS FIRST
            |LIMIT 30""".stripMargin)),
+
+    // Tokenizer FERTILITY — the pieces-per-word distribution after the 5
+    // trained merges, the standard tokenizer-quality metric (fertility ≈ 1
+    // means whole-word coverage; heavy tails mean over-fragmented rare
+    // words eating context length). Frequency-weighted: `occ` counts token
+    // OCCURRENCES (Σf), not vocabulary entries, because a model pays per
+    // occurrence. Induction via [[Bpe.trainLocal]] (driver-side, zero
+    // per-merge jobs), application via the narrow-map [[Bpe.segment]]; the
+    // report is a ≤max-word-length-group aggregate with its share taken by
+    // a window over those few rows.
+    "q_text_bpe_fertility" -> Q(
+      t => {
+        val words = t.documents
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("f"))
+          .localCheckpoint(true)
+        val merges = graft.operators.Bpe.trainLocal(words, 5)
+          .orderBy(col("merge_rank"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val seg = graft.operators.Bpe.segment(words, merges)
+          .select(size(col("pieces")).cast("long").as("pieces"), col("f"))
+        val byNp = seg.groupBy(col("pieces"))
+          .agg(count(lit(1)).as("n_words"), sum(col("f")).as("occ"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byNp
+          .withColumn("tot", sum(col("occ")).over(wAll))
+          .select(col("pieces"), col("n_words"), col("occ"),
+            expr("occ * 10000 div tot").as("share_bp"))
+          .orderBy(col("pieces"))
+      },
+      Some(
+        s"""$bpeTrainCtes
+           |, seg AS (
+           |  SELECT CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT) AS pieces,
+           |         f
+           |  FROM w6
+           |), byn AS (
+           |  SELECT pieces, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |         CAST(SUM(f) AS BIGINT) AS occ
+           |  FROM seg GROUP BY 1
+           |)
+           |SELECT pieces, n_words, occ,
+           |       CAST(occ * 10000 // (SELECT SUM(occ) FROM byn) AS BIGINT) AS share_bp
+           |FROM byn
+           |ORDER BY pieces NULLS FIRST""".stripMargin)),
 
     // Collocation extraction — adjacent-word pairs scored by the DICE
     // coefficient 2·c(w1,w2)/(c(w1)+c(w2)), the classic log-free
