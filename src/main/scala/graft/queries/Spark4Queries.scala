@@ -322,5 +322,43 @@ object Spark4Queries extends Catalog {
             hll_sketch_estimate(col("u")).as("approx_users"))
         est.unionAll(merged).orderBy(col("event_type"))
       },
+      None),
+
+    // Mergeable Count-Min sketches — the frequency sibling of
+    // q_agg_hll_merge's cardinality sketch, completing the sketch family:
+    // each group builds a fixed-size CMS of user_id (the 100 TB pattern —
+    // per-partition/day/executor sketches whose counts ADD under merge,
+    // exactly associative, unlike a sampled top-k), the merged sketch
+    // answers point-frequency queries for the heavy-hitter candidates,
+    // and the output carries estimate next to exact so the overestimate
+    // is visible (CMS never undercounts; ε·N bounds the excess with
+    // probability 1-δ — CmsSpec pins determinism, merge-vs-single-pass
+    // equality, and the bound). Driver traffic is the per-group sketch
+    // binaries (KB each) and ten probes — constant in corpus size. No
+    // DuckDB oracle by design (sketch internals are implementation-
+    // specific, the q_agg_hll_merge precedent); the driver records the
+    // rows-only check.
+    "q_agg_cms_heavy_hitters" -> Q(
+      t => {
+        val spark = t.events.sparkSession
+        import spark.implicits._
+        val exactTop = t.events.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc_nulls_last, col("user_id"))
+          .limit(10)
+        val perGroup = t.events
+          .groupBy(col("event_type"))
+          .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+          .select(col("sk")).collect()
+        val merged = perGroup.map(r =>
+            org.apache.spark.util.sketch.CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+          .reduce((a, b) => a.mergeInPlace(b))
+        val keys = exactTop.select(col("user_id")).as[Long].collect().toSeq
+        val est = keys.map(k => (k, merged.estimateCount(java.lang.Long.valueOf(k))))
+          .toDF("user_id", "n_est")
+        exactTop.join(broadcast(est), "user_id")
+          .select(col("user_id"), col("n_exact"), col("n_est"))
+          .orderBy(col("n_exact").desc_nulls_last, col("user_id"))
+      },
       None))
 }
