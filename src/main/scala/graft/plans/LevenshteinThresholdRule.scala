@@ -75,8 +75,10 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => LevenshteinThresholdRule)
-    // whole-operator extension: plans graft.plans.AsOfJoinPlan into the
-    // native sort-merge AsOfJoinExec
+    // whole-operator extensions: plans graft.plans.AsOfJoinPlan into the
+    // native sort-merge AsOfJoinExec, and graft.plans.IntervalJoinPlan
+    // into the plane-sweep IntervalJoinExec
     extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    extensions.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Joins extends Catalog {
 
+  /** Shared oracle for the keyed-interval twins — the INDEPENDENT naive
+    * formulation (equi-join + overlap conjunction), so the native sweep is
+    * gate-proven against ground truth, not self-compared.
+    */
+  private val intervalKeyedSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS lo,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + event_id % 50 AS hi
+      |  FROM events
+      |), pur AS (
+      |  SELECT user_id AS u2,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS lo2,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 + 30 AS hi2
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT user_id, COUNT(*) AS n_pairs
+      |FROM ev JOIN pur ON user_id = u2 AND lo <= hi2 AND lo2 <= hi
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_join_inner" -> Q(
       t => t.customer
@@ -920,6 +941,48 @@ object Joins extends Catalog {
               |GROUP BY 1, 2, 3
               |ORDER BY s_suppkey NULLS FIRST, w_lo NULLS FIRST, w_hi NULLS FIRST,
               |         n_transit NULLS FIRST, sum_qty NULLS FIRST""".stripMargin)),
+
+    // KEYED interval overlap — per-user event windows × purchase windows
+    // (the "which sessions saw this campaign" temporal-join shape). The
+    // composed form is the equi-join + closed-overlap conjunction Spark
+    // plans as a per-key group nested loop inside SortMergeJoin; its
+    // _native twin below runs the SAME semantics through the plane-sweep
+    // IntervalJoinExec (plans/IntervalJoin.scala — per key O(n+m+out)
+    // with active-set state, not O(n·m)), under the SAME oracle.
+    "q_join_interval_keyed" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("lo"), col("event_id"))
+          .withColumn("hi", col("lo") + col("event_id") % 50)
+        val pur = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"),
+            expr("unix_micros(ts) div 1000000").as("lo2"))
+          .withColumn("hi2", col("lo2") + 30)
+        ev.join(pur, col("user_id") === col("u2") &&
+            col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some(intervalKeyedSql)),
+
+    "q_join_interval_keyed_native" -> Q(
+      t => {
+        val ev = t.events.select(col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("lo"), col("event_id"))
+          .withColumn("hi", col("lo") + col("event_id") % 50)
+          .select(col("user_id"), col("lo"), col("hi"))
+        val pur = t.events.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"),
+            expr("unix_micros(ts) div 1000000").as("lo2"))
+          .withColumn("hi2", col("lo2") + 30)
+        graft.plans.NativeIntervalJoin
+          .overlap(ev, pur, "user_id", "lo", "hi", "u2", "lo2", "hi2")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      },
+      Some(intervalKeyedSql)),
 
     // Tolerance-bounded as-of: the backward match only counts when it is
     // RECENT enough (here ≤ 2 hours stale) — the feature-freshness

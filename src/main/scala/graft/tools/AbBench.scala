@@ -80,6 +80,35 @@ object AbBench {
     run("intdot-native") {
       consume(longPairs, graft.functions.DotProductLongExpression.column(col("qa"), col("qb")))
     }
+
+    // r11-3: the plane-sweep IntervalJoinExec vs the composed equi-join +
+    // overlap conjunction, on the shape that separates them — ONE hot key
+    // with 100k intervals per side, sparse overlap. The composed form
+    // evaluates the range predicate against every key-group pair (10¹⁰
+    // here — codegen burns ~3·10⁹ evals/s, so it finishes, but the cost is
+    // GROUP SIZE SQUARED); the sweep's active set stays near-empty and its
+    // cost is output-sized. The catalog twins (q_join_interval_keyed
+    // [_native], ~150-400 rows/key) sit at parity — scan+agg floored — by
+    // construction; THIS is the operator number.
+    // r11 RESULT (sf-independent synthetic, local[32], medians of 5):
+    //   interval-composed-hotkey  3.135 s  vs  interval-native-hotkey
+    //   0.363 s → **8.6× at 100k/side**, quadratic-vs-linear beyond (at
+    //   20k/side the grid still fits the eval budget: 0.360 vs 0.196 s).
+    def hot(prefix: String) = spark.range(100000)
+      .select(lit(1L).as(s"${prefix}k"),
+        (col("id") * 97 % 1000000).as(s"${prefix}lo"))
+      .withColumn(s"${prefix}hi", col(s"${prefix}lo") + 20)
+    run("interval-composed-hotkey") {
+      hot("l").join(hot("r"),
+          col("lk") === col("rk") &&
+            col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+        .groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    }
+    run("interval-native-hotkey") {
+      graft.plans.NativeIntervalJoin
+        .overlap(hot("l"), hot("r"), "lk", "llo", "lhi", "rk", "rlo", "rhi")
+        .groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    }
     spark.stop()
   }
 }

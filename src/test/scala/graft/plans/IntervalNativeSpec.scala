@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native plane-sweep interval join against its composed ground truth
+  * (equi-join on the key + closed-interval overlap conjunction) — every
+  * test is a full except-both-ways row-set equality, so any sweep
+  * bookkeeping slip (late eviction, early ingest, the earlier-left
+  * larger-hi prefix trap) shows as row drift.
+  */
+class IntervalNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def composed(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, col("k") === col("k2") &&
+      col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+
+  private def assertSame(native: DataFrame, expected: DataFrame): Unit = {
+    val n = native.selectExpr(expected.columns: _*)
+    assert(n.exceptAll(expected).isEmpty && expected.exceptAll(n).isEmpty,
+      s"native rows=${n.count()} expected rows=${expected.count()}")
+  }
+
+  test("real-data equality: event windows vs composed overlap join") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("user_id").as("k"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("lo"), col("event_id"))
+      .withColumn("hi", col("lo") + (col("event_id") % 50))
+    val l = ev.select(col("k"), col("lo"), col("hi"), col("event_id").as("l_id"))
+    val r = ev.select(col("k").as("k2"), col("lo").as("lo2"),
+      col("hi").as("hi2"), col("event_id").as("r_id"))
+    val native = NativeIntervalJoin.overlap(
+        ev.select(col("k"), col("lo"), col("hi"), col("event_id").as("l_id")),
+        r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    assertSame(native, composed(l, r))
+  }
+
+  test("self-derived inputs survive DeduplicateRelations (the exprId trap)") {
+    val base = Seq((1L, 0L, 5L, 10L), (1L, 3L, 8L, 11L), (2L, 1L, 2L, 12L))
+      .toDF("k", "lo", "hi", "id")
+    val native = NativeIntervalJoin.overlap(
+      base,
+      base.select(col("k").as("k2"), col("lo").as("lo2"),
+        col("hi").as("hi2"), col("id").as("id2")),
+      "k", "lo", "hi", "k2", "lo2", "hi2")
+    assert(native.count() === 5L) // (1,1),(1,2),(2,1),(2,2) overlap for k=1; k=2 self
+  }
+
+  test("null keys and endpoints match nothing (inner-join null semantics)") {
+    val l = Seq(
+      (Some(1L), Some(0L), Some(5L), 1L),
+      (None, Some(0L), Some(5L), 2L),
+      (Some(1L), None, Some(5L), 3L),
+      (Some(1L), Some(0L), None, 4L)
+    ).toDF("k", "lo", "hi", "id")
+    val r = Seq((Some(1L), Some(1L), Some(2L), 9L))
+      .toDF("k2", "lo2", "hi2", "id2")
+      .select(col("k2").as("k2"), col("lo2"), col("hi2"), col("id2"))
+    val native = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    assert(native.select(col("id")).as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("earlier-left larger-hi prefix: a later narrow left must not inherit matches") {
+    // left A [0, 100] ingests right [50, 60]; left B [10, 20] (same key,
+    // later lo, smaller hi) must NOT emit it — the takeWhile prefix trap.
+    val l = Seq((1L, 0L, 100L, 1L), (1L, 10L, 20L, 2L)).toDF("k", "lo", "hi", "id")
+    val r = Seq((1L, 50L, 60L, 9L)).toDF("k2", "lo2", "hi2", "id2")
+    val native = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    assert(native.select(col("id")).as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("fuzz equality against composed on random keyed intervals") {
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { round =>
+      val mk = (n: Int) => Seq.fill(n) {
+        val lo = rng.nextInt(60).toLong
+        (rng.nextInt(4).toLong, lo, lo + rng.nextInt(12).toLong, rng.nextLong())
+      }
+      val l = mk(80).toDF("k", "lo", "hi", "id")
+      val r = mk(70).toDF("k", "lo", "hi", "id")
+        .toDF("k2", "lo2", "hi2", "id2")
+      val native = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      assertSame(native,
+        composed(l, r.select(col("k2"), col("lo2"), col("hi2"), col("id2"))))
+    }
+  }
+
+  test("plan shape: two key exchanges, no nested-loop or group buffering join") {
+    val l = Seq((1L, 0L, 5L, 10L)).toDF("k", "lo", "hi", "id")
+    val r = Seq((1L, 1L, 2L, 11L)).toDF("k2", "lo2", "hi2", "id2")
+    val plan = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoin "), s"native exec missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
+      s"unexpected join operator beside the native exec:\n$plan")
+  }
+}
