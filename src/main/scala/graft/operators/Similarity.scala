@@ -164,6 +164,37 @@ object Similarity {
   def bruteForceTopKComposed(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     bruteForce(queries, corpus, k, cosineComposed)
 
+  /** Reciprocal-rank fusion of two per-query ranked candidate lists —
+    * the standard way hybrid retrieval combines a lexical (BM25) and a
+    * dense (embedding) ranking without score calibration: each list
+    * contributes 1/(k0+rank) and the fused order is by the sum. Inputs
+    * are (qid, cid, rank) with rank 1-based within qid; a candidate
+    * present in only one list gets zero contribution from the other
+    * (full-outer union of the lists, the convention that keeps single-
+    * list outliers retrievable). The contribution is computed as
+    * integer micro-units — `1e9 div (k0 + rank)` — so fused scores are
+    * exact BIGINTs on any engine; with k0=60 and depth ≤ 1e3 the two
+    * reciprocals stay well under 2^31, far from overflow.
+    *
+    * Scale shape: both inputs are already depth-bounded per query (top-N
+    * lists), so this join carries |queries|·depth rows — negligible next
+    * to the retrieval stages that produced the lists; the shuffle key is
+    * (qid, cid) and the window sorts depth·2 rows per query at most.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int, topK: Int): DataFrame = {
+    val l = a.select(col("qid"), col("cid"), col("rank").cast("long").as("r_a"))
+    val r = b.select(col("qid"), col("cid"), col("rank").cast("long").as("r_b"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_u").desc, col("cid"))
+    l.join(r, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000000 div ($k0 + r_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($k0 + r_b)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("cid"), col("r_a"), col("r_b"),
+        col("rrf_u"))
+  }
+
   private def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
       sim: (Column, Column) => Column): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over `embeddings` with exact DuckDB twins.
@@ -997,5 +997,126 @@ object SimilarityQueries extends Catalog {
              |FROM pairs p
              |JOIN mo ma ON p.i = ma.i
              |JOIN mo mb ON p.j = mb.i
-             |ORDER BY p.i NULLS FIRST, p.j NULLS FIRST""".stripMargin)))
+             |ORDER BY p.i NULLS FIRST, p.j NULLS FIRST""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Similarity.rrfFuse):
+    // the production RAG/retrieval pattern — a lexical BM25 list (query
+    // terms = the query document's own distinct tokens, the classic
+    // more-like-this query) fused with a dense cosine list over the
+    // shared doc_id/vec_id space, 1/(60+rank) each side in exact integer
+    // micro-units. Candidates surfaced by only one retriever keep their
+    // single-side score (full-outer fusion), which is the point of RRF:
+    // no score calibration across heterogeneous retrievers, just ranks.
+    // Scale shape: the dense side is the brute-force contract (broadcast
+    // queries × streamed corpus; IVF/LSH swap in as candidate generators
+    // unchanged), the lexical side is inverted-index-bounded
+    // (Σ_q Σ_term df(term) candidate rows), and the fusion join carries
+    // only |queries|·depth rows. All ranks and fused scores are integers
+    // — hash-exact against the DuckDB twin.
+    "q_sim_rrf_hybrid" -> Q(
+      t => {
+        val depth = 20
+        val emb = t.embeddings.select(col("vec_id").as("id"),
+          Similarity.toDouble(col("embedding")).as("vec"))
+        val dense = Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, k = depth)
+          .select(col("qid"), col("cid"), col("rank"))
+        val toks = t.documents.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("sum(cast(size(toks) as bigint)) div count(1)").as("avgdl"))
+        val tf = toks
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qterms = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"),
+            explode(array_distinct(col("toks"))).as("term"))
+        val scored = qterms.join(tf, Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .select(col("qid"), col("doc_id"),
+            expr("""((2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1))
+                    * (44 * tf * avgdl)
+                    div (20 * tf * avgdl + 6 * avgdl + 18 * dl)""").as("score_u"))
+          .groupBy(col("qid"), col("doc_id")).agg(sum(col("score_u")).as("lex_u"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("lex_u").desc, col("doc_id"))
+        val lex = scored
+          .withColumn("rank", row_number().over(wl).cast("long"))
+          .filter(col("rank") <= depth)
+          .select(col("qid"), col("doc_id").as("cid"), col("rank"))
+        Similarity.rrfFuse(lex, dense, k0 = 60, topK = 10)
+          .select(col("qid"), col("rank"), col("cid"),
+            col("r_a").as("r_lex"), col("r_b").as("r_dense"), col("rrf_u"))
+          .orderBy(col("qid"), col("rank"), col("cid"), col("r_lex"),
+            col("r_dense"), col("rrf_u"))
+      },
+      Some(s"""$duckVecCte, dense0 AS (
+               |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+               |         row_number() OVER (PARTITION BY q.vec_id
+               |           ORDER BY ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+               |                    c.vec_id) AS rn
+               |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+               |), dense AS (
+               |  SELECT qid, cid, CAST(rn AS BIGINT) AS r_dense
+               |  FROM dense0 WHERE rn <= 20
+               |), toks AS (
+               |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               |  FROM documents
+               |), stats AS (
+               |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               |         CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT)
+               |           // CAST(COUNT(*) AS BIGINT) AS avgdl
+               |  FROM toks
+               |), tf AS (
+               |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+               |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               |               unnest(toks) AS term
+               |        FROM toks)
+               |  GROUP BY 1, 2, 3
+               |), dfr AS (
+               |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+               |), qt AS (
+               |  SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+               |  FROM toks WHERE doc_id < 5
+               |), sc AS (
+               |  SELECT qt.qid, tf.doc_id,
+               |         (((2 * n_docs - 2 * df + 1) * 1000000 // (2 * df + 1))
+               |          * (44 * tf * avgdl))
+               |         // (20 * tf * avgdl + 6 * avgdl + 18 * dl) AS score_u
+               |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+               |  CROSS JOIN stats
+               |  WHERE tf.doc_id <> qt.qid
+               |), lexs AS (
+               |  SELECT qid, doc_id AS cid, CAST(SUM(score_u) AS BIGINT) AS lex_u
+               |  FROM sc GROUP BY 1, 2
+               |), lex AS (
+               |  SELECT qid, cid, CAST(rn AS BIGINT) AS r_lex FROM (
+               |    SELECT qid, cid,
+               |           row_number() OVER (PARTITION BY qid
+               |             ORDER BY lex_u DESC, cid) AS rn
+               |    FROM lexs)
+               |  WHERE rn <= 20
+               |), fused AS (
+               |  SELECT COALESCE(l.qid, d.qid) AS qid,
+               |         COALESCE(l.cid, d.cid) AS cid,
+               |         l.r_lex, d.r_dense,
+               |         COALESCE(1000000000 // (60 + l.r_lex), 0)
+               |           + COALESCE(1000000000 // (60 + d.r_dense), 0) AS rrf_u
+               |  FROM lex l FULL OUTER JOIN dense d
+               |    ON l.qid = d.qid AND l.cid = d.cid
+               |), ranked AS (
+               |  SELECT qid, cid, r_lex, r_dense, rrf_u,
+               |         row_number() OVER (PARTITION BY qid
+               |           ORDER BY rrf_u DESC, cid) AS rn
+               |  FROM fused
+               |)
+               |SELECT qid, CAST(rn AS BIGINT) AS rank, cid, r_lex, r_dense, rrf_u
+               |FROM ranked WHERE rn <= 10
+               |ORDER BY qid NULLS FIRST, rank NULLS FIRST, cid NULLS FIRST,
+               |         r_lex NULLS FIRST, r_dense NULLS FIRST,
+               |         rrf_u NULLS FIRST""".stripMargin)))
 }
