@@ -360,5 +360,70 @@ object Spark4Queries extends Catalog {
           .select(col("user_id"), col("n_exact"), col("n_est"))
           .orderBy(col("n_exact").desc_nulls_last, col("user_id"))
       },
+      None),
+
+    // KMV bottom-k sketches — the SET-OPERATION member of the sketch
+    // family (HLL = cardinality, CMS = frequency): per event_type the k
+    // smallest distinct xxhash64 values of the (user_id, day) pair — the
+    // "active user-days" set — whose merge is EXACT array union-of-minima
+    // (associative + commutative, KmvSpec pins array equality), and which
+    // unlike HLL answers INTERSECTION estimates: shared-minima ratio
+    // inside the union sketch × the union estimate (Beyer et al.,
+    // SIGMOD'07). Output rows: each type's estimate next to its exact
+    // distinct count, every pairwise type intersection (audience-overlap,
+    // the query HLL cannot answer without inclusion-exclusion error
+    // blowup), and the global union. Driver traffic is 5 sketches × k
+    // longs + a 16-row estimates frame — constant in corpus size; the
+    // exact columns exist only as the gate's audit. Deterministic by
+    // construction (fixed hash, order-independent bottom-k), so although
+    // rows-only at the driver (the hash values aren't reproducible in
+    // DuckDB SQL), the output is bit-stable run to run; KmvSpec carries
+    // the merge-exactness, determinism, accuracy-envelope, and
+    // below-capacity-exactness proofs.
+    "q_agg_kmv_set_ops" -> Q(
+      t => {
+        val spark = t.events.sparkSession
+        import spark.implicits._
+        val k = 256
+        val kmv = udaf(new graft.operators.KmvAggregator(k))
+        val hashed = t.events.select(col("event_type"),
+          xxhash64(col("user_id"), to_date(col("ts"))).as("h"))
+        val sk: Map[String, Seq[Long]] = hashed
+          .groupBy(col("event_type")).agg(kmv(col("h")).as("sk"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+        val types = sk.keys.toSeq.sorted
+        val estRows: Seq[(String, Long)] =
+          types.map(tp => (tp, graft.operators.KmvSketch.estimateDistinct(k, sk(tp)))) ++
+            (for {
+              i <- types.indices
+              j <- (i + 1) until types.size
+            } yield (s"${types(i)}&${types(j)}",
+              graft.operators.KmvSketch.estimateIntersection(k, sk(types(i)), sk(types(j))))) ++
+            Seq(("ALL", graft.operators.KmvSketch.estimateDistinct(k,
+              sk.values.reduce((a, b) => graft.operators.KmvSketch.union(k, a, b)))))
+        val est = estRows.toDF("scope", "n_est")
+        val exactType = t.events
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+          .select(col("event_type").as("scope"), col("n_exact"))
+        val exactAll = t.events
+          .agg(countDistinct(col("user_id"), to_date(col("ts"))).as("n_exact"))
+          .select(lit("ALL").as("scope"), col("n_exact"))
+        val tu = t.events
+          .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+        val exactPair = tu.as("a").join(tu.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_exact"))
+          .select(concat(col("ta"), lit("&"), col("tb")).as("scope"), col("n_exact"))
+        est
+          .join(exactType.unionAll(exactPair).unionAll(exactAll), Seq("scope"), "left")
+          .select(col("scope"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("n_est"))
+          .orderBy(col("scope"), col("n_exact"), col("n_est"))
+      },
       None))
 }
