@@ -131,6 +131,58 @@ object TextQueries extends Catalog {
       duckPairsToCompCtes
 
   def queries: Map[String, Q] = Map(
+    // Unicode NFC canonicalization (functions/NfcNormalizeExpression, a
+    // codegen kernel with an allocation-free ASCII bypass) — the
+    // must-run-first step of corpus dedup: unicode-equivalent spellings
+    // ("Café" precomposed vs "Cafe"+combining-acute, "Å" vs the Angstrom
+    // sign) hash differently until composed, so every equivalent pair
+    // silently survives exact/MinHash dedup. The testdata text is ASCII
+    // (the bypass path), so each doc gets a deterministic doc_id%3 suffix
+    // exercising real composition: case 0 decomposed, case 1 the
+    // precomposed equivalent (must canonicalize to IDENTICAL bytes),
+    // case 2 the Angstrom sign + decomposed diaeresis. The canonical
+    // string — NFC → lower → whitespace-collapse — is compared hash-exact
+    // against DuckDB's utf8proc nfc_normalize, proving the JDK and
+    // utf8proc agree on UAX#15 for these classes. nfc_changed shows which
+    // rows composition actually rewrote. Scale shape: pure map-side
+    // narrow transform inside WholeStageCodegen; ASCII rows never decode.
+    "q_text_canonicalize" -> Q(
+      t => {
+        // Explicit \u escapes so no editor/VCS normalization pass can
+        // silently collapse the decomposed case into the precomposed one.
+        val decomposed = "Cafe\u0301 Me\u0301nu"
+        val precomposed = "Caf\u00e9 M\u00e9nu"
+        val angstrom = "\u212Bngstro\u0308m Caf\u00e9"
+        val suffix = when(pmod(col("doc_id"), lit(3)) === 0, lit(decomposed))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(precomposed))
+          .otherwise(lit(angstrom))
+        val raw = concat_ws(" ", substring(col("text"), 1, 30), suffix)
+        t.documents
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            lower(regexp_replace(trim(
+              graft.functions.NfcNormalizeExpression.column(col("raw"))),
+              "\\s+", " ")).as("canon"),
+            (graft.functions.NfcNormalizeExpression.column(col("raw"))
+              =!= col("raw")).as("nfc_changed"))
+          .orderBy(col("doc_id"), col("canon"), col("nfc_changed"))
+      },
+      Some("""WITH raw AS (
+              |  SELECT doc_id,
+              |         substring(text, 1, 30) || ' ' ||
+              |         CASE doc_id % 3
+              |           WHEN 0 THEN 'Cafe' || chr(769) || ' Me' || chr(769) || 'nu'
+              |           WHEN 1 THEN 'Caf' || chr(233) || ' M' || chr(233) || 'nu'
+              |           ELSE chr(8491) || 'ngstro' || chr(776) || 'm Caf' || chr(233)
+              |         END AS raw
+              |  FROM documents
+              |)
+              |SELECT doc_id,
+              |       lower(regexp_replace(trim(nfc_normalize(raw)), '\s+', ' ', 'g')) AS canon,
+              |       nfc_normalize(raw) <> raw AS nfc_changed
+              |FROM raw
+              |ORDER BY doc_id NULLS FIRST, canon NULLS FIRST, nfc_changed NULLS FIRST""".stripMargin)),
+
 
     // Hashing-trick feature space (Weinberger et al. 2009 — the fixed-
     // dimension text featurizer that needs NO vocabulary pass): every
