@@ -29,6 +29,16 @@ import graft.operators.Similarity
   * the composed `cosine`/`intDot` remain as the per-VECTOR forms (norms,
   * self-dots — linear work where interpretation cost is irrelevant) and
   * as the documented reference semantics.
+  *
+  * r11-4 RESULT (same estimator): (a) KMV vs exact countDistinct, 20M
+  * rows / 5M distinct / 8 groups: exact 1.153 s vs KMV(k=256) 1.136 s —
+  * wall parity at local[32] (the win is shuffle volume: ≤ k longs per
+  * group-partition vs every distinct pair); the List→Vector bottomK fix
+  * took KMV from ~2.1 s to this. (b) NFC kernel: no-normalize floor
+  * 0.276 s, ascii-bypass 0.203 s, full-normalize path 0.270 s — the
+  * bypass makes normalization free on ASCII corpora (within noise of,
+  * here below, the floor), and even the full Normalizer walk costs < 35%
+  * over floor at 2M × 80-char strings.
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -43,7 +53,9 @@ object AbBench {
     val t = Tables(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     // the headline estimator (Bench.runOnce shape): t0 before plan
     // construction, noop-sink write, warmup + quiesce + GC, 5 runs, median
+    val only = args.toSet // substring filters: run only matching sections
     def run(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       def once(): Double = {
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -108,6 +120,45 @@ object AbBench {
       graft.plans.NativeIntervalJoin
         .overlap(hot("l"), hot("r"), "lk", "llo", "lhi", "rk", "rlo", "rhi")
         .groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    }
+
+    // r11-4a: KMV sketch distinct vs exact COUNT(DISTINCT) on a synthetic
+    // 20M-row / 5M-distinct-values / 8-group table — the shape where exact
+    // distinct must EXPAND-SHUFFLE every distinct (group, value) pair while
+    // the KMV partial aggregation ships ≤ k longs per (group, partition).
+    // The catalog query (q_agg_kmv_set_ops, 10k rows) is scan-floored by
+    // construction; THIS is the operator number.
+    def big = spark.range(20000000L)
+      .select((col("id") % 8).as("g"), (col("id") * 2654435761L % 5000000L).as("v"))
+    run("distinct-exact-20M") {
+      big.groupBy(col("g")).agg(countDistinct(col("v")).as("n"))
+    }
+    run("distinct-kmv-20M") {
+      val kmv = udaf(new graft.operators.KmvAggregator(256))
+      big.select(col("g"), xxhash64(col("v")).as("h"))
+        .groupBy(col("g")).agg(kmv(col("h")).as("sk"))
+        .select(col("g"), size(col("sk")).as("n"))
+    }
+
+    // r11-4b: the NFC kernel's ASCII bypass. Same 2M × ~80-char strings;
+    // "ascii" rows take the byte-scan bypass, "nonascii" rows (one
+    // combining mark appended) pay the full decode + Normalizer walk;
+    // "floor" is the same consume without nfc at all.
+    def strs = spark.range(2000000L)
+      .select(col("id"), concat(lit("the quick brown fox jumps over the lazy dog "),
+        col("id").cast("string"), lit(" and runs away fast")).as("s"))
+    def consumeLen(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column) =
+      df.select(length(c).as("l")).agg(sum(col("l")).as("t"))
+    run("nfc-floor-no-normalize") {
+      consumeLen(strs, col("s"))
+    }
+    run("nfc-ascii-bypass") {
+      consumeLen(strs, graft.functions.NfcNormalizeExpression.column(col("s")))
+    }
+    run("nfc-normalize-path") {
+      consumeLen(strs.select(col("id"), concat(col("s"), lit("é")).as("s")),
+        graft.functions.NfcNormalizeExpression.column(col("s")))
     }
     spark.stop()
   }
