@@ -460,7 +460,15 @@ object ScaleProbe {
         // history stays fixed — the key-partitioned one-pointer merge must
         // scale linearly in users (a regression to a buffered or
         // re-shuffled form would bend this curve)
-        catalogWork("q_join_asof_native", "events")) ++
+        catalogWork("q_join_asof_native", "events"),
+        // the native plane-sweep interval join at factor× (r11's second
+        // whole-operator exec): same growth axis as the as-of probe — more
+        // users, fixed per-user interval depth — so the sweep's active-set
+        // bound stays constant and the ratio must track the data linearly;
+        // a regression toward the composed range-predicate join (per-key
+        // quadratic) or a sweep that stopped pruning its active set would
+        // bend this curve superlinear.
+        catalogWork("q_join_interval_keyed_native", "events")) ++
       // Iterative-operator scale point (LSH pairs → log-round star
       // contraction): the most expensive headline query and the only
       // iterative one, so its growth curve belongs in the shipped bench
