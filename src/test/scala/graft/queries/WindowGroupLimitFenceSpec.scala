@@ -47,7 +47,11 @@ class WindowGroupLimitFenceSpec extends SparkSpec {
     "q_sim_hard_negatives" -> 2,
     "q_sim_recall_audit" -> 4,
     "q_text_salient_terms" -> 2,
-    "q_curate_source_quota" -> 2)
+    "q_curate_source_quota" -> 2,
+    // the sampling family's scale story is the same pushdown: exact-k per
+    // stratum is a rank filter over a hash order, so the exchange carries
+    // k rows per stratum instead of the whole table
+    "q_sample_exact_k" -> 2)
 
   for ((name, minCount) <- fenced)
     test(s"$name keeps the window-group-limit pushdown (>= $minCount nodes)") {
@@ -60,4 +64,28 @@ class WindowGroupLimitFenceSpec extends SparkSpec {
           s"WindowGroupLimitExec nodes, found $got — the top-k now fully " +
           s"sorts every group.\n" + df.queryExecution.executedPlan)
     }
+
+  // A GLOBAL (no partitionBy) row_number filter takes the OTHER scale-safe
+  // rewrite — LimitPushDownThroughWindow plants Local/GlobalLimit k BELOW
+  // the window, so each input partition contributes at most k rows to the
+  // single-partition sort instead of the whole table flowing through it.
+  // (row_number over an empty partition spec is exempted from
+  // InferWindowGroupLimit precisely because this rewrite subsumes it; a
+  // plain rank() there would take the WindowGroupLimit path instead.)
+  test("q_sample_priority_k keeps the limit-below-window pushdown") {
+    val df = AllQueries.all("q_sample_priority_k").run(Tables(spark, sf()))
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    val window = optimized.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(window.isDefined, s"expected a Window node:\n$optimized")
+    val limitBelow = window.get.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }
+    assert(limitBelow.isDefined,
+      s"q_sample_priority_k lost the limit-below-window pushdown: no " +
+        s"LocalLimit under the global window — every row now feeds the " +
+        s"single-partition sort.\n$optimized")
+  }
 }
