@@ -18,6 +18,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * row-identical to `fact.join(dim)` (the exact join removes the false
   * positives). Catalog queries built on this therefore oracle against the
   * plain-join SQL, with no bloom modeling needed on the DuckDB side.
+  * INNER/SEMI joins only: the filter discards non-joinable fact rows (and
+  * null keys — `might_contain(null)` is null), which is exactly what a
+  * fact-preserving OUTER join must keep, so prefiltering the preserved
+  * side of an outer join changes its result. (This mirrors Spark's own
+  * InjectRuntimeFilter, which only plants the filter on shuffle-join
+  * sides where a semi-join reduction is legal.)
   *
   * Spark's own AQE runtime filter (`spark.sql.optimizer.runtime.bloomFilter
   * .enabled`) injects this same rewrite automatically when its size/
