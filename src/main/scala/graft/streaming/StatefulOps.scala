@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.KmvSketch
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
   MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -309,6 +310,72 @@ object StatefulOps {
     events
       .groupByKey(_.userId)
       .transformWithState(new CusumProcessor(target, threshold),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A pre-hashed observation on the sketch stream (callers hash with
+    * `xxhash64(...)` in the plan so the processor stays value-agnostic).
+    */
+  final case class HashedValue(key: String, h: Long)
+
+  /** The latest per-key sketch row: rows folded so far, the distinct
+    * estimate, and the sketch array itself (exposed so parity against the
+    * batch sketch can be asserted bit-for-bit, and so a downstream consumer
+    * can keep merging — the sketch IS the mergeable summary).
+    */
+  final case class KmvSketchRow(key: String, nRows: Long, est: Long, sketch: Seq[Long])
+
+  /** Streaming twin of the KMV distinct sketch (q_agg_kmv_set_ops /
+    * [[graft.operators.KmvAggregator]]): per key, running bottom-k of the
+    * distinct hashes seen so far.
+    *
+    * Why a sketch is THE streaming cardinality shape at 100 TB: exact
+    * running COUNT(DISTINCT) state grows with the distinct count itself
+    * (unbounded — the state store eventually holds every value ever seen),
+    * while this state is ≤ k longs per key, FOREVER, with the estimate's
+    * error fixed by k. And because the KMV merge is exact and
+    * order/partition-independent (bottomK(a ∪ b) associative +
+    * commutative, KmvSpec), the streaming state after ANY trigger split or
+    * arrival order is BIT-IDENTICAL to the batch sketch of the same rows —
+    * not approximately equal, equal — which KmvStreamSpec pins directly on
+    * the emitted arrays. Exactly-once replay of a trigger is likewise
+    * absorbed free: re-folding the same hashes cannot change a bottom-k.
+    *
+    * Update-mode: one refreshed row per key per trigger it appears in.
+    */
+  final class KmvDistinctProcessor(k: Int)
+      extends StatefulProcessor[String, HashedValue, KmvSketchRow] {
+    @transient private var sketch: ValueState[Seq[Long]] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getValueState[Seq[Long]]("sketch",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
+        TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HashedValue],
+        timerValues: TimerValues): Iterator[KmvSketchRow] = {
+      val cur = if (sketch.exists()) sketch.get() else Seq.empty[Long]
+      var n = if (seen.exists()) seen.get() else 0L
+      val batch = rows.map { r => n += 1; r.h }.toSeq
+      val merged = KmvSketch.bottomK(k, cur ++ batch)
+      sketch.update(merged)
+      seen.update(n)
+      Iterator.single(KmvSketchRow(key, n,
+        KmvSketch.estimateDistinct(k, merged), merged))
+    }
+  }
+
+  /** Wire the per-key KMV sketch; Update-mode rows of the latest sketch. */
+  def kmvDistinct(values: Dataset[HashedValue], k: Int): Dataset[KmvSketchRow] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new KmvDistinctProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
 }
