@@ -30,6 +30,16 @@ import graft.operators.Similarity
   * self-dots — linear work where interpretation cost is irrelevant) and
   * as the documented reference semantics.
   *
+  * r11-5 RESULT (same estimator): top-k-per-group forms at 20M rows /
+  * 8 groups / k=3 — window rank filter (WITH its WindowGroupLimit
+  * pushdown, fence-verified) 1.219 s vs typed heap Aggregator 0.427 s =
+  * **2.9× for the UDAF**: even limit-capped, the window form pays a
+  * per-partition sort, an exchange of k·groups·partitions rows, and a
+  * final sort, while the Aggregator is one hash aggregate whose reduce
+  * rejects in O(1). Guidance recorded on [[graft.operators.TopKAggregator]]:
+  * prefer the Aggregator for huge-group/small-k programmatic top-k; the
+  * window form remains what SQL surfaces, hence the plan fence.
+  *
   * r11-4 RESULT (same estimator): (a) KMV vs exact countDistinct, 20M
   * rows / 5M distinct / 8 groups: exact 1.153 s vs KMV(k=256) 1.136 s —
   * wall parity at local[32] (the win is shuffle volume: ≤ k longs per
@@ -159,6 +169,29 @@ object AbBench {
     run("nfc-normalize-path") {
       consumeLen(strs.select(col("id"), concat(col("s"), lit("é")).as("s")),
         graft.functions.NfcNormalizeExpression.column(col("s")))
+    }
+
+    // r11-5: the two top-k-per-group forms the engine fences — the window
+    // rank filter (plans as partial+final WindowGroupLimitExec: per-
+    // partition sort capped at k, exchange carries k·groups·partitions
+    // rows) vs the typed heap Aggregator (map-side k-element buffers, no
+    // sort at all, but typed-row serialization at the aggregate boundary).
+    // 20M rows / 8 groups / k=3 — huge groups, tiny k, the shape where the
+    // forms differ most.
+    def scored = spark.range(20000000L)
+      .select((col("id") % 8).as("g"),
+        (xxhash64(col("id")).cast("double") / 1e18).as("score"), col("id").as("tag"))
+    run("topk-window-20M") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("score").desc, col("tag"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    }
+    run("topk-udaf-20M") {
+      val topk = udaf(new graft.operators.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[graft.operators.ScoredTag])
+      scored
+        .groupBy(col("g")).agg(topk(col("score"), col("tag")).as("top"))
+        .select(col("g"), explode(col("top")).as("e"))
     }
     spark.stop()
   }
