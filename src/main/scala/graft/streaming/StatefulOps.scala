@@ -378,4 +378,64 @@ object StatefulOps {
       .transformWithState(new KmvDistinctProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** The latest per-key CMS row: rows folded so far and the serialized
+    * sketch (Spark's own `org.apache.spark.util.sketch.CountMinSketch`
+    * wire format — deserializable, mergeable, probe-able downstream).
+    */
+  final case class CmsSketchRow(key: String, nRows: Long, sketch: Array[Byte])
+
+  /** Streaming twin of the Count-Min frequency sketch
+    * (q_agg_cms_heavy_hitters): per key, a running CMS of the hashes seen
+    * so far — bounded state (depth×width counters, fixed by ε/confidence)
+    * where exact running per-value counts would grow with the distinct
+    * count.
+    *
+    * Parity contract (CmsStreamSpec): CMS counters ADD commutatively, so —
+    * same seed — the streaming sketch bytes after any trigger split or
+    * arrival order are BIT-IDENTICAL to the batch single-pass sketch.
+    * The deliberate CONTRAST with [[KmvDistinctProcessor]]: a bottom-k is
+    * idempotent (replays absorbed free), while CMS counters are NOT — an
+    * at-least-once replay of a trigger double-counts its rows. Pipelines
+    * needing replay-proof frequencies must dedup upstream of this
+    * operator (the engine's streaming dedup-within-watermark) or accept
+    * the CMS estimate's upward drift; the spec pins BOTH behaviors so the
+    * contract is explicit rather than discovered in production.
+    */
+  final class CmsFreqProcessor(eps: Double, confidence: Double, seed: Int)
+      extends StatefulProcessor[String, HashedValue, CmsSketchRow] {
+    @transient private var sketch: ValueState[Array[Byte]] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sketch = getHandle.getValueState[Array[Byte]]("cms", Encoders.BINARY, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HashedValue],
+        timerValues: TimerValues): Iterator[CmsSketchRow] = {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val cms =
+        if (sketch.exists()) CountMinSketch.readFrom(sketch.get())
+        else CountMinSketch.create(eps, confidence, seed)
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r => n += 1; cms.addLong(r.h) }
+      val bytes = cms.toByteArray
+      sketch.update(bytes)
+      seen.update(n)
+      Iterator.single(CmsSketchRow(key, n, bytes))
+    }
+  }
+
+  /** Wire the per-key CMS; Update-mode rows of the latest sketch. */
+  def cmsFrequency(values: Dataset[HashedValue], eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): Dataset[CmsSketchRow] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new CmsFreqProcessor(eps, confidence, seed),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

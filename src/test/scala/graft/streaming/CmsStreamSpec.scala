@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Streaming CMS frequency sketch (StatefulOps.cmsFrequency) — frequency
+  * next to the KMV twin's cardinality. Counters add commutatively, so the
+  * streaming sketch bytes after any trigger split or arrival order are
+  * bit-identical to the batch single-pass sketch (same seed). The contract
+  * CONTRAST with KMV is pinned too: a replayed trigger double-counts
+  * (counters are not idempotent), where the bottom-k absorbed it — the
+  * at-least-once caveat stated on the operator, proven here.
+  */
+class CmsStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulOps.{CmsSketchRow, HashedValue}
+
+  private val Eps = 0.01
+  private val Conf = 0.99
+  private val Seed = 42
+
+  // key "a": value 7 is a heavy hitter (12 of 20 rows); key "b" small
+  private val rows: Seq[HashedValue] =
+    (1 to 12).map(_ => HashedValue("a", 7L)) ++
+      (1 to 8).map(i => HashedValue("a", 100L + i)) ++
+      Seq(3L, 3L, 9L).map(HashedValue("b", _))
+
+  private def batchTruth(key: String): Array[Byte] = {
+    val cms = CountMinSketch.create(Eps, Conf, Seed)
+    rows.filter(_.key == key).foreach(r => cms.addLong(r.h))
+    cms.toByteArray
+  }
+
+  private def withRocksDBProvider[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def run(batches: Seq[Seq[HashedValue]], name: String): Map[String, CmsSketchRow] =
+    withRocksDBProvider {
+      val in = MemoryStream[HashedValue](spark)
+      val q = StatefulOps.cmsFrequency(in.toDS(), Eps, Conf, Seed)
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName(name).start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[CmsSketchRow].collect().toSeq
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.nRows) }
+    }
+
+  test("trigger splits and arrival order yield bit-identical sketch bytes") {
+    val one = run(Seq(rows), "cms_one")
+    val split = run(rows.grouped(5).toSeq, "cms_split")
+    val reversed = run(rows.reverse.grouped(7).toSeq, "cms_rev")
+    for (k <- Seq("a", "b"); got <- Seq(one, split, reversed)) {
+      assert(java.util.Arrays.equals(got(k).sketch, batchTruth(k)),
+        s"key $k diverged from the batch sketch bytes")
+    }
+    assert(one("a").nRows == 20L && one("b").nRows == 3L)
+  }
+
+  test("estimates never undercount and the heavy hitter reads exact-ish") {
+    val got = run(Seq(rows), "cms_est")
+    val cms = CountMinSketch.readFrom(got("a").sketch)
+    assert(cms.estimateCount(7L) >= 12L) // never undercounts
+    assert(cms.estimateCount(7L) <= 12L + (Eps * cms.totalCount()).ceil.toLong)
+  }
+
+  test("a replayed trigger double-counts: CMS is NOT replay-absorbing") {
+    val replayed = run(Seq(rows, rows), "cms_replay")
+    val cms = CountMinSketch.readFrom(replayed("a").sketch)
+    assert(cms.totalCount() == 40L) // vs KMV, which absorbed the replay
+    assert(cms.estimateCount(7L) >= 24L)
+  }
+}
