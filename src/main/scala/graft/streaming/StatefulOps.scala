@@ -438,4 +438,83 @@ object StatefulOps {
       .transformWithState(new CmsFreqProcessor(eps, confidence, seed),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** A raw observation on the quantile stream (values, not hashes — rank
+    * queries need the actual magnitudes).
+    */
+  final case class Observation(key: String, v: Double)
+
+  /** The latest per-key quantile row: rows folded so far and the running
+    * p50/p95/p99 of everything seen.
+    */
+  final case class QuantileRow(key: String, nRows: Long,
+      p50: Double, p95: Double, p99: Double)
+
+  /** Streaming quantiles — the third member of the bounded-state sketch
+    * family (KMV = cardinality, CMS = frequency, this = rank/percentile):
+    * per key, a running Greenwald–Khanna summary (Spark's own
+    * `QuantileSummaries`, the engine behind `approxQuantile`) answering
+    * p50/p95/p99 over everything seen so far — the canonical streaming
+    * latency-percentile monitor. State is O(1/ε · log(ε·n)) tuples
+    * regardless of how many observations arrive; exact running
+    * percentiles would require retaining every value forever.
+    *
+    * Contract honesty (QuantileStreamSpec pins all three family members'
+    * DIFFERENT parity guarantees): KMV streaming state is bit-identical
+    * to batch; CMS bytes are bit-identical but replays double-count; a GK
+    * summary's internal structure depends on insertion/compression order,
+    * so across trigger splits the summaries may DIFFER STRUCTURALLY while
+    * every query keeps the rank guarantee — the spec therefore asserts
+    * the ε·n rank envelope of each emitted percentile against the true
+    * sorted ranks, per split shape, not byte equality.
+    */
+  final class QuantileProcessor(relativeError: Double)
+      extends StatefulProcessor[String, Observation, QuantileRow] {
+    @transient private var summary: ValueState[Array[Byte]] = _
+
+    private def deserialize(b: Array[Byte]): org.apache.spark.sql.catalyst.util.QuantileSummaries = {
+      val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      try in.readObject().asInstanceOf[org.apache.spark.sql.catalyst.util.QuantileSummaries]
+      finally in.close()
+    }
+
+    private def serialize(s: org.apache.spark.sql.catalyst.util.QuantileSummaries): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ObjectOutputStream(bos)
+      try { out.writeObject(s); out.flush(); bos.toByteArray }
+      finally out.close()
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      summary = getHandle.getValueState[Array[Byte]]("gk", Encoders.BINARY, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Observation],
+        timerValues: TimerValues): Iterator[QuantileRow] = {
+      import org.apache.spark.sql.catalyst.util.QuantileSummaries
+      var s =
+        if (summary.exists()) deserialize(summary.get())
+        else new QuantileSummaries(
+          QuantileSummaries.defaultCompressThreshold, relativeError)
+      rows.foreach(r => s = s.insert(r.v))
+      s = s.compress()
+      summary.update(serialize(s))
+      def q(phi: Double): Double = s.query(phi).getOrElse(Double.NaN)
+      Iterator.single(QuantileRow(key, s.count, q(0.5), q(0.95), q(0.99)))
+    }
+  }
+
+  /** Wire the per-key running percentiles; Update-mode rows of the latest
+    * p50/p95/p99.
+    */
+  def runningQuantiles(values: Dataset[Observation],
+      relativeError: Double = 0.01): Dataset[QuantileRow] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new QuantileProcessor(relativeError),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
