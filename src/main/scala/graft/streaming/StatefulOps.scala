@@ -343,7 +343,7 @@ object StatefulOps {
     *
     * Update-mode: one refreshed row per key per trigger it appears in.
     */
-  final class KmvDistinctProcessor(k: Int)
+  final class KmvDistinctProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, HashedValue, KmvSketchRow] {
     @transient private var sketch: ValueState[Seq[Long]] = _
     @transient private var seen: ValueState[Long] = _
@@ -351,8 +351,8 @@ object StatefulOps {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sketch = getHandle.getValueState[Seq[Long]]("sketch",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](),
-        TTLConfig.NONE)
-      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+        ttl)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(
@@ -370,12 +370,17 @@ object StatefulOps {
     }
   }
 
-  /** Wire the per-key KMV sketch; Update-mode rows of the latest sketch. */
-  def kmvDistinct(values: Dataset[HashedValue], k: Int): Dataset[KmvSketchRow] = {
+  /** Wire the per-key KMV sketch; Update-mode rows of the latest sketch.
+    * Per-key state is <= k longs forever, but the KEY COUNT is unbounded —
+    * pass a processing-time `ttl` to evict idle keys when the key space is
+    * open-ended (user ids, session ids); NONE only suits enum-like keys.
+    */
+  def kmvDistinct(values: Dataset[HashedValue], k: Int,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KmvSketchRow] = {
     import values.sparkSession.implicits._
     values
       .groupByKey(_.key)
-      .transformWithState(new KmvDistinctProcessor(k),
+      .transformWithState(new KmvDistinctProcessor(k, ttl),
         TimeMode.None(), OutputMode.Update())
   }
 
@@ -402,14 +407,15 @@ object StatefulOps {
     * the CMS estimate's upward drift; the spec pins BOTH behaviors so the
     * contract is explicit rather than discovered in production.
     */
-  final class CmsFreqProcessor(eps: Double, confidence: Double, seed: Int)
+  final class CmsFreqProcessor(eps: Double, confidence: Double, seed: Int,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, HashedValue, CmsSketchRow] {
     @transient private var sketch: ValueState[Array[Byte]] = _
     @transient private var seen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sketch = getHandle.getValueState[Array[Byte]]("cms", Encoders.BINARY, TTLConfig.NONE)
-      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+      sketch = getHandle.getValueState[Array[Byte]]("cms", Encoders.BINARY, ttl)
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, ttl)
     }
 
     override def handleInputRows(
@@ -429,13 +435,17 @@ object StatefulOps {
     }
   }
 
-  /** Wire the per-key CMS; Update-mode rows of the latest sketch. */
+  /** Wire the per-key CMS; Update-mode rows of the latest sketch.
+    * Same key-cardinality note as [[kmvDistinct]]: pass a `ttl` for
+    * open-ended key spaces.
+    */
   def cmsFrequency(values: Dataset[HashedValue], eps: Double = 0.001,
-      confidence: Double = 0.99, seed: Int = 42): Dataset[CmsSketchRow] = {
+      confidence: Double = 0.99, seed: Int = 42,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CmsSketchRow] = {
     import values.sparkSession.implicits._
     values
       .groupByKey(_.key)
-      .transformWithState(new CmsFreqProcessor(eps, confidence, seed),
+      .transformWithState(new CmsFreqProcessor(eps, confidence, seed, ttl),
         TimeMode.None(), OutputMode.Update())
   }
 
@@ -468,7 +478,8 @@ object StatefulOps {
     * the ε·n rank envelope of each emitted percentile against the true
     * sorted ranks, per split shape, not byte equality.
     */
-  final class QuantileProcessor(relativeError: Double)
+  final class QuantileProcessor(relativeError: Double,
+      ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Observation, QuantileRow] {
     @transient private var summary: ValueState[Array[Byte]] = _
 
@@ -486,7 +497,7 @@ object StatefulOps {
     }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      summary = getHandle.getValueState[Array[Byte]]("gk", Encoders.BINARY, TTLConfig.NONE)
+      summary = getHandle.getValueState[Array[Byte]]("gk", Encoders.BINARY, ttl)
     }
 
     override def handleInputRows(
@@ -510,11 +521,12 @@ object StatefulOps {
     * p50/p95/p99.
     */
   def runningQuantiles(values: Dataset[Observation],
-      relativeError: Double = 0.01): Dataset[QuantileRow] = {
+      relativeError: Double = 0.01,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[QuantileRow] = {
     import values.sparkSession.implicits._
     values
       .groupByKey(_.key)
-      .transformWithState(new QuantileProcessor(relativeError),
+      .transformWithState(new QuantileProcessor(relativeError, ttl),
         TimeMode.None(), OutputMode.Update())
   }
 }
