@@ -34,6 +34,41 @@ object StreamDemo {
     println(s"[stream] windows=${out.count()}")
     out.orderBy(col("window_start"), col("event_type")).show(8, truncate = false)
 
+    // 1b. the bounded-state sketch trio over the same file-source stream:
+    //     per-event-type distinct users (KMV), user frequency (CMS), and
+    //     running user-id percentiles (GK) — all on RocksDB state
+    {
+      import spark.implicits._
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val hashed = stream
+          .select(col("event_type").as("key"), xxhash64(col("user_id")).as("h"))
+          .as[graft.streaming.StatefulOps.HashedValue]
+        val kmv = graft.streaming.StatefulOps.kmvDistinct(hashed, k = 64)
+          .toDF().select(col("key"), col("nRows"), col("est"))
+        StreamOps.runToMemory(kmv, "stream_kmv", OutputMode.Update)
+        println("[sketch] per-type distinct-user estimates (KMV, k=64):")
+        spark.table("stream_kmv").groupBy(col("key"))
+          .agg(max(col("nRows")).as("rows"), max(col("est")).as("distinct_est"))
+          .orderBy(col("key")).show(8, truncate = false)
+
+        val obs = stream
+          .select(col("event_type").as("key"), col("user_id").cast("double").as("v"))
+          .as[graft.streaming.StatefulOps.Observation]
+        val gk = graft.streaming.StatefulOps.runningQuantiles(obs)
+          .toDF().select(col("key"), col("nRows"), col("p50"), col("p95"), col("p99"))
+        StreamOps.runToMemory(gk, "stream_gk", OutputMode.Update)
+        println("[sketch] per-type running user-id percentiles (GK, eps=0.01):")
+        spark.table("stream_gk").orderBy(col("key"), col("nRows").desc)
+          .dropDuplicates("key").orderBy(col("key")).show(8, truncate = false)
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+
     // 2. Snort pipeline → foreachBatch sink with a stdout writer
     val fixture =
       """{"metrics":[{"snort_timestamp":"25/01/31-04:15:06.927463"},
