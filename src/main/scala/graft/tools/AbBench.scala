@@ -45,10 +45,16 @@ import graft.operators.Similarity
   * wall parity at local[32] (the win is shuffle volume: ≤ k longs per
   * group-partition vs every distinct pair); the List→Vector bottomK fix
   * took KMV from ~2.1 s to this. (b) NFC kernel: no-normalize floor
-  * 0.276 s, ascii-bypass 0.203 s, full-normalize path 0.270 s — the
+  * 0.218 s, ascii-bypass 0.169 s, full-normalize path 0.254 s — the
   * bypass makes normalization free on ASCII corpora (within noise of,
   * here below, the floor), and even the full Normalizer walk costs < 35%
-  * over floor at 2M × 80-char strings.
+  * over floor at 2M × 80-char strings. (c) Honest addendum: the Scala-UDF
+  * alternative measures 0.192 s on the same ASCII input — only ~12%
+  * behind the kernel at this string size, because `Normalizer.normalize`
+  * has its own cheap ASCII scan; the kernel's real advantages are
+  * allocation-free bytes-only rejection (no UTF-8 decode, no boxed
+  * String) and staying inside WholeStageCodegen, which matter as string
+  * length and surrounding expression fusion grow, not a 10× headline.
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -169,6 +175,16 @@ object AbBench {
     run("nfc-normalize-path") {
       consumeLen(strs.select(col("id"), concat(col("s"), lit("é")).as("s")),
         graft.functions.NfcNormalizeExpression.column(col("s")))
+    }
+    // r11-4c: the composed alternative the kernel replaces — a Scala UDF
+    // around java.text.Normalizer (String-boxed both ways, breaks
+    // whole-stage codegen, and cannot see the ASCII bypass because the
+    // boxing already decoded the bytes).
+    run("nfc-udf-ascii") {
+      val nfcUdf = udf((s: String) =>
+        if (s == null) null
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      consumeLen(strs, nfcUdf(col("s")))
     }
 
     // r11-5: the two top-k-per-group forms the engine fences — the window
