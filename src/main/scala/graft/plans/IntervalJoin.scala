@@ -79,10 +79,22 @@ object NativeIntervalJoin {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
-    val node = IntervalJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftLo), attr(lPlan, leftHi),
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val ends = Seq(attr(lPlan, leftLo), attr(lPlan, leftHi),
       attr(rPlan, rightLo), attr(rPlan, rightHi))
+    // Type preconditions at CONSTRUCTION (the as-of lesson, round 10
+    // advice class): the exec builds ONE natural ordering per side-pair
+    // from the LEFT attribute's type and applies it to values of both
+    // sides, so a key or endpoint type mismatch would not fail analysis —
+    // it would mis-order or ClassCastException deep inside the merge.
+    require(lk.dataType == rk.dataType,
+      s"interval-join key types differ: $leftKey is ${lk.dataType.sql}, " +
+        s"$rightKey is ${rk.dataType.sql}")
+    require(ends.map(_.dataType).distinct.size == 1,
+      "interval endpoints must share one type, got " +
+        ends.map(a => s"${a.name}: ${a.dataType.sql}").mkString(", "))
+    val node = IntervalJoinPlan(lPlan, rPlan, lk, rk,
+      ends(0), ends(1), ends(2), ends(3))
     PlanBridge.ofRows(left.sparkSession, node)
   }
 }

@@ -96,4 +96,18 @@ class IntervalNativeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoop"),
       s"unexpected join operator beside the native exec:\n$plan")
   }
+
+  test("type mismatches are rejected at construction, not inside the merge") {
+    val l = Seq((1L, 0L, 5L)).toDF("k", "lo", "hi")
+    val rIntKey = Seq((1, 1L, 2L)).toDF("k2", "lo2", "hi2")
+    val keyErr = intercept[IllegalArgumentException] {
+      NativeIntervalJoin.overlap(l, rIntKey, "k", "lo", "hi", "k2", "lo2", "hi2")
+    }
+    assert(keyErr.getMessage.contains("key types differ"))
+    val rIntEnds = Seq((1L, 1, 2)).toDF("k2", "lo2", "hi2")
+    val endErr = intercept[IllegalArgumentException] {
+      NativeIntervalJoin.overlap(l, rIntEnds, "k", "lo", "hi", "k2", "lo2", "hi2")
+    }
+    assert(endErr.getMessage.contains("share one type"))
+  }
 }
