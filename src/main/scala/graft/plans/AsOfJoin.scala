@@ -112,6 +112,18 @@ object NativeAsOf {
       integral("left", left, leftTime)
       integral("right", right, rightTime)
     }
+    // cross-side type equality, also at construction (the IntervalJoin
+    // twin of this check): the exec orders both sides' keys and times with
+    // ONE natural ordering built from the left attribute's type, so a
+    // mismatch would mis-order or throw mid-merge instead of failing here
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"as-of key types differ: left '$key' is " +
+        s"${left.schema(key).dataType.sql}, right is " +
+        s"${right.schema(key).dataType.sql}")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"as-of time types differ: '$leftTime' is " +
+        s"${left.schema(leftTime).dataType.sql}, '$rightTime' is " +
+        s"${right.schema(rightTime).dataType.sql}")
     val lPlan = PlanBridge.analyzed(left)
     // self-join guard: when both inputs derive from one DataFrame (events
     // as-of events), the right plan's key/time attributes can carry the

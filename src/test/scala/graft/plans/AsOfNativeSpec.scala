@@ -178,6 +178,20 @@ class AsOfNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("StringType"))
   }
 
+  test("cross-side key/time type mismatches are rejected at construction") {
+    val l = Seq((1L, 100L, 1L)).toDF("user_id", "t", "event_id")
+    val rIntKey = Seq((1, 100L, 10L)).toDF("user_id", "t", "v")
+    val keyErr = intercept[IllegalArgumentException] {
+      NativeAsOf.backward(l, rIntKey, "user_id", "t", "t", Seq("v"))
+    }
+    assert(keyErr.getMessage.contains("key types differ"))
+    val rIntTime = Seq((1L, 100, 10L)).toDF("user_id", "t", "v")
+    val timeErr = intercept[IllegalArgumentException] {
+      NativeAsOf.backward(l, rIntTime, "user_id", "t", "t", Seq("v"))
+    }
+    assert(timeErr.getMessage.contains("time types differ"))
+  }
+
   test("composed form agrees on the hand-built frame (shared truth)") {
     val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
       .toDF("user_id", "t", "event_id")
