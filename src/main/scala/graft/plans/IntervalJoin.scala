@@ -209,12 +209,20 @@ final case class IntervalJoinExec(
           } else continue = false
         }
         // evict intervals ending before this left's start — left los are
-        // non-decreasing within the key, so they can never match again
+        // non-decreasing within the key, so they can never match again.
+        // Single-pass compaction (copy survivors forward, truncate) rather
+        // than remove(i): each remove shifts the tail, so a burst of B
+        // expirations would cost O(B·d) in shifts; this is O(d) flat.
         var i = 0
+        var keep = 0
         while (i < active.length) {
-          if (timeOrd.compare(rHiProj(active(i)), llo) < 0) active.remove(i)
-          else i += 1
+          if (timeOrd.compare(rHiProj(active(i)), llo) >= 0) {
+            if (keep != i) active(keep) = active(i)
+            keep += 1
+          }
+          i += 1
         }
+        if (keep < active.length) active.dropRightInPlace(active.length - keep)
         // active is lo-sorted; rows ingested for an EARLIER left (whose hi
         // exceeded this one's) may start after this left ends — emit only
         // the lo <= lhi prefix (the rest stays for later lefts)
