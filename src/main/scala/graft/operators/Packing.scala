@@ -35,6 +35,10 @@ object Packing {
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
       .withColumn("tok_offset",
         coalesce(sum(col(tokenCountCol).cast("long")).over(w), lit(0L)))
-      .withColumn("chunk", floor(col("tok_offset") / lit(seqLen.toDouble)).cast("long"))
+      // integer div, not floor(double /): tok_offset is a token cumsum that
+      // can pass 2^53 on a petatoken-scale shard, where double division
+      // silently rounds to the wrong chunk; div is exact at any magnitude
+      // (both are non-negative here, so div == floor-division)
+      .withColumn("chunk", expr(s"tok_offset div $seqLen"))
   }
 }
