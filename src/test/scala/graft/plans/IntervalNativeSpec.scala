@@ -97,6 +97,36 @@ class IntervalNativeSpec extends SparkSpec {
       s"unexpected join operator beside the native exec:\n$plan")
   }
 
+  test("three-way fuzz: native sweep == bucketed RangeJoin == composed predicate") {
+    // one shared key puts every row in a single group — the native exec's
+    // plane-sweep specialty — while the UNKEYED bucketed formulation
+    // (RangeJoin.intervalOverlap, claim-bucket dedup) and the raw composed
+    // predicate compute the same pair set by entirely different plans:
+    // three independent implementations cross-validating each other.
+    val rng = new scala.util.Random(23)
+    (1 to 3).foreach { round =>
+      val mk = (n: Int, tag: Long) => Seq.fill(n) {
+        val lo = rng.nextInt(80).toLong
+        (lo, lo + rng.nextInt(15).toLong, tag + rng.nextInt(1000000))
+      }
+      val l = mk(60, 1000000L).toDF("llo", "lhi", "lid")
+      val r = mk(50, 2000000L).toDF("rlo", "rhi", "rid")
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("lid"), col("rid")).collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val composed = pairs(l.join(r,
+        col("llo") <= col("rhi") && col("rlo") <= col("lhi")))
+      val bucketed = pairs(graft.operators.RangeJoin.intervalOverlap(
+        l, "llo", "lhi", r, "rlo", "rhi", bucketWidth = 8L))
+      val native = pairs(NativeIntervalJoin.overlap(
+        l.withColumn("k", lit(1L)), r.withColumn("k2", lit(1L)),
+        "k", "llo", "lhi", "k2", "rlo", "rhi"))
+      assert(composed.nonEmpty, "fuzz round produced no overlaps — widen the ranges")
+      assert(bucketed == composed, s"round $round: bucketed diverged from composed")
+      assert(native == composed, s"round $round: native diverged from composed")
+    }
+  }
+
   test("type mismatches are rejected at construction, not inside the merge") {
     val l = Seq((1L, 0L, 5L)).toDF("k", "lo", "hi")
     val rIntKey = Seq((1, 1L, 2L)).toDF("k2", "lo2", "hi2")
