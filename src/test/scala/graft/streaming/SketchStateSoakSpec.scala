@@ -61,6 +61,43 @@ class SketchStateSoakSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join buffers evict once both watermarks pass the window") {
+    // StreamOps.streamStreamJoin's scaladoc claims the time-range bound plus
+    // both watermarks keep the buffered state BOUNDED — this asserts it on
+    // the store metric: ten batches of entirely fresh keys, event time
+    // jumping far past lag+watermark each batch, must plateau at
+    // O(per-batch rows), not accumulate every row ever buffered.
+    withRocksDBProvider {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def ts(min: Long) = new java.sql.Timestamp(ts0 + min * 60000L)
+      val left = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+      val right = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+      val joined = StreamOps.streamStreamJoin(
+        left.toDF().toDF("ts", "sensor", "alert"), "ts", "1 minute",
+        right.toDF().toDF("ts", "sensor", "ack"), "ts", "1 minute",
+        key = "sensor", maxLag = "2 minutes")
+      val q = joined.writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("ssj_soak").start()
+      val perBatch = 100
+      val stateRows = (0 until 10).map { b =>
+        // batch b: fresh sensors, 20 min past batch b-1 — far beyond
+        // lag + watermark, so batch b-1's buffered rows must evict
+        val t = ts(b * 20L)
+        left.addData((0 until perBatch).map(i => (t, b * 100000L + i, s"a$b-$i")): _*)
+        right.addData((0 until perBatch).map(i => (t, b * 100000L + i, s"k$b-$i")): _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      q.stop()
+      stateRows.drop(2).foreach { n =>
+        assert(n <= 4L * perBatch,
+          s"join state should plateau near 2x$perBatch buffered rows, got $stateRows")
+      }
+      // every same-instant pair joined despite the eviction churn
+      assert(spark.table("ssj_soak").count() == 10L * perBatch)
+    }
+  }
+
   test("GK quantile state rows also stay flat under 50x data on fixed keys") {
     withRocksDBProvider {
       val in = MemoryStream[StatefulOps.Observation](spark)
