@@ -86,4 +86,34 @@ class KmvSpec extends SparkSpec {
         s"scope ${r.getString(0)}: est $est vs exact $exact (tol $tol)")
     }
   }
+
+  test("merge laws hold over generated hash multisets (pure, no Spark)") {
+    // The exact-merge claim as ALGEBRA, over adversarial generated inputs
+    // (duplicates, negatives = high unsigned values, empties, sizes
+    // straddling k): associativity + commutativity + idempotence +
+    // capacity + unsigned sortedness. These five laws are exactly what the
+    // aggregator's partial-merge tree and the streaming twin's
+    // split-invariance rest on (PropertiesSpec style: Gen + plain asserts).
+    import org.scalacheck.Gen
+    val kk = 16
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(-5L, 5L))) // dense small band forces duplicates
+    def sample(): Seq[Long] =
+      Iterator.continually(gen.sample).flatten.next()
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val (a, b, c) = (sample(), sample(), sample())
+      val u = KmvSketch.union(kk, a, b)
+      assert(u == KmvSketch.bottomK(kk, a ++ b))
+      assert(u == KmvSketch.union(kk, b, a)) // commutative
+      assert(KmvSketch.union(kk, KmvSketch.union(kk, a, b), c) ==
+        KmvSketch.union(kk, a, KmvSketch.union(kk, b, c))) // associative
+      assert(KmvSketch.union(kk, u, u) == u) // idempotent
+      assert(u.size <= kk)
+      assert(u == u.sortWith((x, y) => java.lang.Long.compareUnsigned(x, y) < 0))
+      // order independence: any shuffle of the concatenation sketches equal
+      assert(KmvSketch.bottomK(kk, rng.shuffle(a ++ b)) == u)
+    }
+  }
 }
