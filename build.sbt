@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify output must reach the driver's log tail as BARE stdout
+// lines: sbt's default forked-output strategy routes program stdout
+// through its logger, prefixing every line with "[info] " — which is what
+// kept BENCH_r{9,10,11}.json at "parsed": null even once the line fit the
+// tail window (a JSON parser that requires the line to start with '{'
+// fails on the prefix). StdoutOutput makes forked program stdout bypass
+// the logger entirely.
+outputStrategy := Some(StdoutOutput)
+// (lintUnused can't see through the forkOptions wiring — verified live:
+// with this setting the forked line is bare, without it "[info] "-prefixed)
+Global / excludeLintKeys += outputStrategy
+// ...and suppress sbt's "[success] Total time: …" footer so a
+// last-line-of-output extraction rule lands on the program's JSON line,
+// not on sbt bookkeeping.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -201,7 +201,20 @@ object Bench {
       System.gc()
       val runs = Seq.fill(5)(try runOnce(name) catch { case _: Throwable => -1.0 })
       val ok = runs.filter(_ >= 0)
-      val median = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+      // Interference trim (r11 verdict task 2) — the probe's 3×-min pair
+      // trim, applied to the headline estimator too: the r11 driver window
+      // inflated untouched queries 50-70% (machine pauses measured at
+      // 5-25× swings, vs ≤1.5× genuine run-to-run variance on this box),
+      // and a plain median-of-5 only survives two polluted runs. Drop runs
+      // above 3× the per-query minimum, then take the median of what
+      // remains (the min always survives, so the trimmed set is never
+      // empty). The RAW runs array still lands in target/bench.json, so a
+      // trimmed median is always inspectable against its untrimmed
+      // evidence.
+      val median = if (ok.isEmpty) -1.0 else {
+        val clean = ok.filter(_ <= 3 * ok.min)
+        clean.sorted.apply(clean.size / 2)
+      }
       (name, median, runs)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -276,8 +289,18 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
+    // Emit the compact line TWICE — before and after session shutdown —
+    // with build.sbt's StdoutOutput making both copies reach the driver as
+    // bare, unprefixed stdout (r11 verdict task 1: three rounds of
+    // BENCH "parsed": null traced to sbt's "[info] " prefix / "[success]"
+    // footer around a line that itself parses cleanly). Whatever the
+    // driver's extraction rule — first JSON-looking line, last line
+    // (sbt's success footer is suppressed, see build.sbt), or a
+    // tail-window scan — at least one intact copy is in reach; Spark's
+    // shutdown logging between the two goes to stderr, never stdout.
     println(compact)
     spark.stop()
+    println(compact)
   }
 }
 
