@@ -127,6 +127,60 @@ class IntervalNativeSpec extends SparkSpec {
     }
   }
 
+  test("maxDepth SQLMetric reports the deepest active set a task held") {
+    // one key, 7 mutually overlapping right intervals, one left covering
+    // all of them: the sweep must hold all 7 at once, so the task's max
+    // active-set depth is exactly 7 (every other task is empty and a
+    // never-updated size metric contributes nothing to the merge)
+    val l = Seq((1L, 50L, 60L, 1L)).toDF("k", "lo", "hi", "id")
+    val r = (0 until 7).map(i => (1L, i.toLong, 100L, 10L + i))
+      .toDF("k2", "lo2", "hi2", "id2")
+    val df = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+    // drive THIS queryExecution (count() would plan and execute its own
+    // copy of the exec, leaving these metric instances untouched)
+    assert(df.collect().length === 7)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // query stages are leaf nodes to collect(); descend through their plans
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[IntervalJoinExec] =
+      p match {
+        case e: IntervalJoinExec => Some(e)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.view.flatMap(find(_)).headOption
+      }
+    val exec = find(finalPlan)
+      .getOrElse(fail(s"no IntervalJoinExec in\n$finalPlan"))
+    assert(exec.metrics.contains("maxDepth"), "metric not declared on the exec")
+    assert(exec.metrics("maxDepth").value === 7L,
+      s"expected depth 7, got ${exec.metrics("maxDepth").value}")
+    assert(exec.metrics("numOutputRows").value === 7L)
+  }
+
+  test("the all-overlapping pathological key fails with the named depth guard") {
+    // 50 mutually overlapping right intervals on ONE key with the cap at
+    // 10: the degeneration the r11 verdict named — without the guard this
+    // is O(m) heap on one task, silent until the executor dies; with it, a
+    // named error at the operator that owns the contract (Guards-style)
+    spark.conf.set(IntervalJoinExec.MaxDepthKey, "10")
+    try {
+      val l = Seq((1L, 0L, 1000L, 1L)).toDF("k", "lo", "hi", "id")
+      val r = (0 until 50).map(i => (1L, i.toLong, 2000L, 100L + i))
+        .toDF("k2", "lo2", "hi2", "id2")
+      val e = intercept[Exception] {
+        NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2").count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("IntervalJoinExec.maxActiveDepth")),
+        s"guard did not fire by name: ${messages(e).mkString(" | ")}")
+      assert(messages(e).exists(_.contains(IntervalJoinExec.MaxDepthKey)),
+        "error must carry the remediation conf key")
+    } finally spark.conf.unset(IntervalJoinExec.MaxDepthKey)
+  }
+
   test("type mismatches are rejected at construction, not inside the merge") {
     val l = Seq((1L, 0L, 5L)).toDF("k", "lo", "hi")
     val rIntKey = Seq((1, 1L, 2L)).toDF("k2", "lo2", "hi2")
