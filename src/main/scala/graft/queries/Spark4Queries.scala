@@ -350,15 +350,22 @@ object Spark4Queries extends Catalog {
           .groupBy(col("event_type"))
           .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
           .select(col("sk")).collect()
-        val merged = perGroup.map(r =>
+        // reduceOption: an empty events table yields zero per-group
+        // sketches, and the heavy-hitter report is then legitimately empty
+        // (reduce would throw UnsupportedOperationException — r11 ADVICE)
+        perGroup.map(r =>
             org.apache.spark.util.sketch.CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
-          .reduce((a, b) => a.mergeInPlace(b))
-        val keys = exactTop.select(col("user_id")).as[Long].collect().toSeq
-        val est = keys.map(k => (k, merged.estimateCount(java.lang.Long.valueOf(k))))
-          .toDF("user_id", "n_est")
-        exactTop.join(broadcast(est), "user_id")
-          .select(col("user_id"), col("n_exact"), col("n_est"))
-          .orderBy(col("n_exact").desc_nulls_last, col("user_id"))
+          .reduceOption((a, b) => a.mergeInPlace(b)) match {
+          case None =>
+            Seq.empty[(Long, Long, Long)].toDF("user_id", "n_exact", "n_est")
+          case Some(merged) =>
+            val keys = exactTop.select(col("user_id")).as[Long].collect().toSeq
+            val est = keys.map(k => (k, merged.estimateCount(java.lang.Long.valueOf(k))))
+              .toDF("user_id", "n_est")
+            exactTop.join(broadcast(est), "user_id")
+              .select(col("user_id"), col("n_exact"), col("n_est"))
+              .orderBy(col("n_exact").desc_nulls_last, col("user_id"))
+        }
       },
       None),
 

@@ -126,7 +126,14 @@ object StatefulOps {
       // batch is sorted, so consecutive such stragglers within gap of each
       // other fold into ONE pending fragment here instead of emitting one
       // singleton each; the pending fragment closes when a straggler
-      // arrives beyond its gap, or at end of batch. Residual (documented):
+      // arrives beyond its gap, or at end of batch — where the LIVE
+      // fragment gets one more chance: if in-batch events have meanwhile
+      // backward-extended the session start via min(s,t) to within gapMs
+      // of the fragment's end, the fragment IS the same session and is
+      // folded into it rather than emitted (r11 ADVICE; only the last
+      // fragment can qualify — any earlier one closed precisely because
+      // the next straggler already sat beyond its gap, and that straggler
+      // bounds the extended start from below). Residual (documented):
       // stragglers in DIFFERENT batches that are within gap of each other
       // still emit as separate fragments — exact cross-batch fragment
       // merging needs a multi-interval state list, which this processor
@@ -163,7 +170,15 @@ object StatefulOps {
             cur = Some((t, t, 1L, r.cents))
         }
       }
-      closePending()
+      // end-of-batch: merge the live fragment into the (possibly
+      // backward-extended) session when the gap between them has closed;
+      // otherwise emit it as the separate earlier session it is
+      (pending, cur) match {
+        case (Some((ps, pl, pn, pc)), Some((s, last, n, c))) if s - pl <= gapMs =>
+          cur = Some((math.min(ps, s), math.max(last, pl), n + pn, c + pc))
+          pending = None
+        case _ => closePending()
+      }
       cur.foreach { st =>
         sess.update(st)
         // re-arm: exactly one live timer per open session

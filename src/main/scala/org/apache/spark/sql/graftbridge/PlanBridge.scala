@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{
   HashPartitioning, UnknownPartitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.{LogicalRDD, SQLExecution}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Narrow `private[sql]` bridge for the engine's custom logical plans
@@ -70,7 +70,13 @@ object PlanBridge {
     val qe = ds.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // materializes the checkpoint AND finalizes the AQE plan
+    // materializes the checkpoint AND finalizes the AQE plan — under a
+    // fresh SQL execution id so the job is attributed to this query in the
+    // SQL UI / metrics listeners, exactly like the stock
+    // Dataset.localCheckpoint(true) path this replaces (r11 ADVICE)
+    SQLExecution.withNewExecutionId(qe, Some("checkpointPreservingHash")) {
+      rdd.count()
+    }
     val finalPlan = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p

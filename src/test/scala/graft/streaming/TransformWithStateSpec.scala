@@ -198,6 +198,43 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("a straggler fragment merges when in-batch events backward-extend the start to within gap") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_frag_backmerge").start()
+      in.addData(TimedEvent(t(base + 300000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // one later batch: a straggler at +195s (105s before the stored
+      // start of +300s, > gap -> routed to pending) AND an event at +245s
+      // (within gap of the stored start -> backward-extends it via
+      // min(s,t) to +245s). The extended start is now 50s after the
+      // fragment's end — INSIDE the gap — so end-of-batch must fold the
+      // fragment into the session (r11 ADVICE: the in-batch residual),
+      // yielding ONE session [195s, 300s] with every internal gap <= 60s,
+      // not a split singleton + [245s, 300s].
+      in.addData(
+        TimedEvent(t(base + 195000L), 1L, 2L, 50L),
+        TimedEvent(t(base + 245000L), 1L, 3L, 25L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_frag_backmerge").as[SessionSummary].collect()
+        .filter(_.userId == 1L)
+      assert(got.length == 1, s"expected one merged session, got ${got.toList}")
+      assert(got.head.startMs == base + 195000L && got.head.endMs == base + 300000L)
+      assert(got.head.nEvents == 3L && got.head.cents == 175L)
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
