@@ -464,6 +464,47 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** A stamped observation for the replay-proof CMS composition: the
+    * event id is the idempotency token, the event time bounds how long
+    * the dedup operator must remember it.
+    */
+  final case class StampedValue(
+    ts: java.sql.Timestamp, eventId: Long, key: String, h: Long)
+
+  /** The shipped answer to the CMS at-least-once caveat (r11 verdict
+    * task 5): [[cmsFrequency]]'s counters are not idempotent — a replayed
+    * trigger double-counts (CmsStreamSpec pins it) — so this composition
+    * puts Spark's own `dropDuplicatesWithinWatermark` on the event id
+    * UPSTREAM of the fold. A redelivered event is dropped by the dedup
+    * state before it can touch a counter, making the composed pipeline's
+    * sketch bytes invariant under trigger replay (the spec's replayed
+    * batch leaves totalCount unchanged — the exact scenario the plain
+    * operator's caveat warns about).
+    *
+    * Cost model, stated next to the guarantee: the dedup operator holds
+    * one state row PER EVENT ID inside the watermark horizon — O(events
+    * in the delay window), where the CMS fold alone is O(keys). That is
+    * the honest price of exactly-once-effect over an at-least-once
+    * source, and it is bounded by the watermark (ids older than the
+    * horizon are evicted; a replay arriving later than the horizon is
+    * indistinguishable from a new event — the standard
+    * dropDuplicatesWithinWatermark contract, so choose the delay to
+    * cover the source's redelivery window, e.g. the Kafka transaction
+    * timeout). Use the plain [[cmsFrequency]] when upstream is already
+    * exactly-once or upward drift is acceptable; use this when it isn't.
+    */
+  def cmsFrequencyDeduped(values: Dataset[StampedValue],
+      watermarkDelay: String = "10 seconds",
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CmsSketchRow] = {
+    import values.sparkSession.implicits._
+    val deduped = values
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("eventId")
+      .map(v => HashedValue(v.key, v.h))
+    cmsFrequency(deduped, eps, confidence, seed, ttl)
+  }
+
   /** A raw observation on the quantile stream (values, not hashes — rank
     * queries need the actual magnitudes).
     */

@@ -23,10 +23,10 @@ object StreamDemo {
     // 1. file-source stream: stage the events table as json, stream it back
     val stage = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Tables(spark, sfDir).events
-      .select(col("ts"), col("event_type"), col("user_id"))
+      .select(col("ts"), col("event_id"), col("event_type"), col("user_id"))
       .coalesce(4).write.mode("overwrite").json(stage)
     val stream = spark.readStream
-      .schema("ts timestamp, event_type string, user_id bigint")
+      .schema("ts timestamp, event_id bigint, event_type string, user_id bigint")
       .json(stage)
     val counts = StreamOps.tumblingCounts(stream, "ts", "6 hours", "1 hour", "event_type")
     StreamOps.runToMemory(counts, "stream_counts", OutputMode.Append)
@@ -53,6 +53,21 @@ object StreamDemo {
         spark.table("stream_kmv").groupBy(col("key"))
           .agg(max(col("nRows")).as("rows"), max(col("est")).as("distinct_est"))
           .orderBy(col("key")).show(8, truncate = false)
+
+        // replay-proof frequency: dropDuplicatesWithinWatermark(eventId)
+        // upstream of the CMS fold — the composed exactly-once-effect
+        // pipeline (a redelivered event never touches a counter)
+        val stamped = stream
+          .select(col("ts"), col("event_id").as("eventId"),
+            col("event_type").as("key"), xxhash64(col("user_id")).as("h"))
+          .as[graft.streaming.StatefulOps.StampedValue]
+        val cms = graft.streaming.StatefulOps
+          .cmsFrequencyDeduped(stamped, watermarkDelay = "1 hour")
+          .toDF().select(col("key"), col("nRows"))
+        StreamOps.runToMemory(cms, "stream_cms", OutputMode.Update)
+        println("[sketch] per-type deduped CMS fold (rows reaching the counters):")
+        spark.table("stream_cms").groupBy(col("key"))
+          .agg(max(col("nRows")).as("rows")).orderBy(col("key")).show(8, truncate = false)
 
         val obs = stream
           .select(col("event_type").as("key"), col("user_id").cast("double").as("v"))

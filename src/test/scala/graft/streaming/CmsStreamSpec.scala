@@ -81,4 +81,31 @@ class CmsStreamSpec extends SparkSpec {
     assert(cms.totalCount() == 40L) // vs KMV, which absorbed the replay
     assert(cms.estimateCount(7L) >= 24L)
   }
+
+  test("the deduped composition absorbs a replayed trigger: counters unchanged") {
+    import StatefulOps.StampedValue
+    // same 23 logical events, now carrying unique event ids + a timestamp
+    // for the dedup horizon; the whole batch is then REPLAYED verbatim —
+    // the at-least-once redelivery the plain operator's caveat warns about
+    val base = 1700000000000L
+    val stamped: Seq[StampedValue] = rows.zipWithIndex.map { case (r, i) =>
+      StampedValue(new java.sql.Timestamp(base + i * 1000L), 100L + i, r.key, r.h)
+    }
+    val got = withRocksDBProvider {
+      val in = MemoryStream[StampedValue](spark)
+      val q = StatefulOps.cmsFrequencyDeduped(in.toDS(),
+        watermarkDelay = "1 hour", eps = Eps, confidence = Conf, seed = Seed)
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("cms_dedup_replay").start()
+      Seq(stamped, stamped).foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table("cms_dedup_replay").as[StatefulOps.CmsSketchRow].collect().toSeq
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.nRows) }
+    }
+    for (k <- Seq("a", "b"))
+      assert(java.util.Arrays.equals(got(k).sketch, batchTruth(k)),
+        s"key $k: replay leaked through the dedup into the counters")
+    val cms = CountMinSketch.readFrom(got("a").sketch)
+    assert(cms.totalCount() == 20L) // NOT 40: the replayed trigger was absorbed
+  }
 }
