@@ -91,6 +91,52 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("canary: the recorded hash layout matches actual partition contents") {
+    // The recording in PlanBridge.checkpointPreservingHash rests on two
+    // behaviors outside this repo's control: AdaptiveSparkPlanExec
+    // .executedPlan exposing the truly-final plan, and REPARTITION_BY_NUM
+    // never being coalesced by AQE. The plan-shape tests above would KEEP
+    // PASSING if a future Spark preserved those shapes but changed the
+    // actual row→partition map (hash seed, pmod convention, a coalescing
+    // rule reaching numbered repartitions) — the recorded claim would then
+    // be unsound and downstream joins would silently co-locate the wrong
+    // rows. This canary checks the claim against CONTENTS: every row of
+    // the materialized checkpoint must sit in the partition its recorded
+    // HashPartitioning computes, pmod(murmur3_hash(key), n) == partition id.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cp = Checkpoints.partitioned(
+      spark.range(997).select((col("id") % 131).as("u"), col("id").as("v")),
+      col("u"))
+    cp.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            assert(h.numPartitions == n,
+              s"recorded ${h.numPartitions} partitions, session width is $n")
+          case other => fail(
+            s"partitioned() recorded $other, not a HashPartitioning: this " +
+              "Spark likely started coalescing REPARTITION_BY_NUM shuffles " +
+              "or changed AdaptiveSparkPlanExec.executedPlan — re-derive the " +
+              "recording rule in PlanBridge.checkpointPreservingHash before " +
+              "trusting any superstep plan fence")
+        }
+      case other => fail(s"checkpoint no longer scans a LogicalRDD:\n$other")
+    }
+    // spark_partition_id() over the bare scan (no exchange in this plan)
+    // is the RDD partition index; compare with the SQL hash(), which is
+    // the same Murmur3(seed=42) HashPartitioning.partitionIdExpression uses
+    val mismatched = cp
+      .select(spark_partition_id().as("pid"),
+        pmod(hash(col("u")), lit(n)).as("expected"))
+      .filter(col("pid") =!= col("expected")).count()
+    assert(mismatched == 0,
+      s"$mismatched rows sit outside their recorded hash partition — the " +
+        "recorded HashPartitioning is UNSOUND on this Spark and every " +
+        "shuffle-free superstep join built on it would be silently wrong; " +
+        "audit PlanBridge.checkpointPreservingHash (hash seed, pmod " +
+        "convention, AQE coalescing of numbered repartitions) immediately")
+  }
+
   test("partitioned checkpoint feeds a same-key groupBy and join with no extra shuffle") {
     // note: NO coalescing override here — partitioned() pins the count
     // (REPARTITION_BY_NUM), which AQE never coalesces, so the recording
