@@ -261,6 +261,27 @@ object Bench {
           (j, j)
       }
 
+    // Exchange-volume evidence (r11 verdict task 7): the bloom prefilter's
+    // whole point is shuffle-record reduction, which the wall-clock
+    // headline cannot show at scan-floored sf0.1 — so measure the records
+    // directly from the executed plans' own SQLMetrics at factor× data.
+    // Deterministic (no timing, no medians): the same plan shuffles the
+    // same rows every run.
+    val exchangeJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_PROBE", "1") == "0") ""
+      else try {
+        val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+        val c = ExchangeProbe.run(spark, sfDir, factor)
+        f""","exchange_probe":{"factor":${c.factor},"bloom_join":{""" +
+          f""""shuffle_records_with":${c.withBloom},""" +
+          f""""shuffle_records_without":${c.without},"cut":${c.ratio}%.2f}}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          s""","exchange_probe":{"error":"$msg"}"""
+      }
+
     // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
     // the r9 AND r10 JSON lines outgrew the driver's fixed-size tail-capture
     // window, measured at exactly 2000 chars in BENCH_r10 with sbt's
@@ -275,9 +296,9 @@ object Bench {
     //    headline medians are the record that must never truncate, and the
     //    probe stays available in the file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull$exchangeJson}"""
     def compactLine(probe: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe$exchangeJson}"""
     val compact = {
       val withProbe = compactLine(probeCompact)
       if (withProbe.length <= 1800) withProbe
@@ -571,6 +592,81 @@ object ScaleProbe {
     } finally {
       scala.reflect.io.Path(new java.io.File(root)).deleteRecursively()
       ()
+    }
+  }
+}
+
+/** Shuffle-record evidence for the bloom semi-join prefilter at factor×
+  * data (r11 verdict task 7): the same fact⋈dim shuffle join measured with
+  * and without the explicit bloom prefilter, broadcast and Spark's own
+  * runtime bloom injection disabled on BOTH legs so the delta is the
+  * operator alone. The metric is the sum of every ShuffleExchange's own
+  * `shuffleRecordsWritten` SQLMetric in the executed plan — rows entering
+  * exchanges, the quantity the operator exists to cut — which unlike
+  * wall-clock is deterministic at any SF (the scan-floored sf0.1 headline
+  * can't show this at all). Expected shape: the dim predicate keeps ~1/5
+  * of suppliers, so the prefiltered fact exchange carries ~20% + fpp of
+  * the rows — a ~5× cut that holds at ANY factor because the bloom rides
+  * a scalar subquery (one build, a literal in every task).
+  */
+object ExchangeProbe {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+  final case class Cut(factor: Int, withBloom: Long, without: Long) {
+    def ratio: Double = without.toDouble / math.max(withBloom, 1L).toDouble
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: below.flatMap(flatten)
+  }
+
+  /** Fully run `df` and sum shuffle records written across every exchange
+    * in ITS OWN executed plan (metric values are final once the action
+    * returns — accumulators merge on task completion, before the job
+    * unblocks). The action is `toRdd.count()` on df's own QueryExecution,
+    * NOT a noop write: `df.write` plans a fresh QueryExecution whose exec
+    * nodes own fresh metric accumulators, and this plan's metrics would
+    * stay zero.
+    */
+  private[graft] def shuffleRecords(df: DataFrame): Long = {
+    df.queryExecution.toRdd.count()
+    flatten(df.queryExecution.executedPlan).map {
+      case s: ShuffleExchangeLike =>
+        s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      case _ => 0L
+    }.sum
+  }
+
+  def run(spark: SparkSession, sfDir: String, factor: Int): Cut = {
+    val overrides = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // facts grow factor×, the dim stays fixed — the 100 TB reality
+      val fact = ScaleProbe.replicate(spark, sfDir, "lineitem", factor)
+      val dim = Graft.table(spark, sfDir, "supplier")
+        .filter(col("s_nationkey") % 5 === 3)
+        .select(col("s_suppkey"), col("s_name"))
+      def joined(f: DataFrame): DataFrame =
+        f.join(dim, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_suppkey"), col("s_name"), col("l_extendedprice"))
+      val without = shuffleRecords(joined(fact))
+      val prefiltered = graft.operators.BloomPrefilter.prefilter(
+        fact, "l_suppkey", dim.select(col("s_suppkey")), expectedItems = 10000L)
+      val withBloom = shuffleRecords(joined(prefiltered))
+      Cut(factor, withBloom, without)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 }

@@ -68,6 +68,30 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("exchange probe: bloom prefilter cuts shuffle records and preserves the join") {
+    // deterministic shuffle-record evidence (r11 verdict task 7): the dim
+    // predicate keeps ~1/5 of suppliers, so the prefiltered fact exchange
+    // must carry well under half the unfiltered rows (20% + 3% fpp in
+    // expectation), at a replication factor — and the records cut must
+    // never change the join result (false-positives-only contract)
+    val cut = ExchangeProbe.run(spark, dir, factor = 2)
+    assert(cut.without > 0, "control leg shuffled nothing — probe is broken")
+    assert(cut.withBloom > 0, "bloom leg shuffled nothing — filter swallowed the fact side")
+    assert(cut.ratio > 2.0,
+      s"expected >2x shuffle-record cut, got ${cut.ratio} " +
+        s"(with=${cut.withBloom}, without=${cut.without})")
+    // result parity at the same factor, same confs as the probe
+    val fact = ScaleProbe.replicate(spark, dir, "lineitem", 2)
+    val dim = Graft.table(spark, dir, "supplier")
+      .filter($"s_nationkey" % 5 === 3).select($"s_suppkey", $"s_name")
+    val plain = fact.join(dim, $"l_suppkey" === $"s_suppkey").count()
+    val bloomed = graft.operators.BloomPrefilter
+      .prefilter(fact, "l_suppkey", dim.select($"s_suppkey"), expectedItems = 10000L)
+      .join(dim, $"l_suppkey" === $"s_suppkey").count()
+    assert(plain == bloomed && plain > 0,
+      s"bloom changed the join: plain=$plain bloomed=$bloomed")
+  }
+
   test("join replication keeps fact-fact fan-out linear in the factor") {
     val cust = ScaleProbe.replicate(spark, dir, "customer", 3)
     val ord = ScaleProbe.replicate(spark, dir, "orders", 3)
