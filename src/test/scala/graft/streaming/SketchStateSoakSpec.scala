@@ -98,6 +98,50 @@ class SketchStateSoakSpec extends SparkSpec {
     }
   }
 
+  test("deduped-CMS composition: dedup state stays bounded by the watermark horizon") {
+    // cmsFrequencyDeduped's stated cost model is O(event ids inside the
+    // watermark horizon) for the dedup operator — prove the EVICTION on
+    // the store metric: ten batches of entirely fresh event ids, event
+    // time jumping 60s per batch against a 10s watermark delay, must
+    // plateau at O(per-batch ids), not accumulate every id ever seen.
+    // Meanwhile the CMS fold itself must count every event exactly once
+    // through the churn (the composition's correctness half).
+    withRocksDBProvider {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val in = MemoryStream[StatefulOps.StampedValue](spark)
+      val q = StatefulOps.cmsFrequencyDeduped(in.toDS(), watermarkDelay = "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("cms_dedup_soak").start()
+      val perBatch = 100
+      val dedupRows = (0 until 10).map { b =>
+        in.addData((0 until perBatch).map { i =>
+          StatefulOps.StampedValue(new java.sql.Timestamp(ts0 + b * 60000L),
+            b * 100000L + i, "a", (i % 7).toLong)
+        }: _*)
+        q.processAllAvailable()
+        // two stateful operators run in this query; the dedup one is the
+        // only one whose row count COULD grow with event ids — the
+        // transformWithState fold holds 2 rows for the single key forever
+        q.lastProgress.stateOperators
+          .filter(_.operatorName.toLowerCase.contains("dedup"))
+          .map(_.numRowsTotal).sum
+      }
+      q.stop()
+      assert(dedupRows.take(3).exists(_ > 0), s"dedup operator not found: $dedupRows")
+      dedupRows.drop(2).foreach { n =>
+        assert(n <= 4L * perBatch,
+          s"dedup state must plateau near the horizon's $perBatch ids, got $dedupRows")
+      }
+      // exactly-once through the eviction churn: every id counted once
+      import org.apache.spark.util.sketch.CountMinSketch
+      val last = spark.table("cms_dedup_soak").as[StatefulOps.CmsSketchRow]
+        .collect().maxBy(_.nRows)
+      assert(last.nRows == 10L * perBatch,
+        s"expected ${10 * perBatch} rows folded exactly once, got ${last.nRows}")
+      assert(CountMinSketch.readFrom(last.sketch).totalCount() == 10L * perBatch)
+    }
+  }
+
   test("GK quantile state rows also stay flat under 50x data on fixed keys") {
     withRocksDBProvider {
       val in = MemoryStream[StatefulOps.Observation](spark)
