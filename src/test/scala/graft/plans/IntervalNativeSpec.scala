@@ -178,6 +178,11 @@ class IntervalNativeSpec extends SparkSpec {
         s"guard did not fire by name: ${messages(e).mkString(" | ")}")
       assert(messages(e).exists(_.contains(IntervalJoinExec.MaxDepthKey)),
         "error must carry the remediation conf key")
+      // the documented escape hatch: <=0 disables the cap and the same
+      // pathological key completes (50 rights x 1 covering left)
+      spark.conf.set(IntervalJoinExec.MaxDepthKey, "0")
+      assert(NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+        .count() === 50L)
     } finally spark.conf.unset(IntervalJoinExec.MaxDepthKey)
   }
 
