@@ -267,19 +267,27 @@ object Bench {
     // directly from the executed plans' own SQLMetrics at factor× data.
     // Deterministic (no timing, no medians): the same plan shuffles the
     // same rows every run.
-    val exchangeJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_PROBE", "1") == "0") ""
+    // two shapes, like the scale probe: full record counts in the file,
+    // cuts-only in the fixed-tail-window stdout line
+    val (exchangeFull, exchangeCompact) =
+      if (sys.env.getOrElse("SPARK_GRAFT_EXCHANGE_PROBE", "1") == "0") ("", "")
       else try {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-        val c = ExchangeProbe.run(spark, sfDir, factor)
-        f""","exchange_probe":{"factor":${c.factor},"bloom_join":{""" +
-          f""""shuffle_records_with":${c.withBloom},""" +
-          f""""shuffle_records_without":${c.without},"cut":${c.ratio}%.2f}}"""
+        val v = ExchangeProbe.run(spark, sfDir, factor)
+        (f""","exchange_probe":{"factor":${v.factor},""" +
+          f""""bloom_join":{"records_with":${v.bloomWith},""" +
+          f""""records_without":${v.bloomWithout},"cut":${v.bloomCut}%.2f},""" +
+          f""""superstep_checkpoint":{"records_preserving":${v.superPreserving},""" +
+          f""""records_bare":${v.superBare},"cut":${v.superCut}%.2f}}""",
+          f""","exchange_probe":{"factor":${v.factor},"bloom_cut":${v.bloomCut}%.2f,""" +
+            f""""superstep_checkpoint_cut":${v.superCut}%.2f,""" +
+            s""""records_file":"target/bench.json"}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-          s""","exchange_probe":{"error":"$msg"}"""
+          val j = s""","exchange_probe":{"error":"$msg"}"""
+          (j, j)
       }
 
     // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
@@ -296,9 +304,9 @@ object Bench {
     //    headline medians are the record that must never truncate, and the
     //    probe stays available in the file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull$exchangeJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull$exchangeFull}"""
     def compactLine(probe: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe$exchangeJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe$exchangeCompact}"""
     val compact = {
       val withProbe = compactLine(probeCompact)
       if (withProbe.length <= 1800) withProbe
@@ -596,26 +604,41 @@ object ScaleProbe {
   }
 }
 
-/** Shuffle-record evidence for the bloom semi-join prefilter at factor×
-  * data (r11 verdict task 7): the same fact⋈dim shuffle join measured with
-  * and without the explicit bloom prefilter, broadcast and Spark's own
-  * runtime bloom injection disabled on BOTH legs so the delta is the
-  * operator alone. The metric is the sum of every ShuffleExchange's own
+/** Shuffle-record evidence for the two exchange-volume levers the
+  * wall-clock headline cannot see at scan-floored test SFs (r11 verdict
+  * task 7). The metric is the sum of every ShuffleExchange's own
   * `shuffleRecordsWritten` SQLMetric in the executed plan — rows entering
-  * exchanges, the quantity the operator exists to cut — which unlike
-  * wall-clock is deterministic at any SF (the scan-floored sf0.1 headline
-  * can't show this at all). Expected shape: the dim predicate keeps ~1/5
-  * of suppliers, so the prefiltered fact exchange carries ~20% + fpp of
-  * the rows — a ~5× cut that holds at ANY factor because the bloom rides
-  * a scalar subquery (one build, a literal in every task).
+  * exchanges, the quantity both operators exist to cut — which unlike
+  * wall-clock is deterministic at any SF.
+  *
+  *  - `bloom_join`: the same fact⋈dim shuffle join with and without the
+  *    explicit bloom prefilter, broadcast and Spark's own runtime bloom
+  *    injection disabled on BOTH legs so the delta is the operator alone.
+  *    Expected shape: the dim predicate keeps ~1/5 of suppliers, so the
+  *    prefiltered fact exchange carries ~20% + fpp of the rows — a ~5×
+  *    cut that holds at ANY factor because the bloom rides a scalar
+  *    subquery (one build, a literal in every task).
+  *  - `superstep_checkpoint`: one PageRank-shaped consuming join (edges ⋈
+  *    ranks → contribution sum) over a key-checkpointed edge set, built
+  *    with Checkpoints.partitioned vs a bare
+  *    `repartition(n, key).localCheckpoint(true)`. The bare leg is the
+  *    r11-discovered AQE defect in vivo — the checkpoint forgets its hash
+  *    layout, so the join re-exchanges ALL edges; the preserving leg's
+  *    join shuffles only the rank side. The record delta is exactly the
+  *    per-superstep edge re-shuffle the fix removes, and it compounds K×
+  *    over a K-round algorithm.
   */
 object ExchangeProbe {
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
-  final case class Cut(factor: Int, withBloom: Long, without: Long) {
-    def ratio: Double = without.toDouble / math.max(withBloom, 1L).toDouble
+  final case class Volumes(factor: Int, bloomWith: Long, bloomWithout: Long,
+      superPreserving: Long, superBare: Long) {
+    private def ratio(num: Long, den: Long): Double =
+      num.toDouble / math.max(den, 1L).toDouble
+    def bloomCut: Double = ratio(bloomWithout, bloomWith)
+    def superCut: Double = ratio(superBare, superPreserving)
   }
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
@@ -644,7 +667,7 @@ object ExchangeProbe {
     }.sum
   }
 
-  def run(spark: SparkSession, sfDir: String, factor: Int): Cut = {
+  def run(spark: SparkSession, sfDir: String, factor: Int): Volumes = {
     val overrides = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -660,11 +683,26 @@ object ExchangeProbe {
       def joined(f: DataFrame): DataFrame =
         f.join(dim, col("l_suppkey") === col("s_suppkey"))
           .select(col("l_suppkey"), col("s_name"), col("l_extendedprice"))
-      val without = shuffleRecords(joined(fact))
+      val bloomWithout = shuffleRecords(joined(fact))
       val prefiltered = graft.operators.BloomPrefilter.prefilter(
         fact, "l_suppkey", dim.select(col("s_suppkey")), expectedItems = 10000L)
-      val withBloom = shuffleRecords(joined(prefiltered))
-      Cut(factor, withBloom, without)
+      val bloomWith = shuffleRecords(joined(prefiltered))
+
+      // superstep leg: both checkpoints materialize OUTSIDE the measured
+      // query (identical build shuffles either way); the measured plan is
+      // one consuming join+aggregate over the checkpoint scan
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val edges = fact.select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1.0))
+      def consuming(cp: DataFrame): DataFrame =
+        cp.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("rank")).as("contrib"))
+      val superPreserving = shuffleRecords(consuming(
+        graft.operators.Checkpoints.partitioned(edges, col("src"))))
+      val superBare = shuffleRecords(consuming(
+        edges.repartition(n, col("src")).localCheckpoint(true)))
+      Volumes(factor, bloomWith, bloomWithout, superPreserving, superBare)
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }

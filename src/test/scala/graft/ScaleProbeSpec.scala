@@ -74,12 +74,28 @@ class ScaleProbeSpec extends SparkSpec {
     // must carry well under half the unfiltered rows (20% + 3% fpp in
     // expectation), at a replication factor — and the records cut must
     // never change the join result (false-positives-only contract)
-    val cut = ExchangeProbe.run(spark, dir, factor = 2)
-    assert(cut.without > 0, "control leg shuffled nothing — probe is broken")
-    assert(cut.withBloom > 0, "bloom leg shuffled nothing — filter swallowed the fact side")
-    assert(cut.ratio > 2.0,
-      s"expected >2x shuffle-record cut, got ${cut.ratio} " +
-        s"(with=${cut.withBloom}, without=${cut.without})")
+    val v = ExchangeProbe.run(spark, dir, factor = 2)
+    assert(v.bloomWithout > 0, "control leg shuffled nothing — probe is broken")
+    assert(v.bloomWith > 0, "bloom leg shuffled nothing — filter swallowed the fact side")
+    assert(v.bloomCut > 2.0,
+      s"expected >2x shuffle-record cut, got ${v.bloomCut} " +
+        s"(with=${v.bloomWith}, without=${v.bloomWithout})")
+    // superstep leg: the bare checkpoint's consuming join re-exchanges the
+    // whole edge set (the r11 AQE defect in vivo), the preserving one only
+    // the rank side — the record delta must be essentially the edge count
+    // (80% margin: the dst-aggregation's map-side partial reduction differs
+    // by a few percent between the legs' partition layouts, observed 11400
+    // vs 12000 at this scale)
+    val edgeRows = (2 * Graft.table(spark, dir, "lineitem").count() * 8) / 10
+    assert(v.superBare - v.superPreserving >= edgeRows,
+      s"bare-vs-preserving delta ${v.superBare - v.superPreserving} is " +
+        s"under the $edgeRows-row edge-set floor: either the bare leg " +
+        "stopped re-shuffling (Spark fixed the checkpoint partitioning " +
+        "loss upstream - retire the preserving bridge?) or the preserving " +
+        "leg started paying an edge exchange (the r11 regression)")
+    assert(v.superCut > 1.5,
+      s"expected >1.5x cut, got ${v.superCut} " +
+        s"(preserving=${v.superPreserving}, bare=${v.superBare})")
     // result parity at the same factor, same confs as the probe
     val fact = ScaleProbe.replicate(spark, dir, "lineitem", 2)
     val dim = Graft.table(spark, dir, "supplier")
