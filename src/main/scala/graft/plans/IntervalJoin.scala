@@ -230,10 +230,32 @@ final case class IntervalJoinExec(
           active.clear()
           activeKey = lk.copy()
         }
-        // drop right rows of earlier keys, then ingest this key's rows
-        // that START at or before this left's hi
         val lhi = lHiProj(l).copy()
         val llo = lLoProj(l).copy()
+        // FIRST evict intervals ending before this left's start — left los
+        // are non-decreasing within the key, so they can never match
+        // again. Single-pass compaction (copy survivors forward, truncate)
+        // rather than remove(i): each remove shifts the tail, so a burst
+        // of B expirations would cost O(B·d) in shifts; this is O(d) flat.
+        // Eviction runs BEFORE ingest so the buffer never mixes the
+        // previous left's dead intervals with this left's live ones: every
+        // buffered row then overlaps the current [llo, lhi] window, which
+        // makes the depth metric/guard below measure TRUE concurrent
+        // depth (ingest-before-evict inflated it with up to one stale
+        // active set — the code-review counterexample: 9 dead + 2 live
+        // tripping a cap of 10 at true depth 2).
+        var i = 0
+        var keep = 0
+        while (i < active.length) {
+          if (timeOrd.compare(rHiProj(active(i)), llo) >= 0) {
+            if (keep != i) active(keep) = active(i)
+            keep += 1
+          }
+          i += 1
+        }
+        if (keep < active.length) active.dropRightInPlace(active.length - keep)
+        // then drop right rows of earlier keys and ingest this key's rows
+        // that START at or before this left's hi
         var continue = rHead != null
         while (continue) {
           val c = keyOrd.compare(rKeyProj(rHead), lk)
@@ -267,21 +289,6 @@ final case class IntervalJoinExec(
             continue = rHead != null
           } else continue = false
         }
-        // evict intervals ending before this left's start — left los are
-        // non-decreasing within the key, so they can never match again.
-        // Single-pass compaction (copy survivors forward, truncate) rather
-        // than remove(i): each remove shifts the tail, so a burst of B
-        // expirations would cost O(B·d) in shifts; this is O(d) flat.
-        var i = 0
-        var keep = 0
-        while (i < active.length) {
-          if (timeOrd.compare(rHiProj(active(i)), llo) >= 0) {
-            if (keep != i) active(keep) = active(i)
-            keep += 1
-          }
-          i += 1
-        }
-        if (keep < active.length) active.dropRightInPlace(active.length - keep)
         // active is lo-sorted; rows ingested for an EARLIER left (whose hi
         // exceeded this one's) may start after this left ends — emit only
         // the lo <= lhi prefix (the rest stays for later lefts)

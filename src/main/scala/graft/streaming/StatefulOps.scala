@@ -126,14 +126,15 @@ object StatefulOps {
       // batch is sorted, so consecutive such stragglers within gap of each
       // other fold into ONE pending fragment here instead of emitting one
       // singleton each; the pending fragment closes when a straggler
-      // arrives beyond its gap, or at end of batch — where the LIVE
-      // fragment gets one more chance: if in-batch events have meanwhile
-      // backward-extended the session start via min(s,t) to within gapMs
-      // of the fragment's end, the fragment IS the same session and is
-      // folded into it rather than emitted (r11 ADVICE; only the last
-      // fragment can qualify — any earlier one closed precisely because
-      // the next straggler already sat beyond its gap, and that straggler
-      // bounds the extended start from below). Residual (documented):
+      // arrives beyond its gap, or when the SESSION closes — inline or at
+      // end of batch — where the LIVE fragment gets its merge chance: if
+      // in-batch events have meanwhile backward-extended the session
+      // start via min(s,t) to within gapMs of the fragment's end, the
+      // fragment IS the same session and is folded into it rather than
+      // emitted (r11 ADVICE, both close sites; only the last fragment can
+      // qualify — any earlier one closed precisely because the next
+      // straggler already sat beyond its gap, and that straggler bounds
+      // the extended start from below). Residual (documented):
       // stragglers in DIFFERENT batches that are within gap of each other
       // still emit as separate fragments — exact cross-batch fragment
       // merging needs a multi-interval state list, which this processor
@@ -143,6 +144,24 @@ object StatefulOps {
         out += SessionSummary(userId, ps, pl, pn, pc)
         pending = None
       }
+      // Close a session whose (possibly backward-extended) start may have
+      // come within gap of the live fragment's end: fold the fragment in
+      // when it has, emit both separately when it hasn't. Used at BOTH
+      // close sites — inline (data gap inside the batch) and end-of-batch
+      // — because a fragment that misses its merge at an inline close can
+      // never merge later (every subsequent event, and so every later
+      // session start, sits at or after the closing event's time, which
+      // is already > gap past the fragment).
+      def mergedWithPending(s: Long, last: Long, n: Long, c: Long)
+          : (Long, Long, Long, Long) =
+        pending match {
+          case Some((ps, pl, pn, pc)) if s - pl <= gapMs =>
+            pending = None
+            (math.min(ps, s), math.max(last, pl), n + pn, c + pc)
+          case _ =>
+            closePending()
+            (s, last, n, c)
+        }
       rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
         val t = r.ts.getTime
         cur match {
@@ -163,8 +182,11 @@ object StatefulOps {
             // this is the cross-batch path)
             cur = Some((math.min(s, t), math.max(last, t), n + 1L, c + r.cents))
           case Some((s, last, n, c)) =>
-            // gap already exceeded WITHIN the data — close inline, open anew
-            out += SessionSummary(userId, s, last, n, c)
+            // gap already exceeded WITHIN the data — close inline (with
+            // the fragment merge chance: earlier in-batch events may have
+            // backward-extended s to within gap of the fragment), open anew
+            val (ms, ml, mn, mc) = mergedWithPending(s, last, n, c)
+            out += SessionSummary(userId, ms, ml, mn, mc)
             cur = Some((t, t, 1L, r.cents))
           case None =>
             cur = Some((t, t, 1L, r.cents))
@@ -173,11 +195,9 @@ object StatefulOps {
       // end-of-batch: merge the live fragment into the (possibly
       // backward-extended) session when the gap between them has closed;
       // otherwise emit it as the separate earlier session it is
-      (pending, cur) match {
-        case (Some((ps, pl, pn, pc)), Some((s, last, n, c))) if s - pl <= gapMs =>
-          cur = Some((math.min(ps, s), math.max(last, pl), n + pn, c + pc))
-          pending = None
-        case _ => closePending()
+      cur match {
+        case Some((s, last, n, c)) => cur = Some(mergedWithPending(s, last, n, c))
+        case None => closePending()
       }
       cur.foreach { st =>
         sess.update(st)

@@ -235,6 +235,44 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("the fragment merge also fires at an INLINE close later in the same batch") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_frag_inline").start()
+      in.addData(TimedEvent(t(base + 300000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // one batch: straggler +195s (pending), +245s (backward-extends the
+      // stored start to within gap of the fragment), then +400s — beyond
+      // the gap, so the session closes INLINE, not at end of batch. The
+      // merge must fire at that close too: without it this emits a split
+      // [195,195] + [245,300] even though every internal gap is <= 60s
+      // (the code-review counterexample to the first end-of-batch-only fix)
+      in.addData(
+        TimedEvent(t(base + 195000L), 1L, 2L, 50L),
+        TimedEvent(t(base + 245000L), 1L, 3L, 25L),
+        TimedEvent(t(base + 400000L), 1L, 4L, 10L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_frag_inline").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(got.length == 2, s"expected merged session + trailing session, got ${got.toList}")
+      assert(got(0).startMs == base + 195000L && got(0).endMs == base + 300000L &&
+        got(0).nEvents == 3L && got(0).cents == 175L)
+      assert(got(1).startMs == base + 400000L && got(1).endMs == base + 400000L &&
+        got(1).nEvents == 1L && got(1).cents == 10L)
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
