@@ -67,6 +67,27 @@ object NativeAsOf {
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame =
     build(left, right, key, leftTime, rightTime, valueCols, mode = "backward")
 
+  /** Tolerance-bounded backward as-of (r12 verdict task 5): the backward
+    * match only counts while it is FRESH — `leftTime − matchTime ≤
+    * tolerance` (inclusive), in the time column's own unit (µs for
+    * timestamps, the raw value for integral times). The ML
+    * feature-freshness contract: a stale reading becomes the NULL match
+    * tuple, it never silently joins. Implemented as one extra long
+    * comparison on the CARRIED candidate inside the merge — same
+    * two-exchange plan, same O(1) per-partition state — where the
+    * composed form (q_join_asof_tolerance) pays a post-window null-out
+    * projection over the widened union. Times must be timestamp/integral
+    * (validated at construction, like `nearest`) because the staleness
+    * arithmetic needs exact longs.
+    */
+  def backwardTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"as-of tolerance must be >= 0, got $tolerance")
+    build(left, right, key, leftTime, rightTime, valueCols,
+      mode = "backward", tolerance = Some(tolerance))
+  }
+
   /** Forward as-of (smallest right time STRICTLY later; (key, time) ties
     * resolve to the greatest value tuple — `AsOf.nearestLater`'s
     * contract). Same two-exchange merge shape; the right child sorts its
@@ -91,13 +112,14 @@ object NativeAsOf {
 
   private def build(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String],
-      mode: String): DataFrame = {
+      mode: String, tolerance: Option[Long] = None): DataFrame = {
     // extension-registered sessions (Graft.session) already carry the
     // strategy; foreign sessions (the driver's Verify, bare test sessions)
     // get it injected idempotently here
     PlanBridge.ensureStrategy(left.sparkSession, AsOfJoinStrategy)
-    if (mode == "nearest") {
+    if (mode == "nearest" || tolerance.isDefined) {
       // fail at plan construction, not from a task mid-job (r10 ADVICE)
+      val what = if (mode == "nearest") "nearest" else "tolerance-bounded"
       import org.apache.spark.sql.types._
       def integral(side: String, df: DataFrame, name: String): Unit = {
         val dt = df.schema(name).dataType
@@ -105,7 +127,7 @@ object NativeAsOf {
           case TimestampType | TimestampNTZType | DateType |
                LongType | IntegerType | ShortType => ()
           case other => throw new IllegalArgumentException(
-            s"nearest as-of needs timestamp/integral time columns for its " +
+            s"$what as-of needs timestamp/integral time columns for its " +
               s"exact distance arithmetic; $side time column '$name' is $other")
         }
       }
@@ -154,7 +176,8 @@ object NativeAsOf {
       AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
     val node = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched, mode)
+      attr(lPlan, leftTime), attr(rPlan, rightTime), values, matched, mode,
+      tolerance)
     PlanBridge.ofRows(left.sparkSession, node)
   }
 }
@@ -169,7 +192,8 @@ final case class AsOfJoinPlan(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute], matched: Seq[Attribute],
-    mode: String = "backward") extends BinaryNode {
+    mode: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -189,7 +213,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftKey, p.rightKey, p.leftTime, p.rightTime,
-        p.rightValues, p.matched, p.mode) :: Nil
+        p.rightValues, p.matched, p.mode, p.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -203,7 +227,8 @@ final case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute], matched: Seq[Attribute],
-    mode: String = "backward") extends BinaryExecNode {
+    mode: String = "backward",
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ matched
 
@@ -267,6 +292,16 @@ final case class AsOfJoinExec(
       var lastKey: UnsafeRow = null   // copied key of the carried right row
       var lastVals: UnsafeRow = null  // copied value tuple of that row
 
+      // exact-long time extraction for the distance/staleness arithmetic
+      // (nearest and tolerance modes; construction validated the types)
+      def asLong(a: Any): Long = a match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"as-of distance arithmetic needs integral/timestamp times, got $other")
+      }
+
       // SQL null semantics for the LEFT side: a null key or time matches
       // nothing (the row itself is kept — left join). Null left rows sort
       // first within the (key, time) ordering, so skipping the right-stream
@@ -305,13 +340,6 @@ final case class AsOfJoinExec(
         // by exact integer distance, backward winning the two-sided tie —
         // AsOf.nearest's contract. Distance arithmetic needs integral
         // times (TimestampType evaluates to µs longs).
-        def asLong(a: Any): Long = a match {
-          case l: java.lang.Long => l
-          case i: java.lang.Integer => i.toLong
-          case s: java.lang.Short => s.toLong
-          case other => throw new IllegalArgumentException(
-            s"nearest as-of needs integral/timestamp times, got $other")
-        }
         var lastTime = 0L
         val lTimeGet = lTimeExpr
         val rTimeGet = rTimeExpr
@@ -342,26 +370,42 @@ final case class AsOfJoinExec(
           resultProj(joined(l, m))
           }
         }
-      } else lIter.map { l =>
-        if (leftNull(l)) resultProj(joined(l, nullVals))
-        else {
-        val lt = lTimeProj(l)
-        // consume every right row before (key, time) of this left row;
-        // the last one consumed per key is the as-of match candidate
-        var continue = rHead != null
-        while (continue) {
-          val c = keyOrd.compare(rKeyProj(rHead), lKeyProj(l))
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
-            lastKey = rKeyProj(rHead).copy()
-            lastVals = valueProj(rHead).copy()
-            advance()
-            continue = rHead != null
-          } else continue = false
-        }
-        val m: InternalRow =
-          if (lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0) lastVals
-          else nullVals
-        resultProj(joined(l, m))
+      } else {
+        // backward merge, optionally tolerance-bounded: consume every
+        // right row before (key, time) of this left row; the last one
+        // consumed per key is the as-of match candidate. With a tolerance
+        // (r12 verdict task 5), the candidate only matches while FRESH —
+        // leftTime − matchTime ≤ tol, inclusive, exact longs — ONE extra
+        // comparison on the carried candidate, no extra state; a stale
+        // candidate emits the null tuple but is NOT discarded (a later
+        // left row of the same key never needs an earlier candidate, so
+        // the carry logic is unchanged).
+        val hasTol = tolerance.isDefined
+        val tol = tolerance.getOrElse(0L)
+        var lastTime = 0L
+        lIter.map { l =>
+          if (leftNull(l)) resultProj(joined(l, nullVals))
+          else {
+          val lt = lTimeProj(l)
+          // consume every right row before (key, time) of this left row;
+          // the last one consumed per key is the as-of match candidate
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKeyProj(l))
+            if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
+              lastKey = rKeyProj(rHead).copy()
+              lastVals = valueProj(rHead).copy()
+              if (hasTol) lastTime = asLong(rTimeExpr.eval(rHead))
+              advance()
+              continue = rHead != null
+            } else continue = false
+          }
+          val m: InternalRow =
+            if (lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0 &&
+                (!hasTol || asLong(lTimeExpr.eval(l)) - lastTime <= tol)) lastVals
+            else nullVals
+          resultProj(joined(l, m))
+          }
         }
       }
     }

@@ -1031,6 +1031,51 @@ object Joins extends Catalog {
               |ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST,
               |         prev_purchase_ts NULLS FIRST""".stripMargin)),
 
+    // Native-operator twin of q_join_asof_tolerance (r12 verdict task 5):
+    // the staleness bound runs INSIDE AsOfJoinExec's backward merge — one
+    // long comparison on the carried candidate (leftTime − matchTime ≤
+    // 2h in µs, inclusive) — instead of the composed form's post-window
+    // null-out over the widened union. Same two-exchange native plan as
+    // q_join_asof_native, same DuckDB ASOF+CASE oracle as the composed
+    // tolerance twin; tie/boundary parity vs the composed form is pinned
+    // operator-level in AsOfNativeSpec.
+    "q_join_asof_native_tolerance" -> Q(
+      t => {
+        val TolUs = 2L * 3600 * 1000000
+        val events = t.events
+        val purchases = events
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"))
+          .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+            col("ts").as("pts"))
+        graft.plans.NativeAsOf.backwardTolerance(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          purchases.select(col("user_id"), col("ts"), col("pid"), col("pts")),
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("pid", "pts"), tolerance = TolUs)
+          .select(col("event_id"),
+            col("asof_pid").as("prev_purchase_id"),
+            date_format(col("asof_pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("prev_purchase_ts"))
+          .orderBy(col("event_id"), col("prev_purchase_id"), col("prev_purchase_ts"))
+      },
+      Some("""SELECT e.event_id,
+              |       CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(p.ts)
+              |                 <= 7200000000 THEN p.event_id END AS prev_purchase_id,
+              |       CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(p.ts)
+              |                 <= 7200000000
+              |            THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END
+              |         AS prev_purchase_ts
+              |FROM (SELECT event_id, user_id, ts FROM events) e
+              |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+              |                       MAX(event_id) AS event_id
+              |                FROM events WHERE event_type = 'purchase'
+              |                GROUP BY 1, 2) p
+              |  ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) > p.ts
+              |ORDER BY e.event_id NULLS FIRST, prev_purchase_id NULLS FIRST,
+              |         prev_purchase_ts NULLS FIRST""".stripMargin)),
+
     // Point-in-time (PIT) join — the feature-store correctness primitive:
     // every fact row must see the dimension VERSION that was valid at the
     // fact's own event time (training-serving skew is exactly this join

@@ -494,12 +494,25 @@ object StatefulOps {
   /** The shipped answer to the CMS at-least-once caveat (r11 verdict
     * task 5): [[cmsFrequency]]'s counters are not idempotent — a replayed
     * trigger double-counts (CmsStreamSpec pins it) — so this composition
-    * puts Spark's own `dropDuplicatesWithinWatermark` on the event id
-    * UPSTREAM of the fold. A redelivered event is dropped by the dedup
-    * state before it can touch a counter, making the composed pipeline's
-    * sketch bytes invariant under trigger replay (the spec's replayed
-    * batch leaves totalCount unchanged — the exact scenario the plain
-    * operator's caveat warns about).
+    * puts Spark's own `dropDuplicatesWithinWatermark` on the
+    * (key, event id) PAIR upstream of the fold. A redelivered event is
+    * dropped by the dedup state before it can touch a counter, making the
+    * composed pipeline's sketch bytes invariant under trigger replay (the
+    * spec's replayed batch leaves totalCount unchanged — the exact
+    * scenario the plain operator's caveat warns about).
+    *
+    * Idempotency-token contract (r12 ADVICE): `eventId` need only be
+    * unique PER KEY, not globally — sources that stamp per-partition or
+    * per-entity sequence numbers (the common Kafka layout) are safe,
+    * because the dedup key is the (key, eventId) pair. Two LIVE events on
+    * different keys sharing a sequence number both count; a redelivery is
+    * only absorbed when it repeats both fields, which is what redelivery
+    * means. What the contract still requires: one key must not reuse an
+    * id for two DIFFERENT live events inside the watermark horizon — that
+    * collision is indistinguishable from a redelivery and the second
+    * event is dropped (counts drift down, the exact inversion this
+    * operator exists to prevent — so use a real per-key sequence, not a
+    * timestamp truncation).
     *
     * Cost model, stated next to the guarantee: the dedup operator holds
     * one state row PER EVENT ID inside the watermark horizon — O(events
@@ -520,7 +533,7 @@ object StatefulOps {
     import values.sparkSession.implicits._
     val deduped = values
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("eventId")
+      .dropDuplicatesWithinWatermark("key", "eventId")
       .map(v => HashedValue(v.key, v.h))
     cmsFrequency(deduped, eps, confidence, seed, ttl)
   }

@@ -192,6 +192,66 @@ class AsOfNativeSpec extends SparkSpec {
     assert(timeErr.getMessage.contains("time types differ"))
   }
 
+  test("tolerance native exec matches the composed tolerance form on real data") {
+    // same 2h µs bound as q_join_asof_tolerance; parity row-for-row
+    // against the composed nearestEarlier + freshness null-out
+    val TolUs = 2L * 3600 * 1000000
+    val l = events.select($"event_id", $"user_id", $"ts")
+    val fresh = unix_micros($"ts") - unix_micros($"asof_pts") <= TolUs
+    val composed = AsOf.nearestEarlier(l,
+        purchases.select($"user_id", $"ts", $"event_id".as("pid"), $"ts".as("pts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("pid", "pts"))
+      .select($"event_id", when(fresh, $"asof_pid").as("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    val native = NativeAsOf.backwardTolerance(l,
+        purchases.select($"user_id", $"ts", $"event_id".as("pid"), $"ts".as("pts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("pid", "pts"), tolerance = TolUs)
+      .select($"event_id", $"asof_pid".as("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(native.length == composed.length && native.length > 0)
+    assert(native.sameElements(composed))
+    // the bound must actually bite on this data: some rows matched
+    // unbounded but fresh-nulled (otherwise this case pins nothing)
+    val unbounded = NativeAsOf.backward(l,
+        purchases.select($"user_id", $"ts", $"event_id".as("pid"), $"ts".as("pts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("pid", "pts"))
+      .select($"event_id", $"asof_pid")
+      .collect().count(r => !r.isNullAt(1))
+    assert(native.count(_._2.isDefined) < unbounded,
+      "tolerance never fired on real data - widen the test window")
+  }
+
+  test("tolerance boundary and tie semantics on a hand-built frame") {
+    // tol = 50: match at distance exactly 50 KEPT (inclusive), 51 nulled;
+    // the (key,time) tie still resolves to the greatest value tuple first,
+    // THEN freshness applies to the winner
+    val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 201L, 5L), (2L, 300L, 3L))
+      .toDF("user_id", "t", "event_id")
+    val r = Seq((1L, 50L, 10L), (1L, 150L, 21L), (1L, 150L, 22L),
+      (2L, 100L, 30L)).toDF("user_id", "t", "v")
+    val got = NativeAsOf.backwardTolerance(l, r, key = "user_id",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"), tolerance = 50L)
+      .select($"event_id", $"asof_v")
+      .collect().map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    assert(got(1L) == Some(10L))  // distance exactly 50: inclusive bound
+    assert(got(2L) == Some(22L))  // tie at 150 → 22 wins; distance 50: kept
+    assert(got(5L) == None)       // same winner, distance 51: stale ⇒ null
+    assert(got(3L) == None)       // 300-100=200 > 50: stale ⇒ null
+  }
+
+  test("tolerance rejects non-integral time columns at plan construction") {
+    val l = Seq((1L, "a", 1L)).toDF("user_id", "t", "event_id")
+    val r = Seq((1L, "b", 10L)).toDF("user_id", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      NativeAsOf.backwardTolerance(l, r, "user_id", "t", "t", Seq("v"), 10L)
+    }
+    assert(e.getMessage.contains("tolerance-bounded as-of"))
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("composed form agrees on the hand-built frame (shared truth)") {
     val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 50L, 3L), (3L, 10L, 4L))
       .toDF("user_id", "t", "event_id")

@@ -108,4 +108,33 @@ class CmsStreamSpec extends SparkSpec {
     val cms = CountMinSketch.readFrom(got("a").sketch)
     assert(cms.totalCount() == 20L) // NOT 40: the replayed trigger was absorbed
   }
+
+  test("dedup key is (key, eventId): per-key sequence numbers do not collide across keys") {
+    import StatefulOps.StampedValue
+    // the r12 ADVICE failure scenario: two DISTINCT live events on
+    // different keys share eventId 1 (per-partition sequence numbers) —
+    // an eventId-only dedup would silently drop one and drift counts DOWN
+    val base = 1700000000000L
+    val batch = Seq(
+      StampedValue(new java.sql.Timestamp(base), 1L, "a", 7L),
+      StampedValue(new java.sql.Timestamp(base + 1000L), 1L, "b", 7L),
+      // and a true same-key redelivery of (a, 1) that MUST be absorbed
+      StampedValue(new java.sql.Timestamp(base), 1L, "a", 7L))
+    val got = withRocksDBProvider {
+      val in = MemoryStream[StampedValue](spark)
+      val q = StatefulOps.cmsFrequencyDeduped(in.toDS(),
+        watermarkDelay = "1 hour", eps = Eps, confidence = Conf, seed = Seed)
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("cms_dedup_perkey").start()
+      in.addData(batch); q.processAllAvailable()
+      q.stop()
+      spark.table("cms_dedup_perkey").as[StatefulOps.CmsSketchRow].collect().toSeq
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.nRows) }
+    }
+    // both keys counted exactly once: the shared id did not cross-cancel,
+    // the same-key redelivery did not double-count
+    for (k <- Seq("a", "b"))
+      assert(CountMinSketch.readFrom(got(k).sketch).totalCount() == 1L,
+        s"key $k: expected exactly one counted event")
+  }
 }
