@@ -5,11 +5,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering,
-  SortOrder, UnsafeProjection}
+  SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{
+  BinaryExecNode, ExternalAppendOnlyUnsafeRowArray, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.PlanBridge
 
@@ -130,30 +131,44 @@ object IntervalJoinStrategy extends SparkStrategy {
   * sorted by (key, lo); per partition one forward pass holds the active
   * right set (copies — sorted-exec rows are reused buffers).
   *
-  * State contract (r11 verdict task 3): the active set is an in-memory
-  * buffer bounded by the maximum CONCURRENT-interval depth of a key — the
-  * right structure for timeline data, where depth is physics (sessions
-  * live minutes, campaigns weeks), but a pathological key whose intervals
-  * all mutually overlap degenerates to O(m) heap on one task. Two
-  * finishers turn that from a silent OOM-a-shift-later into an owned
-  * contract, Guards-style:
+  * State contract (r11 verdict task 3, spill-hardened in r12 verdict
+  * task 2): the active set is bounded by the maximum CONCURRENT-interval
+  * depth of a key — the right structure for timeline data, where depth is
+  * physics (sessions live minutes, campaigns weeks) — and since r13 it
+  * lives in the SAME spillable row array SortMergeJoin buffers its
+  * matches in ([[org.apache.spark.sql.execution
+  * .ExternalAppendOnlyUnsafeRowArray]]): rows stay in a plain in-memory
+  * buffer up to [[IntervalJoinExec.InMemoryRowsKey]] /
+  * [[IntervalJoinExec.InMemoryBytesKey]], then move into a task-memory
+  * UnsafeExternalSorter that spills to disk under memory pressure (or
+  * every [[IntervalJoinExec.SpillRowsKey]] rows, the test/hard-bound
+  * knob). A legitimately-deep key now costs disk and task time, never an
+  * executor OOM. Eviction over an append-only array is a ping-pong
+  * rebuild: survivors copy into a scratch array and the two swap —
+  * amortized the same one-scan-per-left-row the in-memory compaction
+  * did, skipped entirely when the scan finds nothing to evict (the
+  * common case between expiries).
+  *
+  * Observability keeps the r12 contract, now three-legged:
   *
   *  - `maxDepth` SQLMetric — every task reports the deepest active set it
-  *    held (size-stat metric, so the plan UI shows total/min/med/max
-  *    across tasks); a healthy run reads orders of magnitude below the
-  *    row count, a degenerating key stands out on one task;
+  *    held. The task-local value is a per-task MAX; task values SUM into
+  *    the displayed plan total (SQLMetric.merge adds), so the label says
+  *    "per-task" explicitly (r12 ADVICE) — read the size-stat
+  *    min/med/max for the real depth signal, not the total.
+  *  - `spillSize` SQLMetric — bytes the active set spilled to disk,
+  *    summed across tasks; nonzero means the sweep crossed its in-memory
+  *    thresholds and kept going (the pre-r13 behavior was an OOM here).
   *  - [[IntervalJoinExec.MaxDepthKey]] session conf (default
   *    [[IntervalJoinExec.DefaultMaxDepth]], 0 or negative disables): when
   *    one key's active set would exceed it, the task fails with a NAMED
   *    IllegalStateException carrying the depth, the cap, and the
-  *    remediations (bucket the key by coarse time so mutually-overlapping
-  *    intervals split across finer keys; pre-merge right intervals that
-  *    abut/overlap into spans; or raise the cap when the depth is truly
-  *    legitimate and the executor heap is sized for it). The default is
-  *    high enough that no real timeline hits it (1M concurrent intervals
-  *    per single key ≈ hundreds of MB of buffered rows on ONE task —
-  *    already a sizing smell) and low enough to fire well before the
-  *    executor dies.
+  *    remediations. With the spillable buffer the cap is ADVISORY — a
+  *    degeneration tripwire (per-key depth approaching the group size
+  *    means the sweep has lost its whole advantage over the composed
+  *    nested loop), no longer the OOM guard — so raising or disabling it
+  *    for a genuinely deep timeline is now a latency decision, not a
+  *    heap-sizing one.
   */
 final case class IntervalJoinExec(
     left: SparkPlan, right: SparkPlan,
@@ -165,7 +180,10 @@ final case class IntervalJoinExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
-    "maxDepth" -> SQLMetrics.createSizeMetric(sparkContext, "max active-set depth"))
+    // "per-task" in the label because task values SUM into the UI total
+    // (r12 ADVICE): only the size-stat min/med/max are actual depths
+    "maxDepth" -> SQLMetrics.createSizeMetric(sparkContext, "per-task max active-set depth"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
@@ -187,10 +205,17 @@ final case class IntervalJoinExec(
     val rOut = right.output
     val numOutputRows = longMetric("numOutputRows")
     val maxDepthMetric = longMetric("maxDepth")
-    // primitives captured here so the task closure serializes the cap,
+    val spillSizeMetric = longMetric("spillSize")
+    // primitives captured here so the task closure serializes the knobs,
     // not the exec's SQLConf
     val depthCap = conf.getConfString(IntervalJoinExec.MaxDepthKey,
       IntervalJoinExec.DefaultMaxDepth.toString).toLong
+    val inMemoryRows = conf.getConfString(IntervalJoinExec.InMemoryRowsKey,
+      IntervalJoinExec.DefaultInMemoryRows.toString).toInt
+    val inMemoryBytes = conf.getConfString(IntervalJoinExec.InMemoryBytesKey,
+      IntervalJoinExec.DefaultInMemoryBytes.toString).toLong
+    val spillRows = conf.getConfString(IntervalJoinExec.SpillRowsKey,
+      Int.MaxValue.toString).toInt
     val keyType = leftKey.dataType
     val timeType = leftLo.dataType
     val outAttrs = output
@@ -213,16 +238,27 @@ final case class IntervalJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
       val joined = new JoinedRow
 
-      var rHead: InternalRow = null
+      var rHead: UnsafeRow = null
       def advance(): Unit =
-        rHead = if (rIter.hasNext) rIter.next().copy() else null
+        // sorted-exec children produce UnsafeRows (the same contract
+        // SortMergeJoin relies on); copy — the iterator reuses its buffer
+        rHead = if (rIter.hasNext) rIter.next().copy().asInstanceOf[UnsafeRow]
+        else null
       advance()
 
-      // active right intervals of the CURRENT key, in arrival (lo) order;
-      // key of that set held alongside (copied — projection buffers reuse)
-      val active = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      // Active right intervals of the CURRENT key, in arrival (lo) order,
+      // in SortMergeJoin's spillable row array: plain in-memory buffer up
+      // to the thresholds, then a task-memory sorter that spills to disk
+      // under pressure. Eviction over the append-only structure is a
+      // ping-pong rebuild into `scratch` (swap after), attempted only
+      // when a probe scan actually finds an expired interval.
+      var active = new ExternalAppendOnlyUnsafeRowArray(
+        inMemoryRows, inMemoryBytes, spillRows, Long.MaxValue)
+      var scratch = new ExternalAppendOnlyUnsafeRowArray(
+        inMemoryRows, inMemoryBytes, spillRows, Long.MaxValue)
       var activeKey: InternalRow = null
       var taskMaxDepth = 0L
+      var taskSpill = 0L
 
       lIter.flatMap { l =>
         val lk = lKeyProj(l)
@@ -234,26 +270,33 @@ final case class IntervalJoinExec(
         val llo = lLoProj(l).copy()
         // FIRST evict intervals ending before this left's start — left los
         // are non-decreasing within the key, so they can never match
-        // again. Single-pass compaction (copy survivors forward, truncate)
-        // rather than remove(i): each remove shifts the tail, so a burst
-        // of B expirations would cost O(B·d) in shifts; this is O(d) flat.
-        // Eviction runs BEFORE ingest so the buffer never mixes the
-        // previous left's dead intervals with this left's live ones: every
+        // again. Probe scan first: rebuilding copies every survivor, so
+        // only pay it when something actually expired (between expiries —
+        // the common case — this is the same single O(d) projection scan
+        // the old in-place compaction did, with zero copies). Eviction
+        // runs BEFORE ingest so the buffer never mixes the previous
+        // left's dead intervals with this left's live ones: every
         // buffered row then overlaps the current [llo, lhi] window, which
         // makes the depth metric/guard below measure TRUE concurrent
         // depth (ingest-before-evict inflated it with up to one stale
         // active set — the code-review counterexample: 9 dead + 2 live
         // tripping a cap of 10 at true depth 2).
-        var i = 0
-        var keep = 0
-        while (i < active.length) {
-          if (timeOrd.compare(rHiProj(active(i)), llo) >= 0) {
-            if (keep != i) active(keep) = active(i)
-            keep += 1
+        if (!active.isEmpty) {
+          var needEvict = false
+          val probe = active.generateIterator()
+          while (!needEvict && probe.hasNext) {
+            if (timeOrd.compare(rHiProj(probe.next()), llo) < 0) needEvict = true
           }
-          i += 1
+          if (needEvict) {
+            val rebuild = active.generateIterator()
+            while (rebuild.hasNext) {
+              val row = rebuild.next()
+              if (timeOrd.compare(rHiProj(row), llo) >= 0) scratch.add(row)
+            }
+            val tmp = active; active = scratch; scratch = tmp
+            scratch.clear()
+          }
         }
-        if (keep < active.length) active.dropRightInPlace(active.length - keep)
         // then drop right rows of earlier keys and ingest this key's rows
         // that START at or before this left's hi
         var continue = rHead != null
@@ -267,15 +310,16 @@ final case class IntervalJoinExec(
                 throw new IllegalStateException(
                   s"IntervalJoinExec.maxActiveDepth: one join key holds more " +
                     s"than $depthCap concurrently-overlapping right intervals " +
-                    s"- the plane sweep's active set is O(depth) heap on one " +
-                    s"task and this key is degenerating toward O(m). " +
+                    s"- the plane sweep's per-key work is degenerating toward " +
+                    s"the composed form's O(n*m) nested loop (the active set " +
+                    s"itself spills to disk past its in-memory thresholds, so " +
+                    s"this is a latency tripwire, not an OOM guard). " +
                     s"Remediate: bucket the key by a coarse time column so " +
                     s"mutually-overlapping intervals split across keys, " +
                     s"pre-merge abutting/overlapping right intervals into " +
                     s"spans, or raise ${IntervalJoinExec.MaxDepthKey} (<=0 " +
-                    s"disables) if the depth is legitimate and executors are " +
-                    s"sized for it.")
-              active += rHead
+                    s"disables) if the depth is legitimate.")
+              active.add(rHead)
               if (active.length > taskMaxDepth) {
                 taskMaxDepth = active.length
                 // set, not add: within a task the accumulator is local, so
@@ -289,10 +333,23 @@ final case class IntervalJoinExec(
             continue = rHead != null
           } else continue = false
         }
+        // cumulative spill across both ping-pong arrays (clear() folds a
+        // live sorter's spill bytes forward, so reads are monotone); adds
+        // only happen in the rebuild/ingest above, so reading here after
+        // ingest sees every spill of this left row
+        val spilled = active.spillSize + scratch.spillSize
+        if (spilled > taskSpill) {
+          // set: per-task cumulative value; task values sum into the total
+          taskSpill = spilled
+          spillSizeMetric.set(taskSpill)
+        }
         // active is lo-sorted; rows ingested for an EARLIER left (whose hi
         // exceeded this one's) may start after this left ends — emit only
-        // the lo <= lhi prefix (the rest stays for later lefts)
-        active.iterator
+        // the lo <= lhi prefix (the rest stays for later lefts). The
+        // returned iterator is fully consumed before the next left row
+        // mutates the array (Iterator.flatMap drains each element's
+        // iterator first), so it never observes a modification.
+        active.generateIterator()
           .takeWhile(r => timeOrd.compare(rLoProj(r), lhi) <= 0)
           .map { r => numOutputRows += 1; resultProj(joined(l, r)) }
       }
@@ -304,4 +361,24 @@ object IntervalJoinExec {
   /** Session conf capping the per-key active-set depth (see exec doc). */
   val MaxDepthKey = "spark.graft.intervalJoin.maxDepth"
   val DefaultMaxDepth = 1000000L
+
+  /** Active-set rows kept in the plain in-memory buffer before moving to
+    * the task-memory (spill-capable) sorter — SortMergeJoin's own
+    * buffer-threshold shape, scoped to this operator.
+    */
+  val InMemoryRowsKey = "spark.graft.intervalJoin.inMemoryRows"
+  val DefaultInMemoryRows = 4096
+
+  /** Byte twin of [[InMemoryRowsKey]]: wide rows leave the in-memory
+    * buffer early even when the row count is still small.
+    */
+  val InMemoryBytesKey = "spark.graft.intervalJoin.inMemoryBytes"
+  val DefaultInMemoryBytes: Long = 64L << 20
+
+  /** Force a disk spill every N rows once in the sorter (default never:
+    * spills ride memory pressure). The test knob that makes spill paths
+    * deterministic — same role as
+    * spark.sql.sortMergeJoinExec.buffer.spill.threshold.
+    */
+  val SpillRowsKey = "spark.graft.intervalJoin.spillRows"
 }

@@ -186,6 +186,56 @@ class IntervalNativeSpec extends SparkSpec {
     } finally spark.conf.unset(IntervalJoinExec.MaxDepthKey)
   }
 
+  test("a deep key's active set spills to disk and still completes exactly") {
+    // r12 verdict task 2: a LEGITIMATELY deep key (the depth guard's own
+    // "raise the cap" remediation) must cost disk, not heap. 2000 right
+    // intervals per window on one key (depth ~2000 at any sweep point),
+    // thresholds squeezed so the active set leaves the in-memory buffer
+    // after 16 rows and the sorter force-spills every 256 — the exec must
+    // produce EXACTLY the composed join's rows with spillSize > 0.
+    spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "16")
+    spark.conf.set(IntervalJoinExec.SpillRowsKey, "256")
+    try {
+      // rights expire as the sweep advances (lo2 = i, hi2 = i + 2000), so
+      // the ping-pong eviction rebuild runs under spill conditions too
+      val l = (0 until 10).map(j => (1L, j * 1000L, j * 1000L + 500L, j.toLong))
+        .toDF("k", "lo", "hi", "id")
+      val r = (0 until 10000).map(i => (1L, i.toLong, i + 2000L, 100L + i))
+        .toDF("k2", "lo2", "hi2", "id2")
+      val df = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      assertSame(df, composed(l, r))
+      // drive df's OWN QueryExecution — assertSame/exceptAll plan fresh
+      // copies whose exec instances own fresh metrics, leaving these zero
+      df.queryExecution.toRdd.count()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Option[IntervalJoinExec] =
+        p match {
+          case e: IntervalJoinExec => Some(e)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+          case other => other.children.view.flatMap(find(_)).headOption
+        }
+      val exec = find(finalPlan)
+        .getOrElse(fail(s"no IntervalJoinExec in\n$finalPlan"))
+      assert(exec.metrics.contains("spillSize"), "spillSize metric not declared")
+      assert(exec.metrics("spillSize").value > 0L,
+        s"active set never spilled (spillSize=${exec.metrics("spillSize").value}) " +
+          "- thresholds not honored or rows stayed in memory")
+      // depth metric still reports the true concurrent depth (~2000, well
+      // under the row count): eviction discipline survived the spill path
+      assert(exec.metrics("maxDepth").value >= 2000L &&
+        exec.metrics("maxDepth").value < 3000L,
+        s"per-task max depth ${exec.metrics("maxDepth").value} outside the " +
+          "concurrent-depth envelope")
+    } finally {
+      spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
+      spark.conf.unset(IntervalJoinExec.SpillRowsKey)
+    }
+  }
+
   test("type mismatches are rejected at construction, not inside the merge") {
     val l = Seq((1L, 0L, 5L)).toDF("k", "lo", "hi")
     val rIntKey = Seq((1, 1L, 2L)).toDF("k2", "lo2", "hi2")
