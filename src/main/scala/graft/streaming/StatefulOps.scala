@@ -91,26 +91,61 @@ object StatefulOps {
   /** Session closing by EVENT-TIME TIMER — what transformWithState adds
     * over both `session_window` (fixed aggregate shape only) and
     * `mapGroupsWithState` (whose processing-time timeouts make tests and
-    * replays nondeterministic): the processor keeps one open session per
-    * user and arms a timer at lastEvent + gap; when the WATERMARK passes
-    * that instant the engine calls handleExpiredTimer, the summary is
-    * emitted, and the state is cleared. Close time is a pure function of
-    * event time, so replaying the same input gives the same output —
-    * wall-clock never enters the semantics. One fixed-size state record
-    * and at most one live timer per open session; both evicted on close,
-    * so state is O(live sessions) exactly like the watermarked
-    * session_window (StateSoakSpec's plateau argument applies unchanged).
+    * replays nondeterministic). Close time is a pure function of event
+    * time, so replaying the same input gives the same output — wall-clock
+    * never enters the semantics.
+    *
+    * State model (r12 verdict task 3 — the bounded multi-fragment
+    * variant): per user, a SORTED LIST of up to `maxFragments` open
+    * session fragments `(start, last, n, cents)`, pairwise separated by
+    * more than `gapMs`. Every arriving event — in-order, late-in-batch,
+    * or a cross-batch straggler — merge-inserts into that list: it lands
+    * in the (at most two, since fragments are gap-separated) fragments
+    * within `gapMs` of it, bridging them into one, or opens a new
+    * fragment. This closes the residual the single-session + in-batch
+    * pending accumulator carried through r11/r12: stragglers arriving in
+    * DIFFERENT batches within gap of each other now fold into one
+    * session, because the earlier fragment is still open in state rather
+    * than already emitted at its batch boundary.
+    *
+    * Bounds, stated plainly: state is O(maxFragments) per live user —
+    * fixed-size, watermark-evicted — and each fragment closes exactly
+    * when the WATERMARK passes its `last + gap` (one live event-time
+    * timer per user, armed at the EARLIEST open fragment's close time,
+    * re-armed for the next on expiry). If a pathological arrival order
+    * needs more than `maxFragments` concurrent open fragments, the
+    * EARLIEST fragment is emitted immediately — exactly the pre-r13
+    * emit-separately behavior, now the overflow fallback instead of the
+    * only behavior (semantics strictly better, state still fixed).
     */
-  final class SessionProcessor(gapMs: Long)
+  final class SessionProcessor(gapMs: Long, maxFragments: Int = 8)
       extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
-    @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+    require(maxFragments >= 1, s"maxFragments must be >= 1, got $maxFragments")
+    private type Frag = (Long, Long, Long, Long) // (start, last, n, cents)
+    @transient private var frags: ValueState[Seq[Frag]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      sess = getHandle.getValueState[(Long, Long, Long, Long)](
-        "session",
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-          Encoders.scalaLong, Encoders.scalaLong),
+      frags = getHandle.getValueState[Seq[Frag]](
+        "fragments",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Frag]](),
         TTLConfig.NONE)
+    }
+
+    /** Merge-insert event (t, cents) into the gap-separated sorted list:
+      * fragments wholly more than gap BEFORE t stay, the ≤2 fragments
+      * within gap of t fuse with it (an event can bridge its two
+      * neighbors), fragments wholly more than gap AFTER t stay. Keeps
+      * both invariants (sorted by start AND by last — gap-separated
+      * fragments cannot interleave) by construction.
+      */
+    private def insert(fs: Vector[Frag], t: Long, cents: Long): Vector[Frag] = {
+      val (before, rest) = fs.span { case (_, l, _, _) => l + gapMs < t }
+      val (touch, after) = rest.span { case (s, _, _, _) => s - gapMs <= t }
+      val fused: Frag =
+        if (touch.isEmpty) (t, t, 1L, cents)
+        else (math.min(touch.head._1, t), math.max(touch.last._2, t),
+          touch.map(_._3).sum + 1L, touch.map(_._4).sum + cents)
+      (before :+ fused) ++ after
     }
 
     override def handleInputRows(
@@ -118,93 +153,24 @@ object StatefulOps {
         rows: Iterator[TimedEvent],
         timerValues: TimerValues): Iterator[SessionSummary] = {
       val out = Vector.newBuilder[SessionSummary]
-      var cur = if (sess.exists()) Some(sess.get()) else None
-      // Earlier-session accumulator for late-but-within-watermark events
-      // that fall more than gap BEFORE the stored session start: standard
-      // session semantics make them separate earlier sessions, never a
-      // backwards extension whose internal gap would exceed gapMs. The
-      // batch is sorted, so consecutive such stragglers within gap of each
-      // other fold into ONE pending fragment here instead of emitting one
-      // singleton each; the pending fragment closes when a straggler
-      // arrives beyond its gap, or when the SESSION closes — inline or at
-      // end of batch — where the LIVE fragment gets its merge chance: if
-      // in-batch events have meanwhile backward-extended the session
-      // start via min(s,t) to within gapMs of the fragment's end, the
-      // fragment IS the same session and is folded into it rather than
-      // emitted (r11 ADVICE, both close sites; only the last fragment can
-      // qualify — any earlier one closed precisely because the next
-      // straggler already sat beyond its gap, and that straggler bounds
-      // the extended start from below). Residual (documented):
-      // stragglers in DIFFERENT batches that are within gap of each other
-      // still emit as separate fragments — exact cross-batch fragment
-      // merging needs a multi-interval state list, which this processor
-      // trades away for fixed-size state.
-      var pending: Option[(Long, Long, Long, Long)] = None
-      def closePending(): Unit = pending.foreach { case (ps, pl, pn, pc) =>
-        out += SessionSummary(userId, ps, pl, pn, pc)
-        pending = None
-      }
-      // Close a session whose (possibly backward-extended) start may have
-      // come within gap of the live fragment's end: fold the fragment in
-      // when it has, emit both separately when it hasn't. Used at BOTH
-      // close sites — inline (data gap inside the batch) and end-of-batch
-      // — because a fragment that misses its merge at an inline close can
-      // never merge later (every subsequent event, and so every later
-      // session start, sits at or after the closing event's time, which
-      // is already > gap past the fragment).
-      def mergedWithPending(s: Long, last: Long, n: Long, c: Long)
-          : (Long, Long, Long, Long) =
-        pending match {
-          case Some((ps, pl, pn, pc)) if s - pl <= gapMs =>
-            pending = None
-            (math.min(ps, s), math.max(last, pl), n + pn, c + pc)
-          case _ =>
-            closePending()
-            (s, last, n, c)
-        }
+      var fs: Vector[Frag] =
+        if (frags.exists()) frags.get().toVector else Vector.empty
       rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
-        val t = r.ts.getTime
-        cur match {
-          case Some((s, _, _, _)) if t < s - gapMs =>
-            pending match {
-              case Some((ps, pl, pn, pc)) if t - pl <= gapMs =>
-                // sorted batch ⇒ t ≥ pl, so max() is just belt-and-braces
-                pending = Some((ps, math.max(pl, t), pn + 1L, pc + r.cents))
-              case _ =>
-                closePending()
-                pending = Some((t, t, 1L, r.cents))
-            }
-          case Some((s, last, n, c)) if t - last <= gapMs =>
-            // min on the start too: a late-but-within-watermark event that
-            // predates the stored session start by AT MOST the gap must
-            // EXTEND the session backwards, not silently report a too-late
-            // startMs (in-batch out-of-order is handled by the sortBy;
-            // this is the cross-batch path)
-            cur = Some((math.min(s, t), math.max(last, t), n + 1L, c + r.cents))
-          case Some((s, last, n, c)) =>
-            // gap already exceeded WITHIN the data — close inline (with
-            // the fragment merge chance: earlier in-batch events may have
-            // backward-extended s to within gap of the fragment), open anew
-            val (ms, ml, mn, mc) = mergedWithPending(s, last, n, c)
-            out += SessionSummary(userId, ms, ml, mn, mc)
-            cur = Some((t, t, 1L, r.cents))
-          case None =>
-            cur = Some((t, t, 1L, r.cents))
+        fs = insert(fs, r.ts.getTime, r.cents)
+        // K-overflow fallback: emit the EARLIEST fragment (the most
+        // settled — every open fragment after it starts later) and keep
+        // state fixed at maxFragments entries
+        while (fs.size > maxFragments) {
+          val (s, l, n, c) = fs.head
+          out += SessionSummary(userId, s, l, n, c)
+          fs = fs.tail
         }
       }
-      // end-of-batch: merge the live fragment into the (possibly
-      // backward-extended) session when the gap between them has closed;
-      // otherwise emit it as the separate earlier session it is
-      cur match {
-        case Some((s, last, n, c)) => cur = Some(mergedWithPending(s, last, n, c))
-        case None => closePending()
-      }
-      cur.foreach { st =>
-        sess.update(st)
-        // re-arm: exactly one live timer per open session
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(st._2 + gapMs)
-      }
+      frags.update(fs)
+      // one live timer per user: the earliest open fragment's close time
+      // (fragment lasts are ascending, so that is the head's)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(fs.head._2 + gapMs)
       out.result().iterator
     }
 
@@ -212,22 +178,36 @@ object StatefulOps {
         userId: Long,
         timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
-      if (sess.exists()) {
-        val (s, last, n, c) = sess.get()
-        sess.clear()
-        Iterator.single(SessionSummary(userId, s, last, n, c))
-      } else Iterator.empty
+      // the watermark has passed the earliest close time; emit every
+      // fragment whose gap the watermark has now exceeded (often just the
+      // head, but a far watermark jump can close several at once), keep
+      // the rest, and re-arm for the next-earliest close
+      val wm = math.max(expiredTimerInfo.getExpiryTimeInMs(),
+        timerValues.getCurrentWatermarkInMs())
+      val fs: Vector[Frag] =
+        if (frags.exists()) frags.get().toVector else Vector.empty
+      val (due, live) = fs.partition { case (_, l, _, _) => l + gapMs <= wm }
+      if (live.isEmpty) frags.clear()
+      else {
+        frags.update(live)
+        getHandle.registerTimer(live.head._2 + gapMs)
+      }
+      due.iterator.map { case (s, l, n, c) => SessionSummary(userId, s, l, n, c) }
     }
   }
 
-  /** Timer-closed sessionization over a watermarked event stream. */
+  /** Timer-closed sessionization over a watermarked event stream; at most
+    * `maxFragments` open fragments per user (see [[SessionProcessor]]).
+    */
   def timedSessions(events: Dataset[TimedEvent], gapMs: Long,
-      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+      watermark: String = "10 seconds",
+      maxFragments: Int = 8): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new SessionProcessor(gapMs, maxFragments),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   final case class PatternCount(userId: Long, nEvents: Long, nMatches: Long)

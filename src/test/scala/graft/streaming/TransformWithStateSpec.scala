@@ -273,6 +273,91 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("stragglers in DIFFERENT batches within gap of each other merge into one session") {
+    // the r12 verdict task 3 residual, closed: pre-r13 the first
+    // straggler's fragment was emitted at its batch boundary, so the
+    // second straggler (next trigger, within gap of it) emitted as a
+    // second singleton; the fragment list keeps it OPEN in state until
+    // its own watermark-close, so the two fold into one session
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_xbatch_merge").start()
+      in.addData(TimedEvent(t(base + 300000L), 1L, 1L, 100L))
+      q.processAllAvailable()
+      // straggler #1: > gap before the stored session -> its own fragment
+      in.addData(TimedEvent(t(base), 1L, 2L, 50L))
+      q.processAllAvailable()
+      // straggler #2, in a LATER batch, 30s after straggler #1 (within
+      // gap of it, still > gap before the +300s session)
+      in.addData(TimedEvent(t(base + 30000L), 1L, 3L, 25L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_xbatch_merge").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(got.length == 2, s"expected merged straggler pair + main session, got ${got.toList}")
+      assert(got(0).startMs == base && got(0).endMs == base + 30000L &&
+        got(0).nEvents == 2L && got(0).cents == 75L,
+        s"cross-batch stragglers did not merge: ${got.toList}")
+      assert(got(1).startMs == base + 300000L && got(1).nEvents == 1L)
+    }
+  }
+
+  test("beyond maxFragments open fragments the earliest emits separately (overflow fallback)") {
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      // K = 2 open fragments; all events land in ONE batch so the
+      // watermark never closes anything mid-test
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "10 minutes", maxFragments = 2)
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_overflow").start()
+      // three mutually gap-separated singletons: the third insert
+      // overflows K=2 and must emit the EARLIEST (base) immediately
+      in.addData(
+        TimedEvent(t(base + 600000L), 1L, 1L, 100L),
+        TimedEvent(t(base + 300000L), 1L, 2L, 50L),
+        TimedEvent(t(base), 1L, 3L, 25L))
+      q.processAllAvailable()
+      val early = spark.table("tws_overflow").as[SessionSummary].collect()
+        .filter(_.userId == 1L)
+      assert(early.length == 1 && early.head.startMs == base &&
+        early.head.nEvents == 1L,
+        s"overflow did not emit the earliest fragment: ${early.toList}")
+      // a LATER straggler within gap of the evicted fragment cannot merge
+      // with it (it already emitted) — the documented fallback: it opens
+      // a fresh fragment and emits separately, exactly pre-r13 behavior
+      in.addData(TimedEvent(t(base + 30000L), 1L, 4L, 10L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_overflow").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(s => (s.startMs, s.endMs))
+      // four sessions total: evicted [base], fallback [base+30s],
+      // [base+300s], [base+600s]
+      assert(got.length == 4, s"expected 4 sessions, got ${got.toList}")
+      assert(got(0).startMs == base && got(0).endMs == base)
+      assert(got(1).startMs == base + 30000L && got(1).nEvents == 1L)
+      assert(got(2).startMs == base + 300000L)
+      assert(got(3).startMs == base + 600000L)
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
