@@ -136,6 +136,52 @@ object Bench {
     while (busy && System.nanoTime() < deadline) Thread.sleep(10)
   }
 
+  /** Self-calibration legs (r12 verdict task 1): two fixed kernels with
+    * KNOWN-CONSTANT work, measured in the same process interleaved with
+    * the headline loop, so every bench window carries its own
+    * interference index. Co-tenant windows have distorted three
+    * consecutive rounds' wall-clock readings (r11 driver window; r12 A/B
+    * runs; r12 driver window, where scan_project read 2.2× its true cost
+    * with all five raw runs uniformly inflated — invisible to the
+    * 3×-min trim, which needs at least one clean run). A reader compares
+    * a window's calib numbers against the round's best window (or the
+    * committed reference values in GATE_r13) and normalizes or discards
+    * instead of adjudicating from raw-run forensics.
+    *
+    *  - `spin`: 2×10⁸ iterations of a single-thread 64-bit LCG+xorshift
+    *    mix — pure CPU, no allocation, no Spark; inflates 1:1 with CPU
+    *    contention and scheduler preemption.
+    *  - `shuffle`: a fixed 32-task map + 32-partition hash exchange +
+    *    reduce over 3.2M deterministic longs (spark.range, no input
+    *    data) — inflates with executor-thread contention, GC pressure,
+    *    and shuffle-IO interference, the components the spin leg can't
+    *    see.
+    */
+  private[graft] def calibSpin(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h ^= h >>> 33
+      i += 1
+    }
+    // data dependency on h defeats dead-code elimination; never true
+    if (h == 42L) System.err.println("calib")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private[graft] def calibShuffle(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t0 = System.nanoTime()
+    val df = spark.range(0L, 3200000L, 1L, 32)
+      .select((col("id") % 997L).as("k"), col("id").as("v"))
+      .repartition(32, col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    df.queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     // The JSON line is built with f"...%.3f" interpolators, which format
     // with the JVM default locale — a comma-decimal locale would emit
@@ -181,6 +227,21 @@ object Bench {
     // warm codegen + parquet footers once with the cheapest query
     try runOnce("q_scan_project") catch { case _: Throwable => () }
 
+    // calibration samples bracket the whole window: 3 of each leg here,
+    // 3 more after the probes (see calibSpin/calibShuffle scaladoc); the
+    // compact line carries the medians, the file the raw arrays
+    val spinRuns = scala.collection.mutable.ArrayBuffer[Double]()
+    val shuffleRuns = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleCalib(): Unit = {
+      // shuffle warm-up once so the first sample is not codegen-floored
+      try calibShuffle(spark) catch { case _: Throwable => () }
+      (1 to 3).foreach { _ =>
+        spinRuns += calibSpin()
+        try shuffleRuns += calibShuffle(spark) catch { case _: Throwable => () }
+      }
+    }
+    sampleCalib()
+
     // The ScaleProbe's estimator, ported to the headline loop (r6/r7 verdict
     // task 1): three consecutive rounds showed the old single-session
     // median-of-3 cannot tell a 15-20s GC/heap-expansion pause from a real
@@ -208,25 +269,34 @@ object Bench {
       // and a plain median-of-5 only survives two polluted runs. Drop runs
       // above 3× the per-query minimum, then take the median of what
       // remains (the min always survives, so the trimmed set is never
-      // empty). The RAW runs array still lands in target/bench.json, so a
-      // trimmed median is always inspectable against its untrimmed
-      // evidence.
+      // empty). Estimator honesty (r12 ADVICE): BOTH medians are computed
+      // — trimmed AND plain — and both land in target/bench.json
+      // (queries/value vs queries_untrimmed/value_untrimmed) with the raw
+      // runs arrays; the compact line carries the trimmed one plus an
+      // explicit estimator tag, so round-over-round deltas are only ever
+      // compared under a NAMED estimator and a code-introduced bimodal
+      // regression (occasional spill/GC) is still visible in the
+      // untrimmed file record.
+      val medianPlain = if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
       val median = if (ok.isEmpty) -1.0 else {
         val clean = ok.filter(_ <= 3 * ok.min)
         clean.sorted.apply(clean.size / 2)
       }
-      (name, median, runs)
+      (name, median, medianPlain, runs)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qsUntrimmed =
+      results.map { case (k, _, u, _) => s""""$k":$u""" }.mkString("{", ",", "}")
     // stdout variant: 3-decimal medians (ms precision is all the estimator
     // can resolve anyway; full doubles cost ~6 chars × 29 entries of the
     // fixed tail window)
     val qsCompact =
-      results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, rs) =>
+      results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, _, rs) =>
       s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalUntrimmed = results.map(_._3).filter(_ >= 0).sum
 
     // Scale evidence: replicate inputs factor× with disjoint key ranges and
     // re-time the two shuffle-heaviest queries. A healthy plan scales
@@ -278,10 +348,15 @@ object Bench {
           f""""bloom_join":{"records_with":${v.bloomWith},""" +
           f""""records_without":${v.bloomWithout},"cut":${v.bloomCut}%.2f},""" +
           f""""superstep_checkpoint":{"records_preserving":${v.superPreserving},""" +
-          f""""records_bare":${v.superBare},"cut":${v.superCut}%.2f}}""",
+          f""""records_bare":${v.superBare},"cut":${v.superCut}%.2f},""" +
+          f""""skew_balance":{"max_task_records_unsalted":${v.skewMaxUnsalted},""" +
+          f""""max_task_records_salted":${v.skewMaxSalted},"balance":${v.skewBalance}%.2f},""" +
+          f""""lsh_band":{"candidate_pairs_banded":${v.lshBandedPairs},""" +
+          f""""all_pairs":${v.lshAllPairs},"cut":${v.lshCut}%.1f}}""",
+          // compact: cuts only; full record counts live in target/bench.json
           f""","exchange_probe":{"factor":${v.factor},"bloom_cut":${v.bloomCut}%.2f,""" +
             f""""superstep_checkpoint_cut":${v.superCut}%.2f,""" +
-            s""""records_file":"target/bench.json"}""")
+            f""""skew_balance":${v.skewBalance}%.2f,"lsh_band_cut":${v.lshCut}%.1f}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
@@ -289,6 +364,19 @@ object Bench {
           val j = s""","exchange_probe":{"error":"$msg"}"""
           (j, j)
       }
+
+    // second calibration bracket AFTER the probes, then the combined
+    // medians: the window's interference index (see calibSpin scaladoc)
+    sampleCalib()
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val calibCompact =
+      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f}"""
+    val calibFull =
+      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f,""" +
+        s""""spin_runs":${arr(spinRuns.toSeq)},"shuffle_runs":${arr(shuffleRuns.toSeq)}}"""
 
     // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
     // the r9 AND r10 JSON lines outgrew the driver's fixed-size tail-capture
@@ -304,9 +392,12 @@ object Bench {
     //    headline medians are the record that must never truncate, and the
     //    probe stays available in the file.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$probeFull$exchangeFull}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +
+        s""""value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
+        s""""queries_untrimmed":$qsUntrimmed,"runs":$runsJson,"sf":"$sfDir"""" +
+        s"""$calibFull$probeFull$exchangeFull}"""
     def compactLine(probe: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$probe$exchangeCompact}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$calibCompact$probe$exchangeCompact}"""
     val compact = {
       val withProbe = compactLine(probeCompact)
       if (withProbe.length <= 1800) withProbe
@@ -327,6 +418,13 @@ object Bench {
     // (sbt's success footer is suppressed, see build.sbt), or a
     // tail-window scan — at least one intact copy is in reach; Spark's
     // shutdown logging between the two goes to stderr, never stdout.
+    // DUPLICATE-EMISSION CONTRACT (r12 ADVICE): the two copies are
+    // BYTE-IDENTICAL (one `compact` value, printed twice, nothing mutates
+    // between). A consumer using a first-line, last-line, or tail-window
+    // rule reads one intact copy; a consumer that collects ALL
+    // JSON-looking stdout lines MUST dedupe identical adjacent lines —
+    // summing or assert-once rules would double-count this deliberate
+    // redundancy.
     println(compact)
     spark.stop()
     println(compact)
@@ -634,11 +732,21 @@ object ExchangeProbe {
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
   final case class Volumes(factor: Int, bloomWith: Long, bloomWithout: Long,
-      superPreserving: Long, superBare: Long) {
+      superPreserving: Long, superBare: Long,
+      skewMaxUnsalted: Long, skewMaxSalted: Long,
+      lshBandedPairs: Long, lshAllPairs: Long) {
     private def ratio(num: Long, den: Long): Double =
       num.toDouble / math.max(den, 1L).toDouble
     def bloomCut: Double = ratio(bloomWithout, bloomWith)
     def superCut: Double = ratio(superBare, superPreserving)
+    /** hot-task load ratio: rows the busiest reduce partition receives
+      * without vs with salting — the record-exact twin of the skew probe's
+      * wall-clock ratio (r12 verdict task 4a). */
+    def skewBalance: Double = ratio(skewMaxUnsalted, skewMaxSalted)
+    /** Σ|bucket|²-vs-all-pairs cut: candidate pairs the band join
+      * generates vs the n·(n−1)/2 a blocking-free near-dup pass would
+      * compare (r12 verdict task 4b). */
+    def lshCut: Double = ratio(lshAllPairs, lshBandedPairs)
   }
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
@@ -666,6 +774,16 @@ object ExchangeProbe {
       case _ => 0L
     }.sum
   }
+
+  /** Rows landing on the BUSIEST post-exchange partition of `df`'s own
+    * plan — the hot-task load a skewed key concentrates. Deterministic:
+    * hash partitioning over fixed data with a fixed partition count maps
+    * the same row to the same reducer every run.
+    */
+  private[graft] def maxPartitionRows(df: DataFrame): Long =
+    df.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(it.size.toLong))
+      .fold(0L)(math.max)
 
   def run(spark: SparkSession, sfDir: String, factor: Int): Volumes = {
     val overrides = Map(
@@ -702,7 +820,55 @@ object ExchangeProbe {
         graft.operators.Checkpoints.partitioned(edges, col("src"))))
       val superBare = shuffleRecords(consuming(
         edges.repartition(n, col("src")).localCheckpoint(true)))
-      Volumes(factor, bloomWith, bloomWithout, superPreserving, superBare)
+
+      // skew leg (r12 verdict task 4a): the record-exact twin of the
+      // wall-clock skew probe — rows the BUSIEST reduce partition receives
+      // in the join exchange, salted vs unsalted, on the same 50%-hot key
+      // shape skewWorkload times (even l_orderkey → key 0). Unsalted, the
+      // hot key's entire volume serializes through one reducer; salted,
+      // it spreads over 16 buckets. Explicit-numPartitions repartition is
+      // exactly the exchange the shuffled join performs on its fact side
+      // (and is never AQE-coalesced), so the max-partition row count IS
+      // the hot task's load, with no timing in sight.
+      val skewLeft = fact.select(
+        when(col("l_orderkey") % 2 === 0, lit(0L))
+          .otherwise(lit(1L) + col("l_orderkey") % 997).as("k"),
+        col("l_orderkey"), col("l_linenumber"))
+      val skewMaxUnsalted = maxPartitionRows(skewLeft.repartition(n, col("k")))
+      val skewMaxSalted = maxPartitionRows(
+        skewLeft
+          .withColumn("__salt", graft.operators.Partitioning.salt(16,
+            col("l_orderkey"), col("l_linenumber")))
+          .repartition(n, col("k"), col("__salt")))
+
+      // LSH banding leg (r12 verdict task 4b): the Σ|bucket|² claim as a
+      // number — candidate pairs the band equi-join GENERATES (Σ over
+      // (band, bucket) groups of |g|·(|g|−1)/2, the exact pre-distinct
+      // join fan-out of Dedup.lshNearDupPairs' candidate stage, computed
+      // here by aggregation) vs the n·(n−1)/2 pairs a blocking-free
+      // near-dup pass would have to compare. Same replicated corpus as
+      // the scale probe (per-replica token injection keeps near-dups
+      // within-replica), same shingle→minhash→band derivation as the
+      // shipped operator.
+      val docs = ScaleProbe.replicate(spark, sfDir, "documents", factor)
+      val bands = docs
+        .select(col("doc_id"),
+          graft.operators.Dedup.tokenHashesFromText(col("text")).as("__th"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.shingleHashesFromTokenHashes(col("__th"), 3).as("shd"))
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.lshBandKeys(
+            graft.operators.Dedup.minhashSignature(col("shd")))).as("band_key"))
+      val lshBandedPairs = bands
+        .groupBy(col("band_key")).agg(count(lit(1)).as("c"))
+        // DIV keeps the arithmetic integral end-to-end (c·(c−1) is even)
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs"))
+        .collect()(0).getLong(0)
+      val nDocs = docs.count()
+      val lshAllPairs = nDocs * (nDocs - 1) / 2
+
+      Volumes(factor, bloomWith, bloomWithout, superPreserving, superBare,
+        skewMaxUnsalted, skewMaxSalted, lshBandedPairs, lshAllPairs)
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
