@@ -138,6 +138,33 @@ object AbBench {
         .groupBy(col("lk")).agg(count(lit(1)).as("n"))
     }
 
+    // r13: eviction-CHURN shape — the worst case for the spillable
+    // active set's ping-pong rebuild (every left row expires intervals,
+    // so every left row pays a full survivor copy into the scratch array
+    // where the pre-r13 ArrayBuffer only shifted references). 200 keys ×
+    // 2000 intervals, right intervals live 400 time units (steady ~40
+    // concurrent), lefts advance 10 units per row → a rebuild per left
+    // row, ~40 row-copies each, ~16M copies total; output ~16M pairs.
+    // The composed form's per-key group nested loop does 2000² predicate
+    // evals per key. Records the in-memory (non-spilling) rebuild cost —
+    // if this leg ever approaches the composed time, the rebuild became
+    // the bottleneck and needs an in-memory fast path.
+    def churn(prefix: String, live: Long) = spark.range(400000)
+      .select((col("id") % 200).as(s"${prefix}k"),
+        (col("id") / 200 * 10).as(s"${prefix}lo"))
+      .withColumn(s"${prefix}hi", col(s"${prefix}lo") + live)
+    run("interval-composed-churn") {
+      churn("l", 5).join(churn("r", 400),
+          col("lk") === col("rk") &&
+            col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+        .groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    }
+    run("interval-native-churn") {
+      graft.plans.NativeIntervalJoin
+        .overlap(churn("l", 5), churn("r", 400), "lk", "llo", "lhi", "rk", "rlo", "rhi")
+        .groupBy(col("lk")).agg(count(lit(1)).as("n"))
+    }
+
     // r11-4a: KMV sketch distinct vs exact COUNT(DISTINCT) on a synthetic
     // 20M-row / 5M-distinct-values / 8-group table — the shape where exact
     // distinct must EXPAND-SHUFFLE every distinct (group, value) pair while

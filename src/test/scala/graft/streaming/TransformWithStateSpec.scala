@@ -358,6 +358,70 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("real-data parity: streaming sessions equal batch gap-sessionization under an out-of-order 3-way trigger split") {
+    // the strongest pin on the r13 multi-fragment rewrite: REAL events
+    // (sf0.001: 15 users, 1000 events, 30 days), dealt pseudo-randomly
+    // across THREE triggers — so nearly every user sees cross-batch
+    // stragglers in both directions — must still produce EXACTLY the
+    // batch gap-sessionization of the sorted stream. Ground truth is the
+    // definitional fold (sort per user, split on gap > gapMs), computed
+    // in-process; maxFragments=64 sits above any user's session count so
+    // the overflow fallback never engages (it has its own test).
+    import StatefulOps.{SessionSummary, TimedEvent}
+    import org.apache.spark.sql.functions.col
+    withRocksDBProvider {
+      val gapMs = 8L * 3600 * 1000
+      val events = graft.Graft.table(spark, sf(), "events")
+        .select(col("ts"), col("user_id"), col("event_id"))
+        .collect()
+        .map(r => TimedEvent(r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(2) % 997L))
+        .toSeq
+      assert(events.nonEmpty)
+      val truth: Set[SessionSummary] = events.groupBy(_.userId).flatMap {
+        case (u, es) =>
+          es.sortBy(e => (e.ts.getTime, e.eventId))
+            .foldLeft(Vector.empty[(Long, Long, Long, Long)]) { (acc, e) =>
+              val t = e.ts.getTime
+              acc.lastOption match {
+                case Some((s, l, n, c)) if t - l <= gapMs =>
+                  acc.init :+ ((s, t, n + 1L, c + e.cents))
+                case _ => acc :+ ((t, t, 1L, e.cents))
+              }
+            }
+            .map { case (s, l, n, c) => SessionSummary(u, s, l, n, c) }
+      }.toSet
+      // deterministic pseudo-random deal: Knuth-hash the event id into
+      // one of three triggers — stragglers in BOTH directions, every run
+      val batches = (0 until 3).map(i =>
+        events.filter(e => math.floorMod(e.eventId * 2654435761L, 3L) == i))
+      assert(batches.forall(_.nonEmpty))
+      val in = MemoryStream[TimedEvent](spark)
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = gapMs,
+        watermark = "35 days", maxFragments = 64)
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_real_parity").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      // sentinel user pushes the watermark past every close time
+      val maxTs = events.map(_.ts.getTime).max
+      val sentinel = 999999999L
+      in.addData(TimedEvent(new java.sql.Timestamp(maxTs + 40L * 86400000L),
+        sentinel, 1L, 0L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(new java.sql.Timestamp(maxTs + 80L * 86400000L),
+        sentinel, 2L, 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_real_parity").as[SessionSummary].collect()
+        .filter(_.userId != sentinel).toSet
+      val missing = truth -- got
+      val extra = got -- truth
+      assert(missing.isEmpty && extra.isEmpty,
+        s"streaming != batch sessionization: missing=${missing.take(3)} extra=${extra.take(3)} " +
+          s"(|truth|=${truth.size}, |got|=${got.size})")
+    }
+  }
+
   test("update mode re-emits only keys refreshed in the trigger") {
     val out = run(Seq(
       Seq(UserEvent(7L, 1L, 1L, "view", 0L)),
