@@ -9,8 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{
-  BinaryExecNode, ExternalAppendOnlyUnsafeRowArray, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.PlanBridge
 
@@ -134,20 +133,21 @@ object IntervalJoinStrategy extends SparkStrategy {
   * State contract (r11 verdict task 3, spill-hardened in r12 verdict
   * task 2): the active set is bounded by the maximum CONCURRENT-interval
   * depth of a key — the right structure for timeline data, where depth is
-  * physics (sessions live minutes, campaigns weeks) — and since r13 it
-  * lives in the SAME spillable row array SortMergeJoin buffers its
-  * matches in ([[org.apache.spark.sql.execution
-  * .ExternalAppendOnlyUnsafeRowArray]]): rows stay in a plain in-memory
-  * buffer up to [[IntervalJoinExec.InMemoryRowsKey]] /
-  * [[IntervalJoinExec.InMemoryBytesKey]], then move into a task-memory
-  * UnsafeExternalSorter that spills to disk under memory pressure (or
-  * every [[IntervalJoinExec.SpillRowsKey]] rows, the test/hard-bound
-  * knob). A legitimately-deep key now costs disk and task time, never an
-  * executor OOM. Eviction over an append-only array is a ping-pong
-  * rebuild: survivors copy into a scratch array and the two swap —
-  * amortized the same one-scan-per-left-row the in-memory compaction
-  * did, skipped entirely when the scan finds nothing to evict (the
-  * common case between expiries).
+  * physics (sessions live minutes, campaigns weeks) — and since r13 its
+  * ROW BYTES spill to disk past [[IntervalJoinExec.InMemoryRowsKey]] /
+  * [[IntervalJoinExec.InMemoryBytesKey]], leaving only a small
+  * fixed-width entry per interval (copied endpoints + the row's file
+  * range) on the heap. A legitimately-deep key costs disk and task time;
+  * full rows of ANY width never accumulate in memory. The store is
+  * deliberately NOT SortMergeJoin's ExternalAppendOnlyUnsafeRowArray:
+  * a plane sweep re-reads its active set once per LEFT ROW, and EAUA's
+  * spilled-mode iterator construction pins one spill reader (~1MB
+  * buffer) per spill file per call until task end via per-reader
+  * task-completion listeners — measured OOM after a few thousand left
+  * rows (graft.tools.FdProbe; full analysis in the storage scaladoc
+  * inside doExecute). The explicit store does positional reads on one
+  * long-lived channel instead: per-row I/O proportional to output,
+  * nothing opened per row, nothing abandoned.
   *
   * Observability keeps the r12 contract, now three-legged:
   *
@@ -156,19 +156,19 @@ object IntervalJoinStrategy extends SparkStrategy {
   *    the displayed plan total (SQLMetric.merge adds), so the label says
   *    "per-task" explicitly (r12 ADVICE) — read the size-stat
   *    min/med/max for the real depth signal, not the total.
-  *  - `spillSize` SQLMetric — bytes the active set spilled to disk,
-  *    summed across tasks; nonzero means the sweep crossed its in-memory
-  *    thresholds and kept going (the pre-r13 behavior was an OOM here).
+  *  - `spillSize` SQLMetric — bytes written to the active set's spill
+  *    files (including compaction passes), summed across tasks; nonzero
+  *    means the sweep crossed its in-memory thresholds and kept going
+  *    (the pre-r13 behavior was an OOM here).
   *  - [[IntervalJoinExec.MaxDepthKey]] session conf (default
   *    [[IntervalJoinExec.DefaultMaxDepth]], 0 or negative disables): when
   *    one key's active set would exceed it, the task fails with a NAMED
   *    IllegalStateException carrying the depth, the cap, and the
-  *    remediations. With the spillable buffer the cap is ADVISORY — a
+  *    remediations. With row bytes on disk the cap is primarily a
   *    degeneration tripwire (per-key depth approaching the group size
-  *    means the sweep has lost its whole advantage over the composed
-  *    nested loop), no longer the OOM guard — so raising or disabling it
-  *    for a genuinely deep timeline is now a latency decision, not a
-  *    heap-sizing one.
+  *    means the sweep has lost its advantage over the composed nested
+  *    loop); it also bounds the in-memory entry index (~64 B/interval,
+  *    so the 1M default ≈ tens of MB on one task).
   */
 final case class IntervalJoinExec(
     left: SparkPlan, right: SparkPlan,
@@ -214,8 +214,8 @@ final case class IntervalJoinExec(
       IntervalJoinExec.DefaultInMemoryRows.toString).toInt
     val inMemoryBytes = conf.getConfString(IntervalJoinExec.InMemoryBytesKey,
       IntervalJoinExec.DefaultInMemoryBytes.toString).toLong
-    val spillRows = conf.getConfString(IntervalJoinExec.SpillRowsKey,
-      Int.MaxValue.toString).toInt
+    val compactMinBytes = conf.getConfString(IntervalJoinExec.CompactMinBytesKey,
+      IntervalJoinExec.DefaultCompactMinBytes.toString).toLong
     val keyType = leftKey.dataType
     val timeType = leftLo.dataType
     val outAttrs = output
@@ -246,56 +246,210 @@ final case class IntervalJoinExec(
         else null
       advance()
 
-      // Active right intervals of the CURRENT key, in arrival (lo) order,
-      // in SortMergeJoin's spillable row array: plain in-memory buffer up
-      // to the thresholds, then a task-memory sorter that spills to disk
-      // under pressure. Eviction over the append-only structure is a
-      // ping-pong rebuild into `scratch` (swap after), attempted only
-      // when a probe scan actually finds an expired interval.
-      var active = new ExternalAppendOnlyUnsafeRowArray(
-        inMemoryRows, inMemoryBytes, spillRows, Long.MaxValue)
-      var scratch = new ExternalAppendOnlyUnsafeRowArray(
-        inMemoryRows, inMemoryBytes, spillRows, Long.MaxValue)
+      // ===== Active-set storage =====
+      //
+      // IN-MEMORY REGIME (the overwhelmingly common case — depth is
+      // physics): a plain ArrayBuffer of row references with in-place
+      // compaction eviction, exactly the zero-copy structure the operator
+      // shipped with; nothing is serialized, emission is a prefix
+      // iterator over references.
+      //
+      // SPILL REGIME (depth beyond InMemoryRows/InMemoryBytes): row BYTES
+      // move to an explicit task-local spill file; memory keeps only a
+      // small entry per interval — copied (lo, hi) endpoint rows plus the
+      // (offset, length) of the row bytes — so heap is O(depth ×
+      // ~endpoint size) and bounded by the depth cap, while rows of any
+      // width live on disk. Eviction compacts the ENTRY array in place
+      // (no I/O); the file carries dead bytes until they exceed half of
+      // it, then one sequential pass rewrites the live ranges into a
+      // second file and the two swap (amortized O(1) I/O per evicted
+      // row). Emission reads exactly the prefix's live row bytes via
+      // positional reads on ONE long-lived channel. Deterministic
+      // lifecycle: two temp files per task, created lazily, truncated on
+      // key change, deleted by one task-completion listener.
+      //
+      // Why not SortMergeJoin's ExternalAppendOnlyUnsafeRowArray (the
+      // first r13 attempt): its spilled-mode generateIterator() eagerly
+      // constructs an UnsafeSorterSpillReader PER SPILL FILE, and every
+      // reader ever constructed registers its own task-completion
+      // listener that pins the reader — with its ~1MB read buffer — until
+      // task end, drained or not (reproduced with graft.tools.FdProbe:
+      // java.lang.OutOfMemoryError at UnsafeSorterSpillReader.<init>
+      // after a few thousand per-left-row iterations over a spilled
+      // array). A plane sweep reads its active set once per left row, so
+      // that access pattern is architecturally incompatible with EAUA;
+      // this store exists to make per-row reads leak-free.
+      val numRightFields = rOut.size
+
+      final class SpillStore {
+        import java.nio.ByteBuffer
+        import java.nio.channels.FileChannel
+        import java.nio.file.StandardOpenOption.{READ, WRITE}
+        private val files = Array.tabulate(2) { i =>
+          val f = java.io.File.createTempFile(s"graft-interval-spill-$i-", ".rows")
+          f.deleteOnExit()
+          f
+        }
+        private val channels =
+          files.map(f => FileChannel.open(f.toPath, READ, WRITE))
+        private var cur = 0
+        var fileBytes = 0L // bytes in the current file, incl. dead ranges
+        var liveBytes = 0L // bytes still referenced by live entries
+        var written = 0L   // monotone: every byte ever written (the metric)
+
+        def append(row: UnsafeRow): Long = {
+          val bytes = row.getBytes
+          val off = fileBytes
+          writeFully(channels(cur), ByteBuffer.wrap(bytes), off)
+          fileBytes += bytes.length
+          liveBytes += bytes.length
+          written += bytes.length
+          off
+        }
+
+        private def writeFully(ch: FileChannel, bb: ByteBuffer, off: Long): Unit = {
+          var pos = off
+          while (bb.hasRemaining) pos += ch.write(bb, pos)
+        }
+
+        private def readFully(bb: ByteBuffer, off: Long): Unit = {
+          var pos = off
+          while (bb.hasRemaining) {
+            val n = channels(cur).read(bb, pos)
+            if (n < 0) throw new java.io.EOFException(
+              s"interval spill file truncated at $pos")
+            pos += n
+          }
+        }
+
+        // one reused buffer + row shell: the returned row is valid until
+        // the next read() — callers project it into their own buffer
+        // before reading again (the emission iterator does exactly that)
+        private var readBuf = new Array[Byte](1 << 10)
+        private val readRow = new UnsafeRow(numRightFields)
+        def read(off: Long, len: Int): UnsafeRow = {
+          if (readBuf.length < len) readBuf = new Array[Byte](len)
+          readFully(ByteBuffer.wrap(readBuf, 0, len), off)
+          readRow.pointTo(readBuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+          readRow
+        }
+
+        /** One sequential pass copying the live ranges into the other
+          * file (entry offsets are monotone — arrival order is never
+          * reordered), updating each entry's offset; then swap+truncate.
+          */
+        def compact(entries: scala.collection.mutable.ArrayBuffer[Entry]): Unit = {
+          val other = 1 - cur
+          channels(other).truncate(0)
+          var newOff = 0L
+          var i = 0
+          while (i < entries.length) {
+            val e = entries(i)
+            if (readBuf.length < e.len) readBuf = new Array[Byte](e.len)
+            readFully(ByteBuffer.wrap(readBuf, 0, e.len), e.off)
+            writeFully(channels(other), ByteBuffer.wrap(readBuf, 0, e.len), newOff)
+            e.off = newOff
+            newOff += e.len
+            written += e.len
+            i += 1
+          }
+          channels(cur).truncate(0)
+          cur = other
+          fileBytes = newOff
+          liveBytes = newOff
+        }
+
+        def reset(): Unit = {
+          channels(cur).truncate(0)
+          fileBytes = 0L
+          liveBytes = 0L
+        }
+
+        def close(): Unit = {
+          channels.foreach(c => try c.close() catch { case _: Exception => () })
+          files.foreach(f => { f.delete(); () })
+        }
+      }
+
+      var store: SpillStore = null
+      def ensureStore(): SpillStore = {
+        if (store == null) {
+          store = new SpillStore
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) {
+            val s = store
+            tc.addTaskCompletionListener[Unit](_ => s.close())
+          }
+        }
+        store
+      }
+
+      // in-memory regime state
+      val inMem = new scala.collection.mutable.ArrayBuffer[UnsafeRow]()
+      var memBytes = 0L
+      // spill regime state: per live interval, copied endpoints + the
+      // row's file range (offsets strictly increase with index)
+      val entries = new scala.collection.mutable.ArrayBuffer[Entry]()
+      var spillMode = false
       var activeKey: InternalRow = null
       var taskMaxDepth = 0L
-      var taskSpill = 0L
+
+      def depth: Int = if (spillMode) entries.length else inMem.length
 
       lIter.flatMap { l =>
         val lk = lKeyProj(l)
         if (activeKey == null || keyOrd.compare(activeKey, lk) != 0) {
-          active.clear()
+          inMem.clear(); memBytes = 0L
+          entries.clear()
+          if (spillMode) store.reset()
+          spillMode = false
           activeKey = lk.copy()
         }
         val lhi = lHiProj(l).copy()
         val llo = lLoProj(l).copy()
         // FIRST evict intervals ending before this left's start — left los
         // are non-decreasing within the key, so they can never match
-        // again. Probe scan first: rebuilding copies every survivor, so
-        // only pay it when something actually expired (between expiries —
-        // the common case — this is the same single O(d) projection scan
-        // the old in-place compaction did, with zero copies). Eviction
-        // runs BEFORE ingest so the buffer never mixes the previous
-        // left's dead intervals with this left's live ones: every
-        // buffered row then overlaps the current [llo, lhi] window, which
-        // makes the depth metric/guard below measure TRUE concurrent
-        // depth (ingest-before-evict inflated it with up to one stale
-        // active set — the code-review counterexample: 9 dead + 2 live
-        // tripping a cap of 10 at true depth 2).
-        if (!active.isEmpty) {
-          var needEvict = false
-          val probe = active.generateIterator()
-          while (!needEvict && probe.hasNext) {
-            if (timeOrd.compare(rHiProj(probe.next()), llo) < 0) needEvict = true
+        // again. Single-pass in-place compaction in BOTH regimes (in the
+        // spill regime it compacts the small entry array — no I/O; the
+        // orphaned file ranges are reclaimed by the amortized file
+        // compaction below). Eviction runs BEFORE ingest so the buffer
+        // never mixes the previous left's dead intervals with this
+        // left's live ones: every buffered row then overlaps the current
+        // [llo, lhi] window, which makes the depth metric/guard below
+        // measure TRUE concurrent depth (ingest-before-evict inflated it
+        // with up to one stale active set — the code-review
+        // counterexample: 9 dead + 2 live tripping a cap of 10 at true
+        // depth 2).
+        if (spillMode) {
+          var i = 0
+          var keep = 0
+          while (i < entries.length) {
+            val e = entries(i)
+            if (timeOrd.compare(e.hi, llo) >= 0) {
+              if (keep != i) entries(keep) = e
+              keep += 1
+            } else store.liveBytes -= e.len
+            i += 1
           }
-          if (needEvict) {
-            val rebuild = active.generateIterator()
-            while (rebuild.hasNext) {
-              val row = rebuild.next()
-              if (timeOrd.compare(rHiProj(row), llo) >= 0) scratch.add(row)
-            }
-            val tmp = active; active = scratch; scratch = tmp
-            scratch.clear()
+          if (keep < entries.length) {
+            entries.dropRightInPlace(entries.length - keep)
+            // reclaim the file once dead ranges dominate (amortized O(1)
+            // I/O per evicted row); floor avoids churning a small file
+            if (store.fileBytes > compactMinBytes &&
+                store.fileBytes > 2 * store.liveBytes)
+              store.compact(entries)
           }
+        } else {
+          var i = 0
+          var keep = 0
+          while (i < inMem.length) {
+            if (timeOrd.compare(rHiProj(inMem(i)), llo) >= 0) {
+              if (keep != i) inMem(keep) = inMem(i)
+              keep += 1
+            } else memBytes -= inMem(i).getSizeInBytes
+            i += 1
+          }
+          if (keep < inMem.length) inMem.dropRightInPlace(inMem.length - keep)
         }
         // then drop right rows of earlier keys and ingest this key's rows
         // that START at or before this left's hi
@@ -306,22 +460,48 @@ final case class IntervalJoinExec(
           else if (c == 0 && timeOrd.compare(rLoProj(rHead), lhi) <= 0) {
             // only retain if it can still match this or a later left
             if (timeOrd.compare(rHiProj(rHead), llo) >= 0) {
-              if (depthCap > 0 && active.length >= depthCap)
+              if (depthCap > 0 && depth >= depthCap)
                 throw new IllegalStateException(
                   s"IntervalJoinExec.maxActiveDepth: one join key holds more " +
                     s"than $depthCap concurrently-overlapping right intervals " +
                     s"- the plane sweep's per-key work is degenerating toward " +
-                    s"the composed form's O(n*m) nested loop (the active set " +
-                    s"itself spills to disk past its in-memory thresholds, so " +
-                    s"this is a latency tripwire, not an OOM guard). " +
+                    s"the composed form's O(n*m) nested loop (row bytes spill " +
+                    s"to disk past the in-memory thresholds, but the per-" +
+                    s"interval entry index is O(depth) heap, so the cap is " +
+                    s"both a latency tripwire and the index's memory bound). " +
                     s"Remediate: bucket the key by a coarse time column so " +
                     s"mutually-overlapping intervals split across keys, " +
                     s"pre-merge abutting/overlapping right intervals into " +
                     s"spans, or raise ${IntervalJoinExec.MaxDepthKey} (<=0 " +
                     s"disables) if the depth is legitimate.")
-              active.add(rHead)
-              if (active.length > taskMaxDepth) {
-                taskMaxDepth = active.length
+              if (!spillMode &&
+                  (inMem.length + 1 > inMemoryRows ||
+                    memBytes + rHead.getSizeInBytes > inMemoryBytes)) {
+                // cross into the spill regime: move every buffered row's
+                // bytes to the file, keep only entries in memory
+                val st = ensureStore()
+                entries.clear()
+                var i = 0
+                while (i < inMem.length) {
+                  val row = inMem(i)
+                  val off = st.append(row)
+                  entries += new Entry(rLoProj(row).copy(), rHiProj(row).copy(),
+                    off, row.getSizeInBytes)
+                  i += 1
+                }
+                inMem.clear(); memBytes = 0L
+                spillMode = true
+              }
+              if (spillMode) {
+                val off = store.append(rHead)
+                entries += new Entry(rLoProj(rHead).copy(), rHiProj(rHead).copy(),
+                  off, rHead.getSizeInBytes)
+              } else {
+                inMem += rHead
+                memBytes += rHead.getSizeInBytes
+              }
+              if (depth > taskMaxDepth) {
+                taskMaxDepth = depth
                 // set, not add: within a task the accumulator is local, so
                 // its final value is this task's max; task values then sum
                 // into the plan total while the UI's size-stat min/med/max
@@ -333,38 +513,55 @@ final case class IntervalJoinExec(
             continue = rHead != null
           } else continue = false
         }
-        // cumulative spill across both ping-pong arrays (clear() folds a
-        // live sorter's spill bytes forward, so reads are monotone); adds
-        // only happen in the rebuild/ingest above, so reading here after
-        // ingest sees every spill of this left row
-        val spilled = active.spillSize + scratch.spillSize
-        if (spilled > taskSpill) {
-          // set: per-task cumulative value; task values sum into the total
-          taskSpill = spilled
-          spillSizeMetric.set(taskSpill)
+        if (store != null && store.written > 0L) {
+          // set: per-task cumulative bytes ever written to the spill
+          // files (incl. compaction passes); task values sum into the
+          // plan total
+          spillSizeMetric.set(store.written)
         }
         // active is lo-sorted; rows ingested for an EARLIER left (whose hi
         // exceeded this one's) may start after this left ends — emit only
         // the lo <= lhi prefix (the rest stays for later lefts). The
         // returned iterator is fully consumed before the next left row
-        // mutates the array (Iterator.flatMap drains each element's
-        // iterator first), so it never observes a modification.
-        active.generateIterator()
-          .takeWhile(r => timeOrd.compare(rLoProj(r), lhi) <= 0)
-          .map { r => numOutputRows += 1; resultProj(joined(l, r)) }
+        // mutates the active set (Iterator.flatMap drains each element's
+        // iterator first), so it never observes a modification. In the
+        // spill regime each emitted row is one positional read of exactly
+        // that row's bytes — I/O proportional to output, nothing opened
+        // per row, nothing abandoned.
+        if (spillMode) {
+          entries.iterator
+            .takeWhile(e => timeOrd.compare(e.lo, lhi) <= 0)
+            .map { e =>
+              numOutputRows += 1
+              resultProj(joined(l, store.read(e.off, e.len)))
+            }
+        } else {
+          inMem.iterator
+            .takeWhile(r => timeOrd.compare(rLoProj(r), lhi) <= 0)
+            .map { r => numOutputRows += 1; resultProj(joined(l, r)) }
+        }
       }
     }
   }
 }
+
+/** One live interval in [[IntervalJoinExec]]'s spill regime: copied
+  * endpoint rows for the in-memory sweep tests, plus the file range of
+  * the full row bytes. Offsets strictly increase with entry index
+  * (arrival order is never reordered), which is what makes file
+  * compaction a single sequential pass.
+  */
+private[plans] final class Entry(
+    val lo: UnsafeRow, val hi: UnsafeRow, var off: Long, val len: Int)
 
 object IntervalJoinExec {
   /** Session conf capping the per-key active-set depth (see exec doc). */
   val MaxDepthKey = "spark.graft.intervalJoin.maxDepth"
   val DefaultMaxDepth = 1000000L
 
-  /** Active-set rows kept in the plain in-memory buffer before moving to
-    * the task-memory (spill-capable) sorter — SortMergeJoin's own
-    * buffer-threshold shape, scoped to this operator.
+  /** Active-set rows kept as plain in-memory references before row BYTES
+    * move to the task-local spill file (the entry index stays in memory
+    * either way — see the storage scaladoc in doExecute).
     */
   val InMemoryRowsKey = "spark.graft.intervalJoin.inMemoryRows"
   val DefaultInMemoryRows = 4096
@@ -375,10 +572,10 @@ object IntervalJoinExec {
   val InMemoryBytesKey = "spark.graft.intervalJoin.inMemoryBytes"
   val DefaultInMemoryBytes: Long = 64L << 20
 
-  /** Force a disk spill every N rows once in the sorter (default never:
-    * spills ride memory pressure). The test knob that makes spill paths
-    * deterministic — same role as
-    * spark.sql.sortMergeJoinExec.buffer.spill.threshold.
+  /** Spill-file size floor below which dead ranges are never compacted
+    * (compaction is a full rewrite — pointless churn on a small file).
+    * Tests lower it to force the compaction path.
     */
-  val SpillRowsKey = "spark.graft.intervalJoin.spillRows"
+  val CompactMinBytesKey = "spark.graft.intervalJoin.compactMinBytes"
+  val DefaultCompactMinBytes: Long = 32L << 20
 }

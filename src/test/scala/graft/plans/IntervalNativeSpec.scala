@@ -190,11 +190,10 @@ class IntervalNativeSpec extends SparkSpec {
     // r12 verdict task 2: a LEGITIMATELY deep key (the depth guard's own
     // "raise the cap" remediation) must cost disk, not heap. 2000 right
     // intervals per window on one key (depth ~2000 at any sweep point),
-    // thresholds squeezed so the active set leaves the in-memory buffer
-    // after 16 rows and the sorter force-spills every 256 — the exec must
-    // produce EXACTLY the composed join's rows with spillSize > 0.
+    // threshold squeezed so row bytes leave memory after 16 rows — the
+    // exec must produce EXACTLY the composed join's rows with
+    // spillSize > 0 (bytes written to the explicit spill store).
     spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "16")
-    spark.conf.set(IntervalJoinExec.SpillRowsKey, "256")
     try {
       // rights expire as the sweep advances (lo2 = i, hi2 = i + 2000), so
       // the ping-pong eviction rebuild runs under spill conditions too
@@ -232,7 +231,47 @@ class IntervalNativeSpec extends SparkSpec {
           "concurrent-depth envelope")
     } finally {
       spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
-      spark.conf.unset(IntervalJoinExec.SpillRowsKey)
+      ()
+    }
+  }
+
+  test("sawtooth windows over a spilled deep key stay exact (per-row prefix re-reads)") {
+    // the FdProbe shape, scaled into the suite: rights never expire, even
+    // lefts drain the whole spilled set, odd lefts read a tiny prefix —
+    // the per-left-row re-read pattern that OOM'd the first
+    // (ExternalAppendOnlyUnsafeRowArray-backed) r13 spill attempt; the
+    // explicit store must produce exactly the composed join's rows
+    spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "16")
+    try {
+      val l = (0 until 600).map { id =>
+        val lo = id * 10L
+        (1L, lo, if (id % 2 == 0) lo + 20000L else lo + 5L, id.toLong)
+      }.toDF("k", "lo", "hi", "id")
+      val r = (0 until 600).map(i => (1L, i * 10L, i * 10L + 100000L, 100L + i))
+        .toDF("k2", "lo2", "hi2", "id2")
+      val df = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      assertSame(df, composed(l, r))
+    } finally spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
+  }
+
+  test("spill-file compaction rewrites live ranges exactly (offsets survive the swap)") {
+    // force the compaction path: rows spill after 16, the compaction
+    // floor drops to 1KB, and rights expire continuously so dead file
+    // ranges quickly dominate — every emitted row after a compaction is
+    // read through REWRITTEN offsets, so any offset bug is row corruption
+    // the composed-join equality catches
+    spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "16")
+    spark.conf.set(IntervalJoinExec.CompactMinBytesKey, "1024")
+    try {
+      val l = (0 until 50).map(j => (1L, j * 100L, j * 100L + 50L, j.toLong))
+        .toDF("k", "lo", "hi", "id")
+      val r = (0 until 2000).map(i => (1L, i * 2L, i * 2L + 300L, 100L + i))
+        .toDF("k2", "lo2", "hi2", "id2")
+      val df = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      assertSame(df, composed(l, r))
+    } finally {
+      spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
+      spark.conf.unset(IntervalJoinExec.CompactMinBytesKey)
     }
   }
 
