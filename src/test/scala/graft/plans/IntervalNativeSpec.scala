@@ -87,6 +87,34 @@ class IntervalNativeSpec extends SparkSpec {
     }
   }
 
+  test("fuzz equality under forced spill + compaction (tiny thresholds)") {
+    // the in-memory fuzz above, re-run with the spill store engaged on
+    // nearly every key (rows leave memory after 8) and the compaction
+    // floor at 512 bytes so random eviction patterns constantly rewrite
+    // live ranges — any offset/order slip in the store is row corruption
+    // the composed equality catches
+    spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "8")
+    spark.conf.set(IntervalJoinExec.CompactMinBytesKey, "512")
+    try {
+      val rng = new scala.util.Random(17)
+      (1 to 3).foreach { round =>
+        val mk = (n: Int) => Seq.fill(n) {
+          val lo = rng.nextInt(60).toLong
+          (rng.nextInt(4).toLong, lo, lo + rng.nextInt(12).toLong, rng.nextLong())
+        }
+        val l = mk(80).toDF("k", "lo", "hi", "id")
+        val r = mk(70).toDF("k", "lo", "hi", "id")
+          .toDF("k2", "lo2", "hi2", "id2")
+        val native = NativeIntervalJoin.overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+        assertSame(native,
+          composed(l, r.select(col("k2"), col("lo2"), col("hi2"), col("id2"))))
+      }
+    } finally {
+      spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
+      spark.conf.unset(IntervalJoinExec.CompactMinBytesKey)
+    }
+  }
+
   test("plan shape: two key exchanges, no nested-loop or group buffering join") {
     val l = Seq((1L, 0L, 5L, 10L)).toDF("k", "lo", "hi", "id")
     val r = Seq((1L, 1L, 2L, 11L)).toDF("k2", "lo2", "hi2", "id2")
