@@ -182,6 +182,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Third calib leg (added after the r13 live case study — see
+    * GATE_r13): a full parquet scan+decode+aggregate over THIS window's
+    * input data. The r13 middle bench run had scan-heavy queries
+    * uniformly inflated ~30-40% while `spin` stayed flat (CPU was fine)
+    * and `shuffle` was blind (its working set is tiny and synthetic) —
+    * the contention class was memory-bandwidth/page-cache, which only a
+    * real columnar decode over real bytes feels. Work is constant WITHIN
+    * a window and across same-SF runs (the comparison that matters);
+    * cross-SF values are not comparable and the GATE reference states
+    * its SF.
+    */
+  private[graft] def calibScan(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val t0 = System.nanoTime()
+    val df = Graft.table(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice"), col("l_quantity"), col("l_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("s"), sum(col("l_quantity")).as("q"),
+        count(col("l_orderkey")).as("n"))
+    df.queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     // The JSON line is built with f"...%.3f" interpolators, which format
     // with the JVM default locale — a comma-decimal locale would emit
@@ -232,12 +254,15 @@ object Bench {
     // compact line carries the medians, the file the raw arrays
     val spinRuns = scala.collection.mutable.ArrayBuffer[Double]()
     val shuffleRuns = scala.collection.mutable.ArrayBuffer[Double]()
+    val scanRuns = scala.collection.mutable.ArrayBuffer[Double]()
     def sampleCalib(): Unit = {
-      // shuffle warm-up once so the first sample is not codegen-floored
-      try calibShuffle(spark) catch { case _: Throwable => () }
+      // shuffle/scan warm-up once so the first sample is not codegen-floored
+      try { calibShuffle(spark); calibScan(spark, sfDir); () }
+      catch { case _: Throwable => () }
       (1 to 3).foreach { _ =>
         spinRuns += calibSpin()
         try shuffleRuns += calibShuffle(spark) catch { case _: Throwable => () }
+        try scanRuns += calibScan(spark, sfDir) catch { case _: Throwable => () }
       }
     }
     sampleCalib()
@@ -373,10 +398,13 @@ object Bench {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val calibCompact =
-      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f}"""
+      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f,""" +
+        f""""scan":${med(scanRuns.toSeq)}%.3f}"""
     val calibFull =
       f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f,""" +
-        s""""spin_runs":${arr(spinRuns.toSeq)},"shuffle_runs":${arr(shuffleRuns.toSeq)}}"""
+        f""""scan":${med(scanRuns.toSeq)}%.3f,""" +
+        s""""spin_runs":${arr(spinRuns.toSeq)},"shuffle_runs":${arr(shuffleRuns.toSeq)},""" +
+        s""""scan_runs":${arr(scanRuns.toSeq)}}"""
 
     // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
     // the r9 AND r10 JSON lines outgrew the driver's fixed-size tail-capture
