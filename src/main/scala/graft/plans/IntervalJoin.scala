@@ -285,10 +285,16 @@ final case class IntervalJoinExec(
         import java.nio.ByteBuffer
         import java.nio.channels.FileChannel
         import java.nio.file.StandardOpenOption.{READ, WRITE}
+        // files live in Spark's configured local/scratch dirs (the same
+        // resolution the block manager's own spills use) — NOT
+        // java.io.tmpdir, which on K8s/YARN pods is often a small root
+        // volume or a tmpfs where a "spill" would still be RAM. No
+        // deleteOnExit: the task-completion listener below deletes them,
+        // and deleteOnExit entries are never pruned from the JVM-global
+        // hook — a per-task leak on a long-lived executor.
         private val files = Array.tabulate(2) { i =>
-          val f = java.io.File.createTempFile(s"graft-interval-spill-$i-", ".rows")
-          f.deleteOnExit()
-          f
+          java.io.File.createTempFile(s"graft-interval-spill-$i-", ".rows",
+            org.apache.spark.graftbridge.CoreBridge.localDir())
         }
         private val channels =
           files.map(f => FileChannel.open(f.toPath, READ, WRITE))

@@ -114,9 +114,13 @@ object StatefulOps {
     * timer per user, armed at the EARLIEST open fragment's close time,
     * re-armed for the next on expiry). If a pathological arrival order
     * needs more than `maxFragments` concurrent open fragments, the
-    * EARLIEST fragment is emitted immediately — exactly the pre-r13
-    * emit-separately behavior, now the overflow fallback instead of the
-    * only behavior (semantics strictly better, state still fixed).
+    * EARLIEST fragments are emitted at the END of the trigger —
+    * emit-separately, the pre-r13 behavior, now the overflow fallback
+    * instead of the only behavior (semantics strictly better, state
+    * still fixed; trimming at batch end rather than per event keeps
+    * in-batch straggler runs foldable even under overflow, at the cost
+    * of the WORKING list briefly exceeding K within a trigger, bounded
+    * by the batch's own size).
     */
   final class SessionProcessor(gapMs: Long, maxFragments: Int = 8)
       extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
@@ -157,14 +161,19 @@ object StatefulOps {
         if (frags.exists()) frags.get().toVector else Vector.empty
       rows.toVector.sortBy(r => (r.ts.getTime, r.eventId)).foreach { r =>
         fs = insert(fs, r.ts.getTime, r.cents)
-        // K-overflow fallback: emit the EARLIEST fragment (the most
-        // settled — every open fragment after it starts later) and keep
-        // state fixed at maxFragments entries
-        while (fs.size > maxFragments) {
-          val (s, l, n, c) = fs.head
-          out += SessionSummary(userId, s, l, n, c)
-          fs = fs.tail
-        }
+      }
+      // K-overflow fallback at END of batch (not per event — a per-event
+      // eviction could emit a straggler's fragment out from under the
+      // NEXT in-batch straggler within gap of it, splitting a session the
+      // pre-r13 pending accumulator would have folded; within a batch the
+      // fragment list may exceed K, bounded by the batch's own size):
+      // emit the EARLIEST fragments (the most settled — every open
+      // fragment after them starts later) so STATE stays fixed at
+      // maxFragments entries
+      while (fs.size > maxFragments) {
+        val (s, l, n, c) = fs.head
+        out += SessionSummary(userId, s, l, n, c)
+        fs = fs.tail
       }
       frags.update(fs)
       // one live timer per user: the earliest open fragment's close time

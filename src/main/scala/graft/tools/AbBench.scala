@@ -138,17 +138,19 @@ object AbBench {
         .groupBy(col("lk")).agg(count(lit(1)).as("n"))
     }
 
-    // r13: eviction-CHURN shape — the worst case for the spillable
-    // active set's ping-pong rebuild (every left row expires intervals,
-    // so every left row pays a full survivor copy into the scratch array
-    // where the pre-r13 ArrayBuffer only shifted references). 200 keys ×
-    // 2000 intervals, right intervals live 400 time units (steady ~40
-    // concurrent), lefts advance 10 units per row → a rebuild per left
-    // row, ~40 row-copies each, ~16M copies total; output ~16M pairs.
+    // r13: eviction-CHURN shape — every left row expires intervals, so
+    // every left row pays the in-place compaction scan (the in-memory
+    // regime's per-row O(depth) eviction cost). 200 keys × 2000
+    // intervals, right intervals live 400 time units (steady ~40
+    // concurrent), lefts advance 10 units per row; output ~16M pairs.
     // The composed form's per-key group nested loop does 2000² predicate
-    // evals per key. Records the in-memory (non-spilling) rebuild cost —
-    // if this leg ever approaches the composed time, the rebuild became
-    // the bottleneck and needs an in-memory fast path.
+    // evals per key. History: an intermediate r13 draft stored the
+    // active set in a ping-pong ExternalAppendOnlyUnsafeRowArray whose
+    // eviction COPIED every survivor per left row — this leg measured
+    // that draft at 0.913 s vs the shipped in-place compaction's
+    // 0.798 s (and the EAUA draft was then discarded outright for the
+    // spill-reader leak, see plans/IntervalJoin.scala). The leg now pins
+    // the unified store's eviction-churn cost round-over-round.
     def churn(prefix: String, live: Long) = spark.range(400000)
       .select((col("id") % 200).as(s"${prefix}k"),
         (col("id") / 200 * 10).as(s"${prefix}lo"))

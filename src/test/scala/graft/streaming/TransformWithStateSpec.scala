@@ -358,6 +358,47 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("overflow trims at END of batch: an in-batch straggler run folds before any eviction") {
+    // the r13 code-review counterexample to per-event eviction: K=2 with
+    // state already holding two far-future fragments; ONE batch delivers
+    // two stragglers within gap of each other. Per-event overflow would
+    // emit [base] out from under [base+30s] (two split singletons); the
+    // end-of-batch trim lets them fold first, emitting ONE [base, +30s]
+    // session with 2 events — the pre-r13 pending-accumulator fold.
+    import StatefulOps.{SessionSummary, TimedEvent}
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    withRocksDBProvider {
+      val base = 1700000000000L
+      val in = MemoryStream[TimedEvent](spark)
+      // 30min delay: batch 1's max ts is base+10min, so the batch-2
+      // straggler at ts=base stays safely inside the watermark
+      val q = StatefulOps.timedSessions(in.toDS(), gapMs = 60000L,
+        watermark = "30 minutes", maxFragments = 2)
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("tws_overflow_fold").start()
+      in.addData(
+        TimedEvent(t(base + 600000L), 1L, 1L, 100L),
+        TimedEvent(t(base + 300000L), 1L, 2L, 50L))
+      q.processAllAvailable()
+      in.addData(
+        TimedEvent(t(base), 1L, 3L, 25L),
+        TimedEvent(t(base + 30000L), 1L, 4L, 10L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 60 * 60000L), 9L, 9L, 1L))
+      q.processAllAvailable()
+      in.addData(TimedEvent(t(base + 120 * 60000L), 9L, 10L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_overflow_fold").as[SessionSummary].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(got.length == 3, s"expected folded straggler pair + 2 sessions, got ${got.toList}")
+      assert(got(0).startMs == base && got(0).endMs == base + 30000L &&
+        got(0).nEvents == 2L && got(0).cents == 35L,
+        s"in-batch straggler run split under overflow: ${got.toList}")
+      assert(got(1).startMs == base + 300000L && got(2).startMs == base + 600000L)
+    }
+  }
+
   test("real-data parity: streaming sessions equal batch gap-sessionization under an out-of-order 3-way trigger split") {
     // the strongest pin on the r13 multi-fragment rewrite: REAL events
     // (sf0.001: 15 users, 1000 events, 30 days), dealt pseudo-randomly
