@@ -2,8 +2,18 @@
 """Local pre-check of the DuckDB oracle contract (mimics the driver's t2 gate).
 
 Usage:
-  sbt -batch "runMain graft.Verify <sfDir> <outDir>"
-  python3 scripts/oracle_check.py <sfDir> <outDir>
+  sbt -batch "runMain graft.Verify <sfDir> <outDir> [name1,name2,...]"
+  python3 scripts/oracle_check.py <sfDir> <outDir> [--only name1,name2,...] [--all]
+
+SUBSET MODE IS THE DEFAULT (r13 verdict task 6): the query universe is the
+set of dumps actually present in <outDir> — a partial graft.Verify run
+checks exactly what it dumped, prints that many rows, and exits 0 when all
+pass (previously a 6-query dump printed 264 spurious MISSING lines).
+  --only a,b,c  restricts further AND reports MISSING for a requested name
+                with no dump (typo guard for targeted reruns);
+  --all         restores the full-catalog universe (every oracle_sql.json
+                entry; a missing dump is then a failure) — use before
+                sealing a GATE snapshot with a full Verify run.
 
 For each <outDir>/<name>/ parquet dump with an entry in oracle_sql.json:
 run the SQL in DuckDB against views over <sfDir>/*.parquet, sort columns by
@@ -58,15 +68,33 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, full=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only is not None:
+        universe = [n for n in sorted(only)]
+        unknown = [n for n in universe if n not in oracle]
+        for n in unknown:
+            print(f"UNKNOWN  {n}: no oracle_sql.json entry")
+        universe = [n for n in universe if n in oracle]
+    elif full:
+        universe = sorted(oracle)
+    else:
+        # subset mode (default): what was dumped IS the universe
+        universe = sorted(
+            n for n in oracle if (Path(out_dir) / n).exists())
+        if not universe:
+            print(f"no dumps with oracle entries under {out_dir}")
+            return 1
     n_pass = n_fail = 0
     failures = []
-    for name in sorted(oracle):
+    if only is not None and unknown:
+        n_fail += len(unknown)
+        failures.extend(unknown)
+    for name in universe:
         dump = Path(out_dir) / name
         if not dump.exists():
             print(f"MISSING  {name}: no spark dump")
@@ -137,11 +165,21 @@ def main(sf_dir, out_dir):
             print(f"OK       {name}: {len(sr)} rows{flag}")
             n_pass += 1
     mode = "exact" if EXACT else "1e-9 tolerance (DIAGNOSTIC ONLY — driver hashes exactly)"
-    print(f"\n[{mode}] {n_pass} ok, {n_fail} failed" + (f": {failures}" if failures else ""))
+    scope = ("--only" if only is not None else
+             "full catalog" if full else f"subset = {len(universe)} dumped")
+    print(f"\n[{mode}, {scope}] {n_pass} ok, {n_fail} failed"
+          + (f": {failures}" if failures else ""))
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--tol"]
-    EXACT = "--tol" not in sys.argv
-    sys.exit(main(argv[0], argv[1]))
+    args = sys.argv[1:]
+    EXACT = "--tol" not in args
+    full = "--all" in args
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    argv = [a for a in args if a not in ("--tol", "--all")]
+    sys.exit(main(argv[0], argv[1], only=only, full=full))

@@ -378,6 +378,16 @@ final case class IntervalJoinExec(
       }
 
       var store: SpillStore = null
+      // Cleanup contract (r13 ADVICE): inside a real Spark task the
+      // task-completion listener closes+deletes the two spill files even
+      // on failure or partial consumption. When TaskContext.get() is null
+      // (iterator driven outside a task — direct doExecute in tests or
+      // tools), there is no completion hook, so the OUTPUT iterator's
+      // exhaustion closes the store instead (see the hasNext wrapper
+      // below). Residual, stated: a partially-consumed iterator outside a
+      // task still leaks until JVM exit — acceptable for the non-task
+      // harnesses that path serves.
+      var storeNeedsIteratorClose = false
       def ensureStore(): SpillStore = {
         if (store == null) {
           store = new SpillStore
@@ -385,7 +395,7 @@ final case class IntervalJoinExec(
           if (tc != null) {
             val s = store
             tc.addTaskCompletionListener[Unit](_ => s.close())
-          }
+          } else storeNeedsIteratorClose = true
         }
         store
       }
@@ -402,7 +412,7 @@ final case class IntervalJoinExec(
 
       def depth: Int = if (spillMode) entries.length else inMem.length
 
-      lIter.flatMap { l =>
+      val outIter = lIter.flatMap { l =>
         val lk = lKeyProj(l)
         if (activeKey == null || keyOrd.compare(activeKey, lk) != 0) {
           inMem.clear(); memBytes = 0L
@@ -546,6 +556,20 @@ final case class IntervalJoinExec(
             .takeWhile(r => timeOrd.compare(rLoProj(r), lhi) <= 0)
             .map { r => numOutputRows += 1; resultProj(joined(l, r)) }
         }
+      }
+      // no-TaskContext fallback close (see storeNeedsIteratorClose above):
+      // zero overhead until exhaustion, and inside a real task the
+      // completion listener owns cleanup so this wrapper never fires
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = {
+          val h = outIter.hasNext
+          if (!h && storeNeedsIteratorClose && store != null) {
+            store.close()
+            storeNeedsIteratorClose = false
+          }
+          h
+        }
+        override def next(): InternalRow = outIter.next()
       }
     }
   }

@@ -32,12 +32,16 @@ object FdProbe {
     import graft.plans.IntervalJoinExec
     spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "16")
 
-    // ONE key, rights never expire (depth grows to ~4000, spilled across
-    // ~15 files at 256 rows/spill). SAWTOOTH left windows: even lefts
+    // ONE key, rights never expire (depth grows to ~4000; with
+    // inMemoryRows=16 the row bytes live in the explicit store's single
+    // long-lived spill file, re-read by positional reads once per left
+    // row — the exact access pattern that leaked under EAUA's
+    // per-spill-file reader lifecycle). SAWTOOTH left windows: even lefts
     // reach far forward (ingesting ~thousands of rights and draining the
-    // array on emission), odd lefts have a 5-unit window so their
-    // emission prefix stops after a handful of rows — the
-    // abandoned-spill-reader candidate, one per odd left row
+    // active set on emission), odd lefts have a 5-unit window so their
+    // emission prefix stops after a handful of rows — under the discarded
+    // EAUA draft each such abandoned prefix pinned one ~1MB spill reader
+    // per spill file; the shipped store must read only those rows' bytes
     val l = spark.range(4000)
       .select(lit(1L).as("k"), (col("id") * 10).as("lo"), (col("id") % 2).as("par"))
       .withColumn("hi",
