@@ -204,6 +204,113 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // ===== Window-quality auto-taint (r13 verdict task 3) =====
+  //
+  // The >25%-calib-deviation rule lived in GATE prose and judge heads; in
+  // r13 the DRIVER's own window tripped it (calib.scan 0.225 vs the sealed
+  // 0.180 — exactly the threshold) and only cross-referencing caught it.
+  // The bench now applies the rule itself: each calib-leg MEDIAN is
+  // compared against the round's sealed reference values and any leg at or
+  // above 1.25× lands in a "tainted" array on the MAIN stdout line, so
+  // every consumer sees the window quality without forensics.
+  // References default to the GATE_r13 seal (sf0.1 window; the scan leg is
+  // overhead-dominated at test SFs so sf0.001/sf0.1 read alike — see
+  // calibScan scaladoc) and are overridable per sealed round via
+  // SPARK_GRAFT_CALIB_REF="spin=0.428,shuffle=0.444,scan=0.180".
+
+  /** A calib median at or above this multiple of its reference marks the
+    * window tainted (GATE rule: ">25% deviation"; r13's live case read
+    * exactly 1.25× and WAS a contended window, so the boundary flags).
+    */
+  private[graft] val CalibTaintFactor = 1.25
+
+  /** GATE_r13 sealed calibration references (sf0.1 final-seal window). */
+  private[graft] val DefaultCalibRef: Map[String, Double] =
+    Map("spin" -> 0.428, "shuffle" -> 0.444, "scan" -> 0.180)
+
+  /** Parse "spin=0.428,shuffle=0.444,scan=0.180" (the
+    * SPARK_GRAFT_CALIB_REF override format). Unknown legs are carried —
+    * taint comparison only consults legs present in BOTH maps.
+    */
+  private[graft] def parseCalibRef(s: String): Map[String, Double] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"calib ref entry '$kv' is not leg=seconds")
+      kv.substring(0, i).trim -> kv.substring(i + 1).trim.toDouble
+    }.toMap
+
+  /** Legs whose median reads at or above [[CalibTaintFactor]] × reference.
+    * A leg with no sample this window (median < 0) is reported as tainted
+    * too — an absent interference index is not a clean one.
+    */
+  private[graft] def taintedLegs(medians: Map[String, Double],
+      refs: Map[String, Double]): Seq[String] =
+    refs.keys.toSeq.sorted.filter { k =>
+      medians.get(k).exists(m => m < 0 || m >= CalibTaintFactor * refs(k))
+    }
+
+  private[graft] def taintedJson(legs: Seq[String]): String =
+    legs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  // ===== Two-line stdout contract (r13 verdict task 2) =====
+  //
+  // The single compact line reached 1791 of its 1800-char guard in r13 —
+  // 9 chars of headroom, one added field away from silently dropping the
+  // scale probe. The stdout record is now TWO lines:
+  //
+  //   line P (probes):  {"graft_probes":true,"scale_probe":...,
+  //                      "exchange_probe":...}
+  //   line M (main):    {"metric":"total",...,"tainted":...,"calib":...,
+  //                      "queries":...}  <- ALWAYS the final stdout line
+  //
+  // Extraction contract: the LAST stdout line is the main record (the
+  // driver parses it; it carries everything that must never truncate —
+  // medians, total, estimator, window quality). The line immediately
+  // before it is the probes record. Both lines are emitted twice,
+  // byte-identical, around session shutdown (see the emit site); a
+  // consumer with a ~2000-char tail-capture window holds one intact
+  // (P, M) pair because their combined length is guarded at
+  // [[StdoutBudget]] — when the probes line would break that, it degrades
+  // to an explicit pointer at stdout WITH a stderr log line (never a
+  // silent drop; the full record is always in target/bench.json).
+
+  /** Main line must stay well under a ~2000-char tail window on its own. */
+  private[graft] val MainLineGuard = 1800
+
+  /** Combined (P + M + newlines) budget: 2000-char tail window minus
+    * margin for a stray footer.
+    */
+  private[graft] val StdoutBudget = 1950
+
+  /** The MAIN (final) stdout line — everything that must never truncate.
+    * Extracted so BenchLineSpec can pin its size and parseability against
+    * the real headline set.
+    */
+  private[graft] def buildMainLine(total: Double, taintedArr: String,
+      calibCompact: String, qsCompact: String, sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","tainted":$taintedArr$calibCompact,"queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json","probes":"preceding stdout line + target/bench.json"}"""
+
+  /** The two stdout lines in print order (probes first, main LAST), with
+    * the probes line degraded to a pointer when the pair would outgrow a
+    * tail-capture window. Degradation is logged to stderr (r13 ADVICE:
+    * never drop a field silently).
+    */
+  private[graft] def assembleStdout(probesLine: String, mainLine: String): Seq[String] = {
+    if (mainLine.length > MainLineGuard)
+      System.err.println(s"[bench] MAIN line ${mainLine.length} chars exceeds " +
+        s"the $MainLineGuard guard - tail-window consumers may truncate it; " +
+        "trim the headline set or the per-query precision")
+    if (probesLine.length + mainLine.length + 2 <= StdoutBudget)
+      Seq(probesLine, mainLine)
+    else {
+      System.err.println(s"[bench] probes line (${probesLine.length} chars) " +
+        s"dropped from stdout: combined ${probesLine.length + mainLine.length}" +
+        s" > $StdoutBudget budget; full probes in target/bench.json")
+      Seq("""{"graft_probes":true,"dropped":"stdout budget","see":"target/bench.json"}""",
+        mainLine)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // The JSON line is built with f"...%.3f" interpolators, which format
     // with the JVM default locale — a comma-decimal locale would emit
@@ -340,14 +447,30 @@ object Bench {
       else try {
         val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
         val probe = ScaleProbe.run(spark, sfDir, factor)
-        def entries(withRuns: Boolean) = probe.map { p =>
+        // full (file): named fields + raw interleaved runs + any
+        // spill-bytes metrics; compact (stdout probes line): one
+        // [t1, tN, ratio] array per workload — [t1, tN, ratio, spill1,
+        // spillN] for legs carrying the spill metric (r14 restructure:
+        // array form costs ~19 chars less per entry than named fields,
+        // the probes line's share of the stdout budget)
+        def entriesFull = probe.map { p =>
           def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-          val head = f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f"""
-          if (withRuns) head + s""","runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
-          else head + "}"
+          val spill = (p.spill1, p.spillN) match {
+            case (Some(a), Some(b)) => s""","spill1":$a,"spillN":$b"""
+            case _ => ""
+          }
+          f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f$spill""" +
+            s""","runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
         }.mkString(",")
-        (s""","scale_probe":{"factor":$factor,"queries":{${entries(true)}}}""",
-          s""","scale_probe":{"factor":$factor,"queries":{${entries(false)}}}""")
+        def entriesCompact = probe.map { p =>
+          val spill = (p.spill1, p.spillN) match {
+            case (Some(a), Some(b)) => s",$a,$b"
+            case _ => ""
+          }
+          f""""${p.name}":[${p.t1}%.3f,${p.tN}%.3f,${p.ratio}%.2f$spill]"""
+        }.mkString(",")
+        (s""","scale_probe":{"factor":$factor,"queries":{$entriesFull}}""",
+          s""","scale_probe":{"factor":$factor,"queries":{$entriesCompact}}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
@@ -377,11 +500,17 @@ object Bench {
           f""""skew_balance":{"max_task_records_unsalted":${v.skewMaxUnsalted},""" +
           f""""max_task_records_salted":${v.skewMaxSalted},"balance":${v.skewBalance}%.2f},""" +
           f""""lsh_band":{"candidate_pairs_banded":${v.lshBandedPairs},""" +
-          f""""all_pairs":${v.lshAllPairs},"cut":${v.lshCut}%.1f}}""",
+          f""""all_pairs":${v.lshAllPairs},"cut":${v.lshCut}%.1f},""" +
+          f""""pagerank_contrib":{"max_task_rows_nocombine":${v.prNaiveMax},""" +
+          f""""max_task_rows_partial":${v.prPartialMax},"cut":${v.prCombineCut}%.1f,""" +
+          f""""max_indeg_1x":${v.prMaxInDeg1},"max_indeg_Nx":${v.prMaxInDegN},""" +
+          f""""hub_growth":${v.prHubGrowth}%.2f}}""",
           // compact: cuts only; full record counts live in target/bench.json
           f""","exchange_probe":{"factor":${v.factor},"bloom_cut":${v.bloomCut}%.2f,""" +
             f""""superstep_checkpoint_cut":${v.superCut}%.2f,""" +
-            f""""skew_balance":${v.skewBalance}%.2f,"lsh_band_cut":${v.lshCut}%.1f}""")
+            f""""skew_balance":${v.skewBalance}%.2f,"lsh_band_cut":${v.lshCut}%.1f,""" +
+            f""""pagerank_contrib_cut":${v.prCombineCut}%.1f,""" +
+            f""""pagerank_hub_growth":${v.prHubGrowth}%.2f}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
@@ -397,65 +526,62 @@ object Bench {
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val calibMedians = Map(
+      "spin" -> med(spinRuns.toSeq),
+      "shuffle" -> med(shuffleRuns.toSeq),
+      "scan" -> med(scanRuns.toSeq))
+    val calibRefs = sys.env.get("SPARK_GRAFT_CALIB_REF")
+      .map(parseCalibRef).getOrElse(DefaultCalibRef)
+    val tainted = taintedJson(taintedLegs(calibMedians, calibRefs))
     val calibCompact =
-      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f,""" +
-        f""""scan":${med(scanRuns.toSeq)}%.3f}"""
+      f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +
+        f""""scan":${calibMedians("scan")}%.3f}"""
     val calibFull =
-      f""","calib":{"spin":${med(spinRuns.toSeq)}%.3f,"shuffle":${med(shuffleRuns.toSeq)}%.3f,""" +
-        f""""scan":${med(scanRuns.toSeq)}%.3f,""" +
+      f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +
+        f""""scan":${calibMedians("scan")}%.3f,""" +
+        calibRefs.toSeq.sortBy(_._1).map { case (k, v) =>
+          f""""${k}_ref":$v%.3f""" }.mkString("", ",", ",") +
         s""""spin_runs":${arr(spinRuns.toSeq)},"shuffle_runs":${arr(shuffleRuns.toSeq)},""" +
         s""""scan_runs":${arr(scanRuns.toSeq)}}"""
 
-    // Two artifacts (r9 verdict task 3, finished per r10 verdict task 1 —
-    // the r9 AND r10 JSON lines outgrew the driver's fixed-size tail-capture
-    // window, measured at exactly 2000 chars in BENCH_r10 with sbt's
-    // "[success] Total time" footer consuming ~80 of them, and lost their
-    // heads):
-    //  - target/bench.json: the FULL record including the per-query and
-    //    per-probe raw runs arrays, for forensics;
-    //  - stdout: ONE compact line (3-decimal medians + total + runs-free
-    //    probe) sized for the tail window, with a hard guard: if the line
-    //    would still exceed 1800 chars (window minus sbt footer, with
-    //    margin), the probe object is dropped from stdout entirely — the
-    //    headline medians are the record that must never truncate, and the
-    //    probe stays available in the file.
+    // Two artifacts (r9 task 3 / r10 task 1 history: the one-line record
+    // outgrew a fixed ~2000-char tail-capture window twice; r13 closed the
+    // window at 1791/1800 — hence the r13-task-2 two-line restructure):
+    //  - target/bench.json: the FULL record including per-query and
+    //    per-probe raw runs arrays plus the calib references, forensics;
+    //  - stdout: the two-line contract documented at assembleStdout — the
+    //    probes line, then the MAIN line last.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +
-        s""""value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
+        s""""tainted":$tainted,"value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
         s""""queries_untrimmed":$qsUntrimmed,"runs":$runsJson,"sf":"$sfDir"""" +
         s"""$calibFull$probeFull$exchangeFull}"""
-    def compactLine(probe: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json"$calibCompact$probe$exchangeCompact}"""
-    val compact = {
-      val withProbe = compactLine(probeCompact)
-      if (withProbe.length <= 1800) withProbe
-      else compactLine(s""","scale_probe":"see target/bench.json"""")
-    }
+    val mainLine = buildMainLine(total, tainted, calibCompact, qsCompact, sfDir)
+    val probesLine =
+      s"""{"graft_probes":true$probeCompact$exchangeCompact}"""
+    val stdoutLines = assembleStdout(probesLine, mainLine)
     try {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    // Emit the compact line TWICE — before and after session shutdown —
-    // with build.sbt's StdoutOutput making both copies reach the driver as
-    // bare, unprefixed stdout (r11 verdict task 1: three rounds of
-    // BENCH "parsed": null traced to sbt's "[info] " prefix / "[success]"
-    // footer around a line that itself parses cleanly). Whatever the
-    // driver's extraction rule — first JSON-looking line, last line
-    // (sbt's success footer is suppressed, see build.sbt), or a
-    // tail-window scan — at least one intact copy is in reach; Spark's
-    // shutdown logging between the two goes to stderr, never stdout.
-    // DUPLICATE-EMISSION CONTRACT (r12 ADVICE): the two copies are
-    // BYTE-IDENTICAL (one `compact` value, printed twice, nothing mutates
-    // between). A consumer using a first-line, last-line, or tail-window
-    // rule reads one intact copy; a consumer that collects ALL
-    // JSON-looking stdout lines MUST dedupe identical adjacent lines —
-    // summing or assert-once rules would double-count this deliberate
-    // redundancy.
-    println(compact)
+    // Emit the (probes, main) pair TWICE — before and after session
+    // shutdown — with build.sbt's StdoutOutput making all copies reach the
+    // driver as bare, unprefixed stdout (r11 verdict task 1: three rounds
+    // of BENCH "parsed": null traced to sbt's "[info] " prefix /
+    // "[success]" footer around a line that itself parses cleanly).
+    // Whatever the extraction rule — last line, last JSON-looking line, or
+    // a tail-window scan — the MAIN record is the final stdout line and an
+    // intact (probes, main) pair fits the window (see assembleStdout).
+    // DUPLICATE-EMISSION CONTRACT (r12 ADVICE): the two pairs are
+    // BYTE-IDENTICAL (one value each, printed twice, nothing mutates
+    // between). A consumer that collects ALL JSON-looking stdout lines
+    // MUST dedupe identical lines — summing or assert-once rules would
+    // double-count this deliberate redundancy.
+    stdoutLines.foreach(println)
     spark.stop()
-    println(compact)
+    stdoutLines.foreach(println)
   }
 }
 
@@ -504,7 +630,8 @@ object ScaleProbe {
     * OTHER side simultaneously).
     */
   final case class ProbePoint(name: String, t1: Double, tN: Double,
-      ratio: Double, runs1: Seq[Double], runsN: Seq[Double])
+      ratio: Double, runs1: Seq[Double], runsN: Seq[Double],
+      spill1: Option[Long] = None, spillN: Option[Long] = None)
 
   private val KeyStride = 100000000L // > any key at the bench scale factors
 
@@ -549,7 +676,10 @@ object ScaleProbe {
     * (and restored) around its runs.
     */
   private final case class ProbeWork(name: String, tables: Seq[String],
-      build: String => DataFrame, conf: Map[String, String] = Map.empty)
+      build: String => DataFrame, conf: Map[String, String] = Map.empty,
+      // r13 verdict task 5: record the interval join's spillSize SQLMetric
+      // at both scale points (one extra run each, outside the timed pairs)
+      spillMetric: Boolean = false)
 
   /** The skew pair's shared workload — the q_join_salted_skew key shape
     * (even l_orderkey → key 0, so ~50% of rows share one join key; bounded
@@ -585,6 +715,71 @@ object ScaleProbe {
           .as("h"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), max(col("h")).as("hmax"))
+  }
+
+  /** The forced-spill interval-join leg's synthetic inputs (r13 verdict
+    * task 5): the spill store's scale behavior had A/B coverage but no
+    * round-over-round probe, because the catalog twins' depth is physics
+    * and never crosses the in-memory thresholds at probe SFs. This leg
+    * FORCES the spill regime (`inMemoryRows`=16 via the work's conf) on
+    * the FdProbe shape scaled linearly in KEYS:
+    *
+    *  - per key, `perKey` rights at stride 10; even rights effectively
+    *    never expire (hi = lo + 1e6 — the active set grows toward
+    *    perKey/2 ≫ 16, all row bytes on disk), odd rights live 50 units
+    *    (they evict as the sweep advances, creating dead file ranges so
+    *    the leg also exercises amortized compaction via the lowered
+    *    `compactMinBytes`);
+    *  - sawtooth lefts: every other left reads 1500 units forward (a
+    *    positional-read burst over the spilled prefix), the rest 5 units
+    *    (abandoned short prefixes — the exact pattern that leaked under
+    *    the discarded EAUA draft, see FdProbe);
+    *  - 1× = `keys` keys, N× = factor×keys — per-key depth (the spill
+    *    regime's working set) stays CONSTANT while rows and output grow
+    *    linearly, so the time ratio must track the factor like every
+    *    other probe leg and the spillSize metric is a pure function of
+    *    the data (bit-stable across runs; drift = a real change in the
+    *    store's I/O pattern).
+    */
+  private[graft] def sawtoothIntervals(spark: SparkSession, keys: Int, perKey: Int): (DataFrame, DataFrame) = {
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division — a
+    // fractional key would make every group ~1 row deep and nothing
+    // would ever spill
+    val l = spark.range(keys.toLong * perKey).select(
+      expr(s"id div $perKey").as("k"),
+      ((col("id") % perKey) * 10).as("lo"),
+      (col("id") % 2).as("par"))
+      .withColumn("hi",
+        when(col("par") === 0, col("lo") + 1500L).otherwise(col("lo") + 5L))
+      .drop("par")
+    val r = spark.range(keys.toLong * perKey).select(
+      expr(s"id div $perKey").as("k2"),
+      ((col("id") % perKey) * 10).as("lo2"),
+      (col("id") % 2).as("par"))
+      .withColumn("hi2",
+        when(col("par") === 0, col("lo2") + 1000000L).otherwise(col("lo2") + 50L))
+      .drop("par")
+    (l, r)
+  }
+
+  // sized so the 10× point costs ~2s (the leg runs 12 times per bench):
+  // depth reaches perKey/2 persistent intervals ≫ the forced
+  // inMemoryRows=16, every output row in the spill regime is one
+  // positional read, and spillSize stays a pure function of the data
+  private[graft] val SpillLegKeys = 16
+  private[graft] val SpillLegPerKey = 250
+
+  /** Run `df` and sum the `spillSize` SQLMetric across every
+    * IntervalJoinExec in ITS OWN executed plan (same metric-read shape as
+    * [[ExchangeProbe.shuffleRecords]] — the action must be on df's own
+    * QueryExecution or the metrics stay zero).
+    */
+  private[graft] def intervalSpillBytes(df: DataFrame): Long = {
+    df.queryExecution.toRdd.count()
+    ExchangeProbe.flattenPlan(df.queryExecution.executedPlan).map {
+      case e: graft.plans.IntervalJoinExec => e.metrics("spillSize").value
+      case _ => 0L
+    }.sum
   }
 
   /** Probe each workload at 1× and factor× (see measurement-design scaladoc
@@ -666,6 +861,21 @@ object ScaleProbe {
           dir => skewWorkload(spark, dir, salted = true), skewConf),
         ProbeWork("skew_join_unsalted", Seq("lineitem"),
           dir => skewWorkload(spark, dir, salted = false), skewConf))
+      else Seq.empty) ++
+      // Forced-spill interval-join leg (r13 verdict task 5) — see
+      // sawtoothIntervals scaladoc. Disable with SPARK_GRAFT_PROBE_SPILL=0.
+      (if (sys.env.getOrElse("SPARK_GRAFT_PROBE_SPILL", "1") == "1") Seq(
+        ProbeWork("interval_spill_forced", Seq.empty,
+          dir => {
+            val l = spark.read.parquet(s"$dir/sawtooth_l.parquet")
+            val r = spark.read.parquet(s"$dir/sawtooth_r.parquet")
+            graft.plans.NativeIntervalJoin.overlap(
+              l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+          },
+          conf = Map(
+            graft.plans.IntervalJoinExec.InMemoryRowsKey -> "16",
+            graft.plans.IntervalJoinExec.CompactMinBytesKey -> "4096"),
+          spillMetric = true))
       else Seq.empty)
     // local-iteration knob: SPARK_GRAFT_PROBE_ONLY=<regex> probes just the
     // matching workloads (e.g. "skew_.*") without waiting on the rest
@@ -677,6 +887,15 @@ object ScaleProbe {
       for (f <- Seq(1, factor); t <- allTables)
         replicate(spark, sfDir, t, f).write.mode("overwrite")
           .parquet(s"$root/x$f/$t.parquet")
+      // the spill leg's synthetic inputs go through the same temp-parquet
+      // path as the replicated catalog tables (identical codec/locality
+      // at both scale points)
+      if (selected.exists(_.spillMetric))
+        for (f <- Seq(1, factor)) {
+          val (l, r) = sawtoothIntervals(spark, SpillLegKeys * f, SpillLegPerKey)
+          l.write.mode("overwrite").parquet(s"$root/x$f/sawtooth_l.parquet")
+          r.write.mode("overwrite").parquet(s"$root/x$f/sawtooth_r.parquet")
+        }
       // same accumulator keep-alive as the headline loop: pin each run's
       // DataFrame (and so its SQL-metric accumulators) until a full query
       // after its forced-GC boundary — see Bench.quiesce scaladoc
@@ -710,8 +929,15 @@ object ScaleProbe {
           val clean = pairs.filter { case (a, b) => a <= 3 * min1 && b <= 3 * minN }
           val usable = if (clean.nonEmpty) clean else pairs
           val (t1, tN) = usable.sortBy { case (a, b) => b / a }.apply(usable.size / 2)
+          // spill metric runs OUTSIDE the timed pairs (metric reads need
+          // the action on the df's own QueryExecution, not the noop path)
+          val (sp1, spN) =
+            if (w.spillMetric)
+              (Some(intervalSpillBytes(w.build(s"$root/x1"))),
+                Some(intervalSpillBytes(w.build(s"$root/x$factor"))))
+            else (None, None)
           Some(ProbePoint(w.name, t1, tN, tN / t1,
-            pairs.map(_._1), pairs.map(_._2)))
+            pairs.map(_._1), pairs.map(_._2), sp1, spN))
         } catch {
           // One broken workload must not erase the other probes' evidence
           // (the r10 lesson: a missing probe-dir table zeroed the WHOLE
@@ -762,7 +988,9 @@ object ExchangeProbe {
   final case class Volumes(factor: Int, bloomWith: Long, bloomWithout: Long,
       superPreserving: Long, superBare: Long,
       skewMaxUnsalted: Long, skewMaxSalted: Long,
-      lshBandedPairs: Long, lshAllPairs: Long) {
+      lshBandedPairs: Long, lshAllPairs: Long,
+      prNaiveMax: Long, prPartialMax: Long,
+      prMaxInDeg1: Long, prMaxInDegN: Long) {
     private def ratio(num: Long, den: Long): Double =
       num.toDouble / math.max(den, 1L).toDouble
     def bloomCut: Double = ratio(bloomWithout, bloomWith)
@@ -775,15 +1003,28 @@ object ExchangeProbe {
       * generates vs the n·(n−1)/2 a blocking-free near-dup pass would
       * compare (r12 verdict task 4b). */
     def lshCut: Double = ratio(lshAllPairs, lshBandedPairs)
+    /** PageRank contribution-aggregation skew (r13 verdict task 1): rows
+      * the busiest reduce task would receive WITHOUT map-side combine vs
+      * the rows it receives under the partial-agg plan Spark actually
+      * runs — the record-exact answer to "does the hub dst need salted
+      * two-level aggregation", since partial aggregation IS two-level
+      * (each hub's sum collapses to ≤ one row per map partition before
+      * the exchange). */
+    def prCombineCut: Double = ratio(prNaiveMax, prPartialMax)
+    /** Densification evidence: the max per-dst in-degree's growth from 1×
+      * to factor× (replicated orderkeys share partkeys, so part-node
+      * degrees grow with the factor — the stated cause of the pagerank
+      * time ratio's superlinearity, now in records). */
+    def prHubGrowth: Double = ratio(prMaxInDegN, prMaxInDeg1)
   }
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
     val below = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
-    p +: below.flatMap(flatten)
+    p +: below.flatMap(flattenPlan)
   }
 
   /** Fully run `df` and sum shuffle records written across every exchange
@@ -796,7 +1037,7 @@ object ExchangeProbe {
     */
   private[graft] def shuffleRecords(df: DataFrame): Long = {
     df.queryExecution.toRdd.count()
-    flatten(df.queryExecution.executedPlan).map {
+    flattenPlan(df.queryExecution.executedPlan).map {
       case s: ShuffleExchangeLike =>
         s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
       case _ => 0L
@@ -841,13 +1082,49 @@ object ExchangeProbe {
       val edges = fact.select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
       val ranks = edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1.0))
+      val cpEdges = graft.operators.Checkpoints.partitioned(edges, col("src"))
       def consuming(cp: DataFrame): DataFrame =
         cp.join(ranks, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("rank")).as("contrib"))
-      val superPreserving = shuffleRecords(consuming(
-        graft.operators.Checkpoints.partitioned(edges, col("src"))))
+      val superPreserving = shuffleRecords(consuming(cpEdges))
       val superBare = shuffleRecords(consuming(
         edges.repartition(n, col("src")).localCheckpoint(true)))
+
+      // PageRank contribution-skew leg (r13 verdict task 1): the per-dst
+      // contribution groupBy was the one aggregation without a
+      // record-exact skew probe, and the 10× scale ratio (the suite's
+      // worst) needed adjudication between "hub reducer melting" and
+      // "data densification". Two busiest-reduce-task measurements over
+      // the SAME contribution relation at factor×:
+      //  - nocombine: rows hash-partitioned raw by dst — what the
+      //    exchange would carry if the sum were NOT partially aggregated
+      //    (equivalently, what a one-level agg over a combine-less
+      //    operator would serialize through the hub's reducer);
+      //  - partial: distinct (map-partition, dst) pairs by dst — exactly
+      //    the rows the partial-agg exchange carries (each map partition
+      //    emits at most one partial sum per dst), i.e. the plan Spark
+      //    ACTUALLY runs. Partial aggregation IS the salted two-level
+      //    rewrite for an algebraic sum — the hub's per-reducer load is
+      //    capped at #map-partitions rows regardless of in-degree — so a
+      //    material nocombine/partial cut is the record-exact proof that
+      //    no explicit salting stage is needed (and a ~1× cut would have
+      //    been the signal to ship one).
+      // Both are deterministic row counts (hash placement of fixed data),
+      // like every other leg here.
+      val contribs = cpEdges.join(ranks, col("src") === col("node")).select(col("dst"))
+      val prNaiveMax = maxPartitionRows(contribs.repartition(n, col("dst")))
+      val prPartialMax = maxPartitionRows(
+        contribs.withColumn("pid", spark_partition_id()).distinct()
+          .repartition(n, col("dst")))
+      // densification evidence: max per-dst in-degree at 1× vs factor×
+      // (scalar-bounded collect — one MAX row)
+      def maxInDeg(e: DataFrame): Long =
+        e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("m")).collect()(0).getLong(0)
+      val prMaxInDeg1 = maxInDeg(
+        Graft.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")))
+      val prMaxInDegN = maxInDeg(edges)
 
       // skew leg (r12 verdict task 4a): the record-exact twin of the
       // wall-clock skew probe — rows the BUSIEST reduce partition receives
@@ -896,7 +1173,8 @@ object ExchangeProbe {
       val lshAllPairs = nDocs * (nDocs - 1) / 2
 
       Volumes(factor, bloomWith, bloomWithout, superPreserving, superBare,
-        skewMaxUnsalted, skewMaxSalted, lshBandedPairs, lshAllPairs)
+        skewMaxUnsalted, skewMaxSalted, lshBandedPairs, lshAllPairs,
+        prNaiveMax, prPartialMax, prMaxInDeg1, prMaxInDegN)
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }

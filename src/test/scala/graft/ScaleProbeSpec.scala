@@ -96,6 +96,21 @@ class ScaleProbeSpec extends SparkSpec {
     assert(v.superCut > 1.5,
       s"expected >1.5x cut, got ${v.superCut} " +
         s"(preserving=${v.superPreserving}, bare=${v.superBare})")
+    // pagerank contribution leg (r13 verdict task 1): partial aggregation
+    // must cap the busiest reducer's rows strictly below the no-combine
+    // exchange (the record-exact "two-level already built in" proof), and
+    // replication must densify per-dst in-degree by exactly the factor
+    // (replicas share partkeys — the stated cause of the time ratio's
+    // superlinearity)
+    assert(v.prPartialMax > 0 && v.prNaiveMax >= v.prPartialMax,
+      s"pagerank leg inverted: nocombine=${v.prNaiveMax} partial=${v.prPartialMax}")
+    assert(v.prCombineCut > 1.0,
+      s"partial agg shows no reducer-load cut (${v.prCombineCut}) - " +
+        "either the contribution relation stopped being skew-prone or the " +
+        "partial model broke")
+    assert(v.prMaxInDegN == 2 * v.prMaxInDeg1,
+      s"expected exactly 2x hub in-degree at factor 2 (shared partkeys), " +
+        s"got ${v.prMaxInDeg1} -> ${v.prMaxInDegN}")
     // result parity at the same factor, same confs as the probe
     val fact = ScaleProbe.replicate(spark, dir, "lineitem", 2)
     val dim = Graft.table(spark, dir, "supplier")
@@ -106,6 +121,32 @@ class ScaleProbeSpec extends SparkSpec {
       .join(dim, $"l_suppkey" === $"s_suppkey").count()
     assert(plain == bloomed && plain > 0,
       s"bloom changed the join: plain=$plain bloomed=$bloomed")
+  }
+
+  test("forced-spill interval leg: spillSize is nonzero, bit-stable, and the join is exact") {
+    // r13 verdict task 5: the probe leg's spillSize must be a pure
+    // function of the data (drift across identical runs = a real change
+    // in the spill store's I/O pattern) and forcing the spill regime must
+    // not change a single output row
+    val confs = Map(
+      graft.plans.IntervalJoinExec.InMemoryRowsKey -> "16",
+      graft.plans.IntervalJoinExec.CompactMinBytesKey -> "4096")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (l, r) = ScaleProbe.sawtoothIntervals(spark, keys = 2, perKey = 200)
+      def native = graft.plans.NativeIntervalJoin
+        .overlap(l, r, "k", "lo", "hi", "k2", "lo2", "hi2")
+      val b1 = ScaleProbe.intervalSpillBytes(native)
+      val b2 = ScaleProbe.intervalSpillBytes(native)
+      assert(b1 > 0, "sawtooth at inMemoryRows=16 did not spill - the leg probes nothing")
+      assert(b1 == b2, s"spillSize not reproducible: $b1 vs $b2")
+      val composed = l.join(r,
+        l("k") === r("k2") && l("lo") <= r("hi2") && r("lo2") <= l("hi"))
+      assert(native.count() == composed.count() && composed.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("join replication keeps fact-fact fan-out linear in the factor") {
