@@ -241,7 +241,9 @@ object StatefulOps {
     * single-trigger parity and ordered-split invariance). A cross-batch
     * late event is folded at arrival position — exact out-of-order CEP
     * needs watermark-bounded buffering (the timedSessions timer pattern),
-    * traded away here for the fixed-size state.
+    * traded away here for the fixed-size state;
+    * [[patternMatchCountsExact]] is the opt-in buffered sibling that
+    * makes the opposite trade (PARITY.md row 19).
     */
   final class PatternProcessor
       extends StatefulProcessor[Long, StreamOps.UserEvent, PatternCount] {
@@ -297,7 +299,10 @@ object StatefulOps {
     * alarming event id is latched so a replay reports the same detection
     * point. Rows fold in (tsUs, eventId) order within a trigger; ordered
     * trigger splits are invariant (state carries), pinned by
-    * CusumStreamSpec against a sequential replay.
+    * CusumStreamSpec against a sequential replay. A cross-batch late
+    * event folds at arrival position; [[cusumMonitorExact]] is the
+    * opt-in watermark-buffered sibling that folds in event-time order
+    * instead (PARITY.md row 20).
     */
   final class CusumProcessor(target: Long, threshold: Long)
       extends StatefulProcessor[Long, StreamOps.UserEvent, CusumState] {
@@ -606,5 +611,237 @@ object StatefulOps {
       .groupByKey(_.key)
       .transformWithState(new QuantileProcessor(relativeError, ttl),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  // =====================================================================
+  // Watermark-buffered EXACT mode for the order-exact fold trio
+  // (r13 verdict task 4; PARITY.md rows 9, 12, 13).
+  //
+  // The O(1)-state processors above (CEP DFA, CUSUM, last-touch
+  // attribution in StreamOps) fold a cross-batch late event at ARRIVAL
+  // position — the one guarantee-class residual left in the ledger. These
+  // sibling entry points close it by buying exactness with bounded
+  // buffering: per key, events are BUFFERED until the watermark passes
+  // them, then folded in (event-time, eventId) order from an event-time
+  // timer. Any arrival order the watermark admits — including an event
+  // landing triggers AFTER later-timestamped events of the same key —
+  // produces the fold of the globally sorted sequence, so the result is
+  // bit-exact vs the batch fold over the watermark-admitted rows
+  // (BufferedExactStreamSpec pins it under shuffled multi-trigger
+  // arrival, per operator).
+  //
+  // The price, stated plainly (the same bound PARITY row 16 pays for
+  // replay-proof CMS): state is O(events inside the watermark horizon)
+  // per key, vs the defaults' O(1) longs — so the defaults REMAIN the
+  // defaults, and this mode is for pipelines whose sources genuinely
+  // deliver cross-batch out-of-order data and whose semantics cannot
+  // tolerate arrival-position folds. Rows later than the watermark are
+  // dropped by the operator's own late-record filter (the standard
+  // event-time contract; choose the delay to cover the source's disorder
+  // window). Replay behavior is unchanged from the underlying folds: a
+  // redelivered event inside the horizon re-enters the buffer — compose
+  // with dropDuplicatesWithinWatermark upstream exactly as row 16 does.
+  // =====================================================================
+
+  /** An event on the buffered-exact streams: a real timestamp column for
+    * the watermark, then the same (user, id, type, cents) surface the
+    * unbuffered trio consumes.
+    */
+  final case class TimedUserEvent(
+    ts: java.sql.Timestamp, userId: Long, eventId: Long, eventType: String, cents: Long)
+
+  /** A purchase credited by the buffered-exact attribution; `tsMs` is the
+    * purchase's event time in epoch millis (named for its unit — the
+    * unbuffered twin's `tsUs` carries the long microsecond column of the
+    * events table).
+    */
+  final case class AttributedPurchaseTs(
+    userId: Long, purchaseEventId: Long, tsMs: Long, cents: Long, touchType: String)
+
+  /** Shared skeleton of the buffered-exact trio: a per-key event buffer
+    * (ValueState of (tsMs, eventId, type, cents) tuples) plus the
+    * operator's own small fold state `S`. Input rows only append to the
+    * buffer and (re-)arm ONE event-time timer at `watermark + 1` — the
+    * next watermark advance fires it; the timer callback folds exactly
+    * the buffered events with `tsMs <= watermark`, in (tsMs, eventId)
+    * order, through `fold`, emits whatever the fold produced plus a
+    * `snapshot` of the updated state, and keeps the not-yet-due rest
+    * buffered (re-arming for the next advance). No event can arrive with
+    * ts <= the watermark that folded its cohort (the late filter drops
+    * it first), so each event folds exactly once, in order.
+    */
+  abstract private[streaming] class WatermarkBufferedProcessor[S, O]
+      extends StatefulProcessor[Long, TimedUserEvent, O] {
+    protected type BufEvent = (Long, Long, String, Long) // (tsMs, eventId, type, cents)
+
+    protected def stateEncoder: org.apache.spark.sql.Encoder[S]
+    protected def zero: S
+    /** Fold one event (in global event-time order) into the state;
+      * returns the new state and any rows to emit for THIS event
+      * (append-style operators emit here, counter-style ones from
+      * [[snapshot]]).
+      */
+    protected def fold(userId: Long, s: S, e: BufEvent): (S, Seq[O])
+    /** Rows summarizing the state after a timer's fold pass (empty for
+      * append-style operators).
+      */
+    protected def snapshot(userId: Long, s: S): Seq[O]
+
+    @transient private var buf: ValueState[Seq[BufEvent]] = _
+    @transient private var st: ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getValueState[Seq[BufEvent]](
+        "buffer",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+        TTLConfig.NONE)
+      st = getHandle.getValueState[S]("folded", stateEncoder, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[TimedUserEvent],
+        timerValues: TimerValues): Iterator[O] = {
+      val cur: Seq[BufEvent] = if (buf.exists()) buf.get() else Seq.empty
+      val added = rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)).toSeq
+      buf.update(cur ++ added)
+      // one live timer per key, armed to fire on the next watermark
+      // advance (expiry = current watermark + 1)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[O] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur: Seq[BufEvent] = if (buf.exists()) buf.get() else Seq.empty
+      val (due, live) = cur.partition(_._1 <= wm)
+      val out = Vector.newBuilder[O]
+      if (due.nonEmpty) {
+        var s = if (st.exists()) st.get() else zero
+        due.sortBy(e => (e._1, e._2)).foreach { e =>
+          val (s2, os) = fold(userId, s, e)
+          s = s2
+          out ++= os
+        }
+        st.update(s)
+        out ++= snapshot(userId, s)
+      }
+      if (live.isEmpty) buf.clear()
+      else {
+        buf.update(live)
+        getHandle.registerTimer(wm + 1)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Buffered-exact CEP: same vc*p DFA as [[PatternProcessor]], folded in
+    * event-time order once the watermark settles each event — bit-exact
+    * vs the batch regex scan for any admitted arrival order.
+    */
+  final class BufferedPatternProcessor
+      extends WatermarkBufferedProcessor[(Long, Long, Long), PatternCount] {
+    protected def stateEncoder =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    protected def zero = (0L, 0L, 0L)
+    protected def fold(userId: Long, s: (Long, Long, Long), e: BufEvent) = {
+      var (inPrefix, n, matches) = s
+      n += 1
+      e._3.headOption match {
+        case Some('v') => inPrefix = 1L
+        case Some('c') => // sustains an open prefix, never opens one
+        case Some('p') =>
+          if (inPrefix == 1L) { matches += 1; inPrefix = 0L }
+        case _ => inPrefix = 0L
+      }
+      ((inPrefix, n, matches), Seq.empty)
+    }
+    protected def snapshot(userId: Long, s: (Long, Long, Long)) =
+      Seq(PatternCount(userId, s._2, s._3))
+  }
+
+  /** Buffered-exact CUSUM: the [[CusumProcessor]] recursion folded in
+    * event-time order — the latched first-alarm event id is the batch
+    * one regardless of arrival order.
+    */
+  final class BufferedCusumProcessor(target: Long, threshold: Long)
+      extends WatermarkBufferedProcessor[(Long, Long, Long), CusumState] {
+    protected def stateEncoder =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    protected def zero = (0L, 0L, -1L)
+    protected def fold(userId: Long, s: (Long, Long, Long), e: BufEvent) = {
+      var (n, acc, alarm) = s
+      n += 1
+      acc = math.max(0L, acc + (e._4 - target))
+      if (acc > threshold && alarm < 0) alarm = e._2
+      ((n, acc, alarm), Seq.empty)
+    }
+    protected def snapshot(userId: Long, s: (Long, Long, Long)) =
+      Seq(CusumState(userId, s._1, s._2, s._3))
+  }
+
+  /** Buffered-exact last-touch attribution: purchases emit (append) at
+    * fold time with the best strictly-preceding touch by EVENT TIME — a
+    * touch arriving a trigger after "its" purchase now claims it, the
+    * exact residual PARITY row 9 documents for the unbuffered twin.
+    */
+  final class BufferedAttributionProcessor
+      extends WatermarkBufferedProcessor[(Long, Long, String), AttributedPurchaseTs] {
+    protected def stateEncoder =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    protected def zero = (-1L, -1L, "none")
+    protected def fold(userId: Long, s: (Long, Long, String), e: BufEvent) =
+      e._3 match {
+        case "purchase" =>
+          (s, Seq(AttributedPurchaseTs(userId, e._2, e._1, e._4, s._3)))
+        case "click" | "view" =>
+          // events fold in ascending (ts, eventId), so each touch is the
+          // new best-so-far by construction
+          ((e._1, e._2, e._3), Seq.empty)
+        case _ => (s, Seq.empty)
+      }
+    protected def snapshot(userId: Long, s: (Long, Long, String)) = Seq.empty
+  }
+
+  /** Buffered-exact CEP counts (Update mode: one refreshed row per user
+    * per timer pass that folded something). See the section scaladoc for
+    * the guarantee/state trade vs [[patternMatchCounts]].
+    */
+  def patternMatchCountsExact(events: Dataset[TimedUserEvent],
+      watermark: String = "10 seconds"): Dataset[PatternCount] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedPatternProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Buffered-exact CUSUM monitor (Update mode). */
+  def cusumMonitorExact(events: Dataset[TimedUserEvent], target: Long,
+      threshold: Long, watermark: String = "10 seconds"): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedCusumProcessor(target, threshold),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Buffered-exact last-touch attribution (Append mode: each purchase
+    * emits exactly once, when the watermark settles it).
+    */
+  def lastTouchAttributionExact(events: Dataset[TimedUserEvent],
+      watermark: String = "10 seconds"): Dataset[AttributedPurchaseTs] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedAttributionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }
