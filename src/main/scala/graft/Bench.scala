@@ -531,7 +531,8 @@ object Bench {
       "shuffle" -> med(shuffleRuns.toSeq),
       "scan" -> med(scanRuns.toSeq))
     val calibRefs = sys.env.get("SPARK_GRAFT_CALIB_REF")
-      .map(parseCalibRef).getOrElse(DefaultCalibRef)
+      .map(parseCalibRef).filter(_.nonEmpty) // empty override -> defaults
+      .getOrElse(DefaultCalibRef)
     val tainted = taintedJson(taintedLegs(calibMedians, calibRefs))
     val calibCompact =
       f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +

@@ -238,6 +238,87 @@ object AbBench {
         .groupBy(col("g")).agg(topk(col("score"), col("tag")).as("top"))
         .select(col("g"), explode(col("top")).as("e"))
     }
+
+    // r14: the watermark-buffered exact CEP (StatefulOps.
+    // patternMatchCountsExact) vs the O(1)-state DFA fold — the opt-in
+    // exactness price in wall-clock, end-to-end through a real streaming
+    // query on RocksDB state. 600k events / 20k users / 30 events per
+    // user, delivered in 4 event-time-ordered triggers (+2 flushes for
+    // the buffered form's settle); ~7.5s event-time band per trigger
+    // against a 10s watermark delay, so buffered events wait ~1.5
+    // triggers before folding — the realistic regime. The buffered form
+    // pays one buffer-row read-concat-rewrite per touched key per
+    // trigger plus the (ts,eventId) sort at settle; the default pays 3
+    // longs per key and folds inline. Streaming wall-clock is noisier
+    // than the noop path: median of 3 full query lifecycles, warm run
+    // discarded.
+    def abStream(name: String)(mk: Int => Unit): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        var rep = 0
+        def once(): Double = {
+          rep += 1
+          val t0 = System.nanoTime(); mk(rep); (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm: codegen + provider + checkpoint dirs
+        val times = Seq.fill(3)(once()).sorted
+        println(f"[ab] $name%-28s ${times(1)}%.3f s (median of 3: ${times.map(x => f"$x%.3f").mkString(", ")})")
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val nUsers = 20000
+    val nEvents = 600000
+    val streamTypes = Array("view", "click", "purchase", "signup")
+    // event g: user g%nUsers, per-user ts advancing 1s per event, types
+    // cycling with a stride coprime to the user count so every user sees
+    // purchases; batches are consecutive event-time bands
+    def evtAt(g: Long) = (g % nUsers, 1000000L + (g / nUsers) * 1000L, g,
+      streamTypes(((g * 13) % 4).toInt))
+    def streamBatches: Seq[Seq[Long]] =
+      (0 until 4).map(b => (0 until nEvents / 4).map(i => b.toLong * (nEvents / 4) + i))
+    abStream("cep-unbuffered-600k") { rep =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[graft.streaming.StreamOps.UserEvent](spark)
+      val q = graft.streaming.StatefulOps.patternMatchCounts(in.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName(s"ab_cep_plain_$rep").start()
+      streamBatches.foreach { b =>
+        in.addData(b.map { g =>
+          val (u, ts, id, ty) = evtAt(g)
+          graft.streaming.StreamOps.UserEvent(u, ts * 1000L, id, ty, 0L)
+        })
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    abStream("cep-buffered-exact-600k") { rep =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
+      val q = graft.streaming.StatefulOps.patternMatchCountsExact(in.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName(s"ab_cep_buf_$rep").start()
+      streamBatches.foreach { b =>
+        in.addData(b.map { g =>
+          val (u, ts, id, ty) = evtAt(g)
+          graft.streaming.StatefulOps.TimedUserEvent(
+            new java.sql.Timestamp(ts), u, id, ty, 0L)
+        })
+        q.processAllAvailable()
+      }
+      // settle everything (two watermark advances so the armed timers fire)
+      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+        new java.sql.Timestamp(1000000L + 200000000L), 999999L, -1L, "s", 0L)))
+      q.processAllAvailable()
+      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+        new java.sql.Timestamp(1000000L + 300000000L), 999999L, -2L, "s", 0L)))
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.stop()
   }
 }
