@@ -249,6 +249,31 @@ object Bench {
       medians.get(k).exists(m => m < 0 || m >= CalibTaintFactor * refs(k))
     }
 
+  /** Per-BRACKET taint (the r14 seal-window lesson, proven live twice in
+    * one session): the calib legs bracket the window — samples before the
+    * headline loop and samples after the probes — and a co-tenant that
+    * occupies only ONE half leaves the POOLED median under the threshold
+    * while every query in that half reads 1.3-1.7× high (observed: scan
+    * bracket medians 0.298 vs 0.157 s pooling to 0.224 = 1.24× ref,
+    * one sample under the 1.25 bar, in a window whose headline total ran
+    * 1.4× the clean seal). So the taint test runs per bracket: a leg is
+    * tainted when ANY bracket's median trips the factor — the pooled
+    * median stays the round-over-round comparable number in `calib`.
+    */
+  private[graft] def taintedLegsBracketed(brackets: Map[String, Seq[Seq[Double]]],
+      refs: Map[String, Double]): Seq[String] = {
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    refs.keys.toSeq.sorted.filter { k =>
+      brackets.get(k).exists { bs =>
+        bs.isEmpty || bs.exists { b =>
+          val m = med(b)
+          m < 0 || m >= CalibTaintFactor * refs(k)
+        }
+      }
+    }
+  }
+
   private[graft] def taintedJson(legs: Seq[String]): String =
     legs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -373,6 +398,12 @@ object Bench {
       }
     }
     sampleCalib()
+    // bracket boundary per leg (failed legs skip appends, so sizes can
+    // differ): everything before these indices is the PRE-headline
+    // bracket, everything after the POST-probes one — the per-bracket
+    // taint test needs the split (see taintedLegsBracketed)
+    val bracket1 = Map("spin" -> spinRuns.size, "shuffle" -> shuffleRuns.size,
+      "scan" -> scanRuns.size)
 
     // The ScaleProbe's estimator, ported to the headline loop (r6/r7 verdict
     // task 1): three consecutive rounds showed the old single-session
@@ -530,20 +561,32 @@ object Bench {
       "spin" -> med(spinRuns.toSeq),
       "shuffle" -> med(shuffleRuns.toSeq),
       "scan" -> med(scanRuns.toSeq))
+    val calibBrackets = Map(
+      "spin" -> Seq(spinRuns.take(bracket1("spin")).toSeq,
+        spinRuns.drop(bracket1("spin")).toSeq),
+      "shuffle" -> Seq(shuffleRuns.take(bracket1("shuffle")).toSeq,
+        shuffleRuns.drop(bracket1("shuffle")).toSeq),
+      "scan" -> Seq(scanRuns.take(bracket1("scan")).toSeq,
+        scanRuns.drop(bracket1("scan")).toSeq))
     val calibRefs = sys.env.get("SPARK_GRAFT_CALIB_REF")
       .map(parseCalibRef).filter(_.nonEmpty) // empty override -> defaults
       .getOrElse(DefaultCalibRef)
-    val tainted = taintedJson(taintedLegs(calibMedians, calibRefs))
+    val tainted = taintedJson(taintedLegsBracketed(calibBrackets, calibRefs))
     val calibCompact =
       f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +
         f""""scan":${calibMedians("scan")}%.3f}"""
-    val calibFull =
+    val calibFull = {
+      def bmeds(k: String) =
+        arr(calibBrackets(k).map(med)) // [pre-headline med, post-probes med]
       f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +
         f""""scan":${calibMedians("scan")}%.3f,""" +
         calibRefs.toSeq.sortBy(_._1).map { case (k, v) =>
           f""""${k}_ref":$v%.3f""" }.mkString("", ",", ",") +
+        s""""spin_brackets":${bmeds("spin")},"shuffle_brackets":${bmeds("shuffle")},""" +
+        s""""scan_brackets":${bmeds("scan")},""" +
         s""""spin_runs":${arr(spinRuns.toSeq)},"shuffle_runs":${arr(shuffleRuns.toSeq)},""" +
         s""""scan_runs":${arr(scanRuns.toSeq)}}"""
+    }
 
     // Two artifacts (r9 task 3 / r10 task 1 history: the one-line record
     // outgrew a fixed ~2000-char tail-capture window twice; r13 closed the

@@ -54,6 +54,35 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.taintedLegs(Map("scan" -> 0.1), refs).isEmpty)
   }
 
+  test("taintedLegsBracketed: the r14 half-window live case flags where the pooled median cannot") {
+    // observed in this round's own seal attempt: a co-tenant occupied the
+    // FIRST half of the window (pre-headline calib bracket inflated, the
+    // post-probes one clean), every headline query read 1.3-1.7x high,
+    // and the POOLED scan median 0.224 sat one sample under the 1.25x
+    // bar. Per-bracket medians (0.298 vs 0.157) catch it.
+    val refs = Bench.DefaultCalibRef
+    val brackets = Map(
+      "spin" -> Seq(Seq(0.456, 0.442, 0.441), Seq(0.431, 0.436, 0.429)),
+      "shuffle" -> Seq(Seq(0.532, 0.433, 0.399), Seq(0.456, 0.377, 0.392)),
+      "scan" -> Seq(Seq(0.309, 0.298, 0.224), Seq(0.165, 0.145, 0.157)))
+    // pooled view is (barely) clean - the blindness being fixed
+    assert(Bench.taintedLegs(Map("scan" -> 0.224), refs).isEmpty)
+    assert(Bench.taintedLegsBracketed(brackets, refs) == Seq("scan"))
+  }
+
+  test("taintedLegsBracketed: clean brackets pass, an empty or failed bracket flags") {
+    val refs = Map("spin" -> 0.4)
+    assert(Bench.taintedLegsBracketed(
+      Map("spin" -> Seq(Seq(0.41, 0.42), Seq(0.39, 0.4))), refs).isEmpty)
+    // a leg whose bracket never sampled is not a clean window
+    assert(Bench.taintedLegsBracketed(
+      Map("spin" -> Seq(Seq.empty, Seq(0.4))), refs) == Seq("spin"))
+    assert(Bench.taintedLegsBracketed(Map("spin" -> Seq.empty), refs) == Seq("spin"))
+    // absent leg (override naming an unsampled leg) is skipped, as in the
+    // pooled form
+    assert(Bench.taintedLegsBracketed(Map.empty, refs).isEmpty)
+  }
+
   test("taintedJson emits a JSON string array") {
     assert(Bench.taintedJson(Nil) == "[]")
     assert(Bench.taintedJson(Seq("scan", "spin")) == """["scan","spin"]""")
