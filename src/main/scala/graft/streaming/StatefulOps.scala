@@ -666,9 +666,18 @@ object StatefulOps {
     * the buffered events with `tsMs <= watermark`, in (tsMs, eventId)
     * order, through `fold`, emits whatever the fold produced plus a
     * `snapshot` of the updated state, and keeps the not-yet-due rest
-    * buffered (re-arming for the next advance). No event can arrive with
-    * ts <= the watermark that folded its cohort (the late filter drops
-    * it first), so each event folds exactly once, in order.
+    * buffered (re-arming for the next advance).
+    *
+    * Exactly-once-fold invariant, spelled out (the soundness hinge): a
+    * fold pass at watermark W covers buffered events with ts <= W; the
+    * operator's late filter admits an arriving event only when ts is
+    * STRICTLY past the current watermark (ts == watermark drops —
+    * pinned by the admission-boundary spec case), and the watermark is
+    * monotone, so no admitted event's ts can be <= any PAST fold
+    * boundary. Fold cohorts therefore partition the admitted stream
+    * into disjoint ascending ts ranges — each event folds exactly once,
+    * ties (same ts, different eventId) always land in one cohort and
+    * sort by eventId inside it, and cross-cohort order is ts order.
     */
   abstract private[streaming] class WatermarkBufferedProcessor[S, O]
       extends StatefulProcessor[Long, TimedUserEvent, O] {

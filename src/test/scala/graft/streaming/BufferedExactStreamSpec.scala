@@ -211,6 +211,39 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("admission boundary: an event at exactly the watermark is dropped, never re-folded") {
+    // the exactly-once-fold invariant (WatermarkBufferedProcessor
+    // scaladoc) relies on the late filter admitting only ts STRICTLY
+    // past the watermark: a fold pass at W covers ts <= W, so a
+    // boundary event admitted at ts == W would join an already-folded
+    // cohort out of order. Pin Spark's drop side of the contract:
+    //  T1: u10 'v' at 20s + a pusher that parks the watermark at exactly
+    //      20s (delay 10s) -> the timer pass folds the 'v'
+    //  T2: u10 'p' at exactly ts == wm == 20s (must drop) and a 'p' at
+    //      25s (admitted)
+    // final: 2 events folded, 1 match; 3 events would mean the boundary
+    // event slipped into a later cohort
+    withRocksDBProvider {
+      val in = MemoryStream[TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExact(in.toDS(), watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_boundary").start()
+      in.addData(Seq(ev(10L, 20000, 1, "view"), ev(998L, 30000, 900, "s")))
+      q.processAllAvailable()
+      // one more batch so the wm=20s timer pass runs before the boundary probe
+      in.addData(ev(998L, 30000, 901, "s")); q.processAllAvailable()
+      in.addData(Seq(ev(10L, 20000, 0, "purchase"), ev(10L, 25000, 2, "purchase")))
+      q.processAllAvailable()
+      in.addData(ev(999L, 100000L, 9001L, "s")); q.processAllAvailable()
+      in.addData(ev(999L, 200000L, 9002L, "s")); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("bx_boundary").as[PatternCount].collect()
+        .filter(_.userId == 10L).maxBy(_.nEvents)
+      assert(got == PatternCount(10L, 2L, 1L),
+        s"boundary event not dropped (or double-folded): $got")
+    }
+  }
+
   test("multi-stage watermark advance folds incrementally and carries state across timer passes") {
     // band A [10s,11s) and band B [25s,26s) for one user, delay 20s:
     //  T1 delivers band B (+ a second user's C event at 40.9s that pushes
