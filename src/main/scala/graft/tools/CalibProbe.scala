@@ -16,14 +16,24 @@ import org.apache.spark.sql.SparkSession
   *    tracks host load, not sample count — then the taint is reading a
   *    genuinely dirty window and the pooled references stand.
   *
-  * r14 finding (this tool, host load avg 1-3 at launch): scan read
-  * 0.25-0.39 for ~8 consecutive samples — far past any JIT/footer
-  * warm-up horizon — then settled at ~0.20 while the load decayed,
-  * versus the 0.13-0.16 the same kernel reads in a fully-warm bench's
-  * POST bracket on a quiet tail. The inflation tracks HOST LOAD, not
-  * sample count: co-tenancy, not cold-JVM warm-up, which is what the
-  * GATE_r14 window ledger concluded and why the pooled sealed
-  * references stand un-split.
+  * r14 findings (two runs of this tool — BOTH effects are real):
+  *
+  *  - host load 1-3: scan read 0.25-0.39 for ~8 samples, noisy,
+  *    settling only as the load decayed → co-tenant I/O inflation is
+  *    real and tracks load (GATE_r14 window ledger, runs 1/2/5);
+  *  - host load 0.01 (idle): scan STILL read
+  *    0.257→0.234→0.230→0.208→0.195→0.199 — a genuine ~4-5-iteration
+  *    fresh-JVM warm-up slope settling near ~0.20, with the 0.13-0.16
+  *    deep-warm floor arriving only after minutes of heavy query work;
+  *    the first shuffle job after startup read 0.812 (~2×).
+  *
+  * Consequence: the bench's PRE-headline bracket sat on the warm-up
+  * slope and structurally tripped the per-bracket scan taint on every
+  * fresh JVM. Fixed at the source — `Bench.sampleCalib` now warms scan
+  * 3× and shuffle 2× before recording — rather than by inflating the
+  * sealed references (which would also have blunted real-contention
+  * detection: run 2's genuinely-dirty 0.298 pre-bracket is only 1.14×
+  * the structural ~0.26 slope median, but 1.5× the settled ~0.20).
   */
 object CalibProbe {
   def main(args: Array[String]): Unit = {
