@@ -244,6 +244,64 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart preserves buffer, folded state, and timers (rows 19-21 across a WAL recovery)") {
+    // The PARITY rows' state bounds only matter if the state SURVIVES: a
+    // file-source query with a real checkpoint is stopped mid-buffer and
+    // restarted. Two users split the proof:
+    //  - u1: touch 'view' (10s) FOLDED before the stop (a second batch
+    //    fires the wm=10s timer pass; ts == wm folds), purchase (20s)
+    //    still BUFFERED at the stop, no events after restart -> its
+    //    attribution must come from the pre-restart FOLDED record;
+    //  - u2: purchase (20s) buffered before the stop; the claiming
+    //    'click' (19s) arrives only AFTER the restart -> exact event-time
+    //    ordering must hold across the checkpoint boundary (buffer
+    //    survived, and the post-restart touch folds BEFORE the
+    //    pre-restart purchase).
+    // Append-mode parquet sink: exactly one row per purchase, ever.
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-bx-in").toString
+    val ckpt = Files.createTempDirectory("graft-bx-ckpt").toString
+    val out = Files.createTempDirectory("graft-bx-out").toString
+    def put(rows: String*): Unit = {
+      val f = Files.createTempFile(java.nio.file.Paths.get(in), "part", ".json")
+      Files.writeString(f, rows.mkString("\n") + "\n")
+    }
+    def js(uid: Long, ms: Long, id: Long, typ: String, cents: Long = 0L) =
+      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"eventType":"$typ","cents":$cents}"""
+    def startQuery() = withRocksDBProvider {
+      val src = spark.readStream
+        .schema("tsMs bigint, userId bigint, eventId bigint, eventType string, cents bigint")
+        .json(in)
+        .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "eventType", "cents")
+        .as[TimedUserEvent]
+      StatefulOps.lastTouchAttributionExact(src, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = startQuery()
+    put(js(1L, 10000, 0, "view"), js(1L, 20000, 1, "purchase", 700L),
+      js(2L, 20000, 11, "purchase", 900L), js(9L, 15000, 90, "s"))
+    q1.processAllAvailable()
+    put(js(9L, 16000, 91, "s")) // second batch: wm=10s timer pass folds u1's view
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    put(js(2L, 19000, 12, "click"), js(9L, 200000, 92, "s"))
+    q2.processAllAvailable()
+    put(js(9L, 300000, 93, "s")) // settle everything
+    q2.processAllAvailable()
+    put(js(9L, 400000, 94, "s")) // one more advance so armed timers fire
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).as[AttributedPurchaseTs].collect()
+      .sortBy(_.userId).toSeq
+    assert(rows == Seq(
+      AttributedPurchaseTs(1L, 1L, 20000L, 700L, "view"),
+      AttributedPurchaseTs(2L, 11L, 20000L, 900L, "click")),
+      s"restart broke buffered-exact state: $rows")
+  }
+
   test("multi-stage watermark advance folds incrementally and carries state across timer passes") {
     // band A [10s,11s) and band B [25s,26s) for one user, delay 20s:
     //  T1 delivers band B (+ a second user's C event at 40.9s that pushes
