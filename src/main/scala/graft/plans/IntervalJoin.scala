@@ -371,10 +371,15 @@ final case class IntervalJoinExec(
           liveBytes = 0L
         }
 
-        def close(): Unit = {
-          channels.foreach(c => try c.close() catch { case _: Exception => () })
-          files.foreach(f => { f.delete(); () })
-        }
+        // GC backstop (closes the r13-ADVICE residual): if this store is
+        // abandoned without close() — a partially-consumed iterator with
+        // no TaskContext — the Cleaner runs the same action when the
+        // store becomes unreachable. clean() is once-only, so the
+        // explicit paths and the backstop never double-run.
+        private val cleanable = IntervalSpillCleaner.cleaner.register(
+          this, new IntervalSpillCleaner.CloseAction(channels, files))
+
+        def close(): Unit = cleanable.clean()
       }
 
       var store: SpillStore = null
@@ -384,9 +389,11 @@ final case class IntervalJoinExec(
       // (iterator driven outside a task — direct doExecute in tests or
       // tools), there is no completion hook, so the OUTPUT iterator's
       // exhaustion closes the store instead (see the hasNext wrapper
-      // below). Residual, stated: a partially-consumed iterator outside a
-      // task still leaks until JVM exit — acceptable for the non-task
-      // harnesses that path serves.
+      // below), and a partially-consumed iterator that is simply dropped
+      // is caught by the GC backstop: every store registers with
+      // [[IntervalSpillCleaner]], whose action closes + deletes the files
+      // when the store becomes unreachable. All three paths funnel into
+      // one once-only Cleanable.clean().
       var storeNeedsIteratorClose = false
       def ensureStore(): SpillStore = {
         if (store == null) {
@@ -583,6 +590,28 @@ final case class IntervalJoinExec(
   */
 private[plans] final class Entry(
     val lo: UnsafeRow, val hi: UnsafeRow, var off: Long, val len: Int)
+
+/** GC-backstop for [[IntervalJoinExec]]'s task-local spill stores: one
+  * JVM-wide daemon [[java.lang.ref.Cleaner]] plus the state object it
+  * runs. The action holds ONLY the channel/file arrays — never the store
+  * itself — so an abandoned store (a partially-consumed iterator outside
+  * a Spark task, where no completion listener exists) becomes unreachable
+  * and the cleaner closes + deletes its files at GC. Explicit close paths
+  * (task-completion listener, output-iterator exhaustion) run the same
+  * action via `Cleanable.clean()`, which is once-only and deregisters.
+  */
+private[plans] object IntervalSpillCleaner {
+  val cleaner: java.lang.ref.Cleaner = java.lang.ref.Cleaner.create()
+
+  final class CloseAction(
+      channels: Array[java.nio.channels.FileChannel],
+      files: Array[java.io.File]) extends Runnable {
+    override def run(): Unit = {
+      channels.foreach(c => try c.close() catch { case _: Exception => () })
+      files.foreach(f => { f.delete(); () })
+    }
+  }
+}
 
 object IntervalJoinExec {
   /** Session conf capping the per-key active-set depth (see exec doc). */

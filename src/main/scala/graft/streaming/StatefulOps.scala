@@ -659,7 +659,7 @@ object StatefulOps {
     userId: Long, purchaseEventId: Long, tsMs: Long, cents: Long, touchType: String)
 
   /** Shared skeleton of the buffered-exact trio: a per-key event buffer
-    * (ValueState of (tsMs, eventId, type, cents) tuples) plus the
+    * (ListState of (tsMs, eventId, type, cents) tuples) plus the
     * operator's own small fold state `S`. Input rows only append to the
     * buffer and (re-)arm ONE event-time timer at `watermark + 1` — the
     * next watermark advance fires it; the timer callback folds exactly
@@ -667,6 +667,27 @@ object StatefulOps {
     * order, through `fold`, emits whatever the fold produced plus a
     * `snapshot` of the updated state, and keeps the not-yet-due rest
     * buffered (re-arming for the next advance).
+    *
+    * Two layout decisions keep a T-trigger horizon at O(new events) per
+    * trigger instead of O(buffered × T):
+    *
+    *  1. The buffer is a ListState, not a ValueState[Seq[...]]: RocksDB
+    *     implements list appends as merge operations, so
+    *     `handleInputRows` writes O(new events) bytes per touched key
+    *     per trigger without reading or re-encoding what is already
+    *     buffered.
+    *  2. The timer is armed at the EARLIEST buffered event's ts (tracked
+    *     in a tiny ValueState), not at `watermark + 1`: it fires only
+    *     when that event has actually settled. A wm+1 timer fires on
+    *     every watermark advance and its callback reads — and, for the
+    *     live remainder, rewrites — the whole buffer even when nothing
+    *     is due yet, which is a full-buffer pass per trigger for every
+    *     key with a long-horizon backlog.
+    *
+    * AbBench measures both regimes end-to-end:
+    * `cep-buffered-exact-600k` (~1.5-trigger horizon, buffers ~11
+    * events) and `cep-buffered-longhorizon-600k` (8-trigger backlog,
+    * buffers growing to 300 events before anything settles).
     *
     * Exactly-once-fold invariant, spelled out (the soundness hinge): a
     * fold pass at watermark W covers buffered events with ts <= W; the
@@ -696,28 +717,45 @@ object StatefulOps {
       */
     protected def snapshot(userId: Long, s: S): Seq[O]
 
-    @transient private var buf: ValueState[Seq[BufEvent]] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var st: ValueState[S] = _
+    // expiry of the key's one live timer = min buffered ts (see class doc)
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getValueState[Seq[BufEvent]](
+      buf = getHandle.getListState[BufEvent](
         "buffer",
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BufEvent](),
         TTLConfig.NONE)
       st = getHandle.getValueState[S]("folded", stateEncoder, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armedTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
         userId: Long,
         rows: Iterator[TimedUserEvent],
         timerValues: TimerValues): Iterator[O] = {
-      val cur: Seq[BufEvent] = if (buf.exists()) buf.get() else Seq.empty
-      val added = rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)).toSeq
-      buf.update(cur ++ added)
-      // one live timer per key, armed to fire on the next watermark
-      // advance (expiry = current watermark + 1)
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      val added = rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)).toArray
+      if (added.nonEmpty) {
+        buf.appendList(added)
+        var mn = Long.MaxValue
+        added.foreach(e => if (e._1 < mn) mn = e._1)
+        // keep one live timer per key at the earliest buffered ts; the
+        // admission filter guarantees mn > current watermark, so the
+        // registered expiry is always in the watermark's future
+        if (armed.exists()) {
+          val cur = armed.get()
+          if (mn < cur) {
+            getHandle.deleteTimer(cur)
+            getHandle.registerTimer(mn)
+            armed.update(mn)
+          }
+        } else {
+          getHandle.registerTimer(mn)
+          armed.update(mn)
+        }
+      }
       Iterator.empty
     }
 
@@ -726,7 +764,7 @@ object StatefulOps {
         timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[O] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val cur: Seq[BufEvent] = if (buf.exists()) buf.get() else Seq.empty
+      val cur: Seq[BufEvent] = if (buf.exists()) buf.get().toVector else Vector.empty
       val (due, live) = cur.partition(_._1 <= wm)
       val out = Vector.newBuilder[O]
       if (due.nonEmpty) {
@@ -739,10 +777,15 @@ object StatefulOps {
         st.update(s)
         out ++= snapshot(userId, s)
       }
-      if (live.isEmpty) buf.clear()
+      if (live.isEmpty) { buf.clear(); armed.clear() }
       else {
-        buf.update(live)
-        getHandle.registerTimer(wm + 1)
+        // replace-in-full is the rare path (only rows past the watermark
+        // survive a fold) and bounded by the live remainder, not history
+        buf.put(live.toArray)
+        var mn = Long.MaxValue
+        live.foreach(e => if (e._1 < mn) mn = e._1)
+        getHandle.registerTimer(mn)
+        armed.update(mn)
       }
       out.result().iterator
     }

@@ -247,9 +247,11 @@ object AbBench {
     // the buffered form's settle); ~7.5s event-time band per trigger
     // against a 10s watermark delay, so buffered events wait ~1.5
     // triggers before folding — the realistic regime. The buffered form
-    // pays one buffer-row read-concat-rewrite per touched key per
-    // trigger plus the (ts,eventId) sort at settle; the default pays 3
-    // longs per key and folds inline. Streaming wall-clock is noisier
+    // pays an O(new events) ListState append per touched key per trigger
+    // plus one buffer read and the (ts,eventId) sort when the min-ts
+    // timer fires (here: every trigger, since events settle every
+    // trigger); the default pays 3 longs per key and folds inline.
+    // Streaming wall-clock is noisier
     // than the noop path: median of 3 full query lifecycles, warm run
     // discarded.
     def abStream(name: String)(mk: Int => Unit): Unit = {
@@ -311,6 +313,52 @@ object AbBench {
         q.processAllAvailable()
       }
       // settle everything (two watermark advances so the armed timers fire)
+      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+        new java.sql.Timestamp(1000000L + 200000000L), 999999L, -1L, "s", 0L)))
+      q.processAllAvailable()
+      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+        new java.sql.Timestamp(1000000L + 300000000L), 999999L, -2L, "s", 0L)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    // r14 continuation: the LONG-horizon regime for the buffered-exact
+    // buffer — 8 triggers, 2k users (300 events per user), watermark
+    // delay wider than the whole event-time span, so nothing settles
+    // until the two final flushes and the per-key buffer grows for the
+    // entire session. This is the regime that exposed the wm+1 timer:
+    // a timer re-armed at watermark+1 fires on EVERY advance and its
+    // callback read and (for the live remainder) rewrote the whole
+    // backlog per key per trigger even though nothing was due —
+    // switching the buffer ValueState[Seq]→ListState alone moved
+    // nothing here (16.92 s vs 16.69 s, medians of 3 on one window)
+    // because the timer's full-buffer pass dominated both layouts.
+    // Arming at the MIN buffered ts instead (fires only when something
+    // settles) plus the ListState append is the O(new events)/trigger
+    // ingest: this leg 16.69 → 14.87 s with the tightest spread of the
+    // session (14.57/14.87/15.24), the short-horizon leg above 11.68 →
+    // 10.94 s, and per-trigger cost now matches the O(1)-state
+    // unbuffered form (1.49 vs 1.41 s/trigger at 10 vs 4 triggers) —
+    // the residual exactness price is the flush triggers themselves.
+    val lhUsers = 2000
+    def evtLH(g: Long) = (g % lhUsers, 1000000L + (g / lhUsers) * 1000L, g,
+      streamTypes(((g * 13) % 4).toInt))
+    abStream("cep-buffered-longhorizon-600k") { rep =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
+      val q = graft.streaming.StatefulOps
+        .patternMatchCountsExact(in.toDS(), "400 seconds")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(s"ab_cep_lh_$rep").start()
+      (0 until 8).foreach { b =>
+        in.addData((0 until nEvents / 8).map { i =>
+          val g = b.toLong * (nEvents / 8) + i
+          val (u, ts, id, ty) = evtLH(g)
+          graft.streaming.StatefulOps.TimedUserEvent(
+            new java.sql.Timestamp(ts), u, id, ty, 0L)
+        })
+        q.processAllAvailable()
+      }
       in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
         new java.sql.Timestamp(1000000L + 200000000L), 999999L, -1L, "s", 0L)))
       q.processAllAvailable()
