@@ -337,4 +337,42 @@ class BufferedExactStreamSpec extends SparkSpec {
     val (n, m) = cepTruth(bandA ++ bandB)
     assert(out.maxBy(_.nEvents) == PatternCount(7L, n, m))
   }
+
+  test("min-ts timer arming: backlog-only triggers fire zero timers") {
+    // The O(new events)/trigger ingest bound (class doc, decision 2): a
+    // key's one timer is armed at its MIN buffered ts, so a trigger
+    // whose watermark settles nothing must not fire timers at all — no
+    // full-buffer read, no live-remainder rewrite. A wm+1-armed timer
+    // (the layout this replaced) fires on every advance: this pin turns
+    // the AbBench long-horizon wall-clock win into a regression guard.
+    withRocksDBProvider {
+      val in = MemoryStream[TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExact(in.toDS(), watermark = "400 seconds")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("bx_mints").start()
+      // two data triggers; max ts 35s - 400s keeps the watermark at 0,
+      // below every buffered event, so nothing is due anywhere
+      batches.take(2).foreach { b => in.addData(b); q.processAllAvailable() }
+      def expired(): Long = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(s => Option(s.customMetrics.get("numExpiredTimers"))
+          .map(_.longValue).getOrElse(0L))
+        .sum
+      assert(expired() == 0L,
+        "a trigger that settles nothing fired a timer - min-ts arming regressed to wm+1")
+      // flushes settle everything: timers fire once and the fold is exact
+      in.addData(Seq(ev(999L, 900000000L, 9001L, "s"))); q.processAllAvailable()
+      in.addData(Seq(ev(999L, 960000000L, 9002L, "s"))); q.processAllAvailable()
+      assert(expired() > 0L, "the settle pass must fire the armed timers")
+      q.stop()
+      val rows = spark.table("bx_mints").as[PatternCount].collect().toSeq
+        .groupBy(_.userId).map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      val delivered = batches.take(2).flatten.groupBy(_.userId)
+      delivered.foreach { case (u, evs) =>
+        val (n, m) = cepTruth(evs)
+        assert(rows(u).nEvents == n && rows(u).nMatches == m,
+          s"user $u: got ${rows(u)}, batch truth ($n, $m)")
+      }
+    }
+  }
 }
