@@ -1,0 +1,51 @@
+package graft.plans
+
+import java.nio.channels.FileChannel
+import java.nio.file.StandardOpenOption.{READ, WRITE}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GC backstop behind [[IntervalJoinExec]]'s spill-store cleanup
+  * (r13-ADVICE residual, closed in r14): a store abandoned without
+  * close() — a partially-consumed iterator outside a Spark task — must
+  * still release its two files once unreachable, and the explicit close
+  * paths must stay once-only when the backstop is also registered.
+  */
+class IntervalSpillCleanerSpec extends AnyFunSuite {
+
+  private def tempPair(): (Array[java.io.File], Array[FileChannel]) = {
+    val files = Array.tabulate(2)(i =>
+      java.io.File.createTempFile(s"graft-cleaner-spec-$i-", ".rows"))
+    val channels = files.map(f => FileChannel.open(f.toPath, READ, WRITE))
+    (files, channels)
+  }
+
+  test("explicit clean() closes channels, deletes files, and is once-only") {
+    val (files, channels) = tempPair()
+    val referent = new Object
+    val cleanable = IntervalSpillCleaner.cleaner.register(
+      referent, new IntervalSpillCleaner.CloseAction(channels, files))
+    assert(files.forall(_.exists()) && channels.forall(_.isOpen))
+    cleanable.clean()
+    assert(channels.forall(!_.isOpen), "clean() must close both channels")
+    assert(files.forall(!_.exists()), "clean() must delete both files")
+    // once-only: a second clean() (e.g. iterator exhaustion after a
+    // task-completion listener already ran) must be a silent no-op
+    cleanable.clean()
+  }
+
+  test("GC backstop: an abandoned registration releases the files") {
+    val (files, channels) = tempPair()
+    var referent: Object = new Object
+    IntervalSpillCleaner.cleaner.register(
+      referent, new IntervalSpillCleaner.CloseAction(channels, files))
+    referent = null // drop the only strong reference
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (files.exists(_.exists()) && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(50)
+    }
+    assert(files.forall(!_.exists()),
+      "cleaner did not release an unreachable store's files within 15s")
+    assert(channels.forall(!_.isOpen))
+  }
+}
