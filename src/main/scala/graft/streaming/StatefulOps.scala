@@ -661,12 +661,13 @@ object StatefulOps {
   /** Shared skeleton of the buffered-exact trio: a per-key event buffer
     * (ListState of (tsMs, eventId, type, cents) tuples) plus the
     * operator's own small fold state `S`. Input rows only append to the
-    * buffer and (re-)arm ONE event-time timer at `watermark + 1` — the
-    * next watermark advance fires it; the timer callback folds exactly
-    * the buffered events with `tsMs <= watermark`, in (tsMs, eventId)
-    * order, through `fold`, emits whatever the fold produced plus a
-    * `snapshot` of the updated state, and keeps the not-yet-due rest
-    * buffered (re-arming for the next advance).
+    * buffer and keep ONE event-time timer armed at the MINIMUM buffered
+    * event's ts — the first watermark advance past that event fires it;
+    * the timer callback folds exactly the buffered events with
+    * `tsMs <= watermark`, in (tsMs, eventId) order, through `fold`,
+    * emits whatever the fold produced plus a `snapshot` of the updated
+    * state, and keeps the not-yet-due rest buffered (re-arming at the
+    * remainder's minimum).
     *
     * Two layout decisions keep a T-trigger horizon at O(new events) per
     * trigger instead of O(buffered × T):
