@@ -303,7 +303,7 @@ final case class IntervalJoinExec(
         var liveBytes = 0L // bytes still referenced by live entries
         var written = 0L   // monotone: every byte ever written (the metric)
 
-        def append(row: UnsafeRow): Long = {
+        def append(row: UnsafeRow): Long = try {
           val bytes = row.getBytes
           val off = fileBytes
           writeFully(channels(cur), ByteBuffer.wrap(bytes), off)
@@ -311,7 +311,7 @@ final case class IntervalJoinExec(
           liveBytes += bytes.length
           written += bytes.length
           off
-        }
+        } finally java.lang.ref.Reference.reachabilityFence(this)
 
         private def writeFully(ch: FileChannel, bb: ByteBuffer, off: Long): Unit = {
           var pos = off
@@ -333,18 +333,18 @@ final case class IntervalJoinExec(
         // before reading again (the emission iterator does exactly that)
         private var readBuf = new Array[Byte](1 << 10)
         private val readRow = new UnsafeRow(numRightFields)
-        def read(off: Long, len: Int): UnsafeRow = {
+        def read(off: Long, len: Int): UnsafeRow = try {
           if (readBuf.length < len) readBuf = new Array[Byte](len)
           readFully(ByteBuffer.wrap(readBuf, 0, len), off)
           readRow.pointTo(readBuf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
           readRow
-        }
+        } finally java.lang.ref.Reference.reachabilityFence(this)
 
         /** One sequential pass copying the live ranges into the other
           * file (entry offsets are monotone — arrival order is never
           * reordered), updating each entry's offset; then swap+truncate.
           */
-        def compact(entries: scala.collection.mutable.ArrayBuffer[Entry]): Unit = {
+        def compact(entries: scala.collection.mutable.ArrayBuffer[Entry]): Unit = try {
           val other = 1 - cur
           channels(other).truncate(0)
           var newOff = 0L
@@ -363,19 +363,25 @@ final case class IntervalJoinExec(
           cur = other
           fileBytes = newOff
           liveBytes = newOff
-        }
+        } finally java.lang.ref.Reference.reachabilityFence(this)
 
-        def reset(): Unit = {
+        def reset(): Unit = try {
           channels(cur).truncate(0)
           fileBytes = 0L
           liveBytes = 0L
-        }
+        } finally java.lang.ref.Reference.reachabilityFence(this)
 
         // GC backstop (closes the r13-ADVICE residual): if this store is
         // abandoned without close() — a partially-consumed iterator with
         // no TaskContext — the Cleaner runs the same action when the
         // store becomes unreachable. clean() is once-only, so the
-        // explicit paths and the backstop never double-run.
+        // explicit paths and the backstop never double-run. Registering
+        // a Cleaner obliges every channel-touching method above to end
+        // in reachabilityFence(this): without it the JIT may prove the
+        // store unreachable after its last field load while a positional
+        // read/write is still in flight, and the backstop would close
+        // the channel under live I/O (the hazard the Cleaner javadoc
+        // names for exactly this pattern).
         private val cleanable = IntervalSpillCleaner.cleaner.register(
           this, new IntervalSpillCleaner.CloseAction(channels, files))
 

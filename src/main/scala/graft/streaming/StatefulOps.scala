@@ -720,7 +720,13 @@ object StatefulOps {
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var st: ValueState[S] = _
-    // expiry of the key's one live timer = min buffered ts (see class doc)
+    // expiry of the key's one live timer = min buffered ts. This is a
+    // deliberate CACHE over the timer registry: listTimers() is a RocksDB
+    // prefix scan per call, armed is one small ValueState read. The sync
+    // invariant (armed == the single live timer's expiry, or neither
+    // exists) must hold on all three write paths — input re-arm, fold
+    // re-arm, fold drain — and survives restart with the rest of the
+    // state (pinned by the checkpoint-restart spec).
     @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -742,9 +748,13 @@ object StatefulOps {
         buf.appendList(added)
         var mn = Long.MaxValue
         added.foreach(e => if (e._1 < mn) mn = e._1)
-        // keep one live timer per key at the earliest buffered ts; the
-        // admission filter guarantees mn > current watermark, so the
-        // registered expiry is always in the watermark's future
+        // keep one live timer per key at the earliest buffered ts. NOTE:
+        // the late-event filter admits against the PREVIOUS batch's
+        // watermark while getCurrentWatermarkInMs() here is the eviction
+        // watermark, so mn may be <= the current watermark — Spark fires
+        // a past-expiry timer in this same batch's timer phase, which is
+        // exactly the fold timing we want; do not "optimize" by skipping
+        // registration for past expiries
         if (armed.exists()) {
           val cur = armed.get()
           if (mn < cur) {

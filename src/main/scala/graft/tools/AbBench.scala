@@ -297,30 +297,38 @@ object AbBench {
       }
       q.stop()
     }
-    abStream("cep-buffered-exact-600k") { rep =>
-      import spark.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
-      val q = graft.streaming.StatefulOps.patternMatchCountsExact(in.toDS())
-        .writeStream.outputMode("update").format("memory")
-        .queryName(s"ab_cep_buf_$rep").start()
-      streamBatches.foreach { b =>
-        in.addData(b.map { g =>
-          val (u, ts, id, ty) = evtAt(g)
-          graft.streaming.StatefulOps.TimedUserEvent(
-            new java.sql.Timestamp(ts), u, id, ty, 0L)
-        })
-        q.processAllAvailable()
+    // shared wiring for the buffered-exact legs: n event-time-ordered
+    // batches through patternMatchCountsExact, then two flush batches
+    // (two watermark advances so the armed timers fire and settle
+    // everything). The legs vary only the batch count, the per-event
+    // generator, and the watermark delay — keep them parameter-only so
+    // the A/B comparison never diverges on wiring.
+    def bufferedCepLeg(name: String, nBatches: Int, watermark: String)(
+        gen: Long => (Long, Long, Long, String)): Unit =
+      abStream(name) { rep =>
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
+        val q = graft.streaming.StatefulOps
+          .patternMatchCountsExact(in.toDS(), watermark)
+          .writeStream.outputMode("update").format("memory")
+          .queryName(s"${name.replace('-', '_')}_$rep").start()
+        (0 until nBatches).foreach { b =>
+          in.addData((0 until nEvents / nBatches).map { i =>
+            val (u, ts, id, ty) = gen(b.toLong * (nEvents / nBatches) + i)
+            graft.streaming.StatefulOps.TimedUserEvent(
+              new java.sql.Timestamp(ts), u, id, ty, 0L)
+          })
+          q.processAllAvailable()
+        }
+        Seq(200000000L, 300000000L).zipWithIndex.foreach { case (off, k) =>
+          in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+            new java.sql.Timestamp(1000000L + off), 999999L, -1L - k, "s", 0L)))
+          q.processAllAvailable()
+        }
+        q.stop()
       }
-      // settle everything (two watermark advances so the armed timers fire)
-      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
-        new java.sql.Timestamp(1000000L + 200000000L), 999999L, -1L, "s", 0L)))
-      q.processAllAvailable()
-      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
-        new java.sql.Timestamp(1000000L + 300000000L), 999999L, -2L, "s", 0L)))
-      q.processAllAvailable()
-      q.stop()
-    }
+    bufferedCepLeg("cep-buffered-exact-600k", 4, "10 seconds")(evtAt)
     // r14 continuation: the LONG-horizon regime for the buffered-exact
     // buffer — 8 triggers, 2k users (300 events per user), watermark
     // delay wider than the whole event-time span, so nothing settles
@@ -342,31 +350,7 @@ object AbBench {
     val lhUsers = 2000
     def evtLH(g: Long) = (g % lhUsers, 1000000L + (g / lhUsers) * 1000L, g,
       streamTypes(((g * 13) % 4).toInt))
-    abStream("cep-buffered-longhorizon-600k") { rep =>
-      import spark.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
-      val q = graft.streaming.StatefulOps
-        .patternMatchCountsExact(in.toDS(), "400 seconds")
-        .writeStream.outputMode("update").format("memory")
-        .queryName(s"ab_cep_lh_$rep").start()
-      (0 until 8).foreach { b =>
-        in.addData((0 until nEvents / 8).map { i =>
-          val g = b.toLong * (nEvents / 8) + i
-          val (u, ts, id, ty) = evtLH(g)
-          graft.streaming.StatefulOps.TimedUserEvent(
-            new java.sql.Timestamp(ts), u, id, ty, 0L)
-        })
-        q.processAllAvailable()
-      }
-      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
-        new java.sql.Timestamp(1000000L + 200000000L), 999999L, -1L, "s", 0L)))
-      q.processAllAvailable()
-      in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
-        new java.sql.Timestamp(1000000L + 300000000L), 999999L, -2L, "s", 0L)))
-      q.processAllAvailable()
-      q.stop()
-    }
+    bufferedCepLeg("cep-buffered-longhorizon-600k", 8, "400 seconds")(evtLH)
     spark.stop()
   }
 }

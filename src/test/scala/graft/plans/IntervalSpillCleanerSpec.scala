@@ -36,6 +36,11 @@ class IntervalSpillCleanerSpec extends AnyFunSuite {
   test("GC backstop: an abandoned registration releases the files") {
     val (files, channels) = tempPair()
     var referent: Object = new Object
+    // the weak ref separates "the JVM never collected the referent"
+    // (environment: e.g. -XX:+DisableExplicitGC ignores the hint →
+    // cancel, not fail) from "collected but the files survived" (a real
+    // backstop bug → fail)
+    val weak = new java.lang.ref.WeakReference[Object](referent)
     IntervalSpillCleaner.cleaner.register(
       referent, new IntervalSpillCleaner.CloseAction(channels, files))
     referent = null // drop the only strong reference
@@ -44,8 +49,13 @@ class IntervalSpillCleanerSpec extends AnyFunSuite {
       System.gc()
       Thread.sleep(50)
     }
+    if (weak.get() != null) {
+      files.foreach(_.delete())
+      cancel("JVM did not collect the unreachable referent within 15s " +
+        "(explicit-GC hints disabled?) - backstop unobservable here")
+    }
     assert(files.forall(!_.exists()),
-      "cleaner did not release an unreachable store's files within 15s")
+      "referent collected but the cleaner did not release its files")
     assert(channels.forall(!_.isOpen))
   }
 }
