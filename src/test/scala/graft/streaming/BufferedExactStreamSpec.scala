@@ -338,6 +338,44 @@ class BufferedExactStreamSpec extends SparkSpec {
     assert(out.maxBy(_.nEvents) == PatternCount(7L, n, m))
   }
 
+  test("fuzz: random trigger assignments all fold to the batch truth (trio)") {
+    // The reversed-arrival tests pin the adversarial extreme; this fuzz
+    // covers the space between: any assignment of the shared dataset's
+    // events to 3 triggers is admissible (watermark delay 60s > the
+    // whole [10s,40s) band), so every seed must produce the exact batch
+    // fold for all three operators.
+    val all = users.values.flatten.toSeq
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(all)
+      val bs = (0 until 3).map(i => shuffled.drop(i * all.size / 3)
+        .take((i + 1) * all.size / 3 - i * all.size / 3))
+      val cep = run(bs, s"bxf_cep_$seed", OutputMode.Update, 200000L)(
+        StatefulOps.patternMatchCountsExact(_, watermark = "60 seconds"))
+        .as[PatternCount].collect().toSeq
+        .groupBy(_.userId).map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      users.foreach { case (u, evs) =>
+        val (n, m) = cepTruth(evs)
+        assert(cep(u).nEvents == n && cep(u).nMatches == m,
+          s"seed $seed user $u: got ${cep(u)}, truth ($n, $m)")
+      }
+      val cus = run(bs, s"bxf_cus_$seed", OutputMode.Update, 200000L)(
+        StatefulOps.cusumMonitorExact(_, 20L, 100L, watermark = "60 seconds"))
+        .as[CusumState].collect().toSeq
+        .groupBy(_.userId).map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      users.foreach { case (u, evs) =>
+        assert(cus(u) == cusumTruth(evs, 20L, 100L), s"seed $seed user $u cusum")
+      }
+      val att = run(bs, s"bxf_att_$seed", OutputMode.Append, 200000L)(
+        StatefulOps.lastTouchAttributionExact(_, watermark = "60 seconds"))
+        .as[AttributedPurchaseTs].collect().toSeq
+        .filter(_.userId != 999L).sortBy(r => (r.userId, r.purchaseEventId))
+      val truth = users.values.toSeq.flatMap(attributionTruth)
+        .sortBy(r => (r.userId, r.purchaseEventId))
+      assert(att == truth, s"seed $seed attribution: got $att")
+    }
+  }
+
   test("min-ts timer arming: backlog-only triggers fire zero timers") {
     // The O(new events)/trigger ingest bound (class doc, decision 2): a
     // key's one timer is armed at its MIN buffered ts, so a trigger
