@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.types.LongType
+
+/** End-to-end drive of [[IntervalJoinExec]]'s NO-TASK cleanup paths: the
+  * output RDD's partition computed on the driver thread with no
+  * thread-local TaskContext (the direct-doExecute environment of tests
+  * and tools). Two paths own the spill files there:
+  *   - exhaustion: the hasNext wrapper closes the store when the output
+  *     iterator drains;
+  *   - abandonment: a partially-consumed iterator that is dropped is
+  *     caught by the [[IntervalSpillCleaner]] GC backstop.
+  */
+class IntervalNoTaskSpec extends SparkSpec {
+
+  private def attr(n: String) = AttributeReference(n, LongType, nullable = false)()
+
+  private def row(vs: Long*): InternalRow =
+    new GenericInternalRow(vs.map(v => v: Any).toArray)
+
+  /** Spill files currently present in Spark's local scratch dir. */
+  private def spillFiles(): Seq[String] = {
+    val d = org.apache.spark.graftbridge.CoreBridge.localDir()
+    Option(d.list()).map(_.toSeq.filter(_.startsWith("graft-interval-spill-")))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Build the exec over one deep key (depth 64 >> inMemoryRows 4, so
+    * the store engages) and return its single partition's iterator,
+    * computed WITHOUT a thread-local TaskContext.
+    */
+  private def noTaskIterator(): Iterator[InternalRow] = {
+    val (lk, llo, lhi) = (attr("lk"), attr("llo"), attr("lhi"))
+    val (rk, rlo, rhi) = (attr("rk"), attr("rlo"), attr("rhi"))
+    // rights: one key, 64 intervals all covering [0, 1000] (max depth);
+    // lefts: sorted probes inside the band — every left matches all 64
+    val rights = (0 until 64).map(i => row(1L, i.toLong, 1000L + i))
+    val lefts = (0 until 32).map(i => row(1L, 100L + i, 120L + i))
+    val exec = IntervalJoinExec(
+      LocalTableScanExec(Seq(lk, llo, lhi), lefts, None),
+      LocalTableScanExec(Seq(rk, rlo, rhi), rights, None),
+      lk, rk, llo, lhi, rlo, rhi)
+    val rdd = exec.execute()
+    assert(rdd.getNumPartitions == 1, s"expected 1 partition, got ${rdd.getNumPartitions}")
+    assert(org.apache.spark.TaskContext.get() == null)
+    rdd.compute(rdd.partitions(0),
+      org.apache.spark.graftbridge.TestTaskContextBridge.emptyTaskContext())
+  }
+
+  private def withTinySpill[T](body: => T): T = {
+    spark.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+    spark.conf.set(IntervalJoinExec.InMemoryRowsKey, "4")
+    spark.conf.set(IntervalJoinExec.CompactMinBytesKey, "1")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.leafNodeDefaultParallelism")
+      spark.conf.unset(IntervalJoinExec.InMemoryRowsKey)
+      spark.conf.unset(IntervalJoinExec.CompactMinBytesKey)
+    }
+  }
+
+  test("no-task exhaustion: the output iterator's drain closes the spill files") {
+    withTinySpill {
+      val it = noTaskIterator()
+      var n = 0L
+      var sawSpill = false
+      while (it.hasNext) { it.next(); n += 1; if (spillFiles().nonEmpty) sawSpill = true }
+      assert(n == 32L * 64, s"expected 2048 joined rows, got $n")
+      assert(sawSpill, "the store never spilled - the fixture lost its deep key")
+      assert(spillFiles().isEmpty,
+        s"exhausted no-task iterator left spill files: ${spillFiles()}")
+    }
+  }
+
+  test("no-task abandonment: a dropped partial iterator is reclaimed by the GC backstop") {
+    withTinySpill {
+      var it = noTaskIterator()
+      val weak = new java.lang.ref.WeakReference[AnyRef](it)
+      (0 until 10).foreach(_ => it.next()) // partial consumption engages the store
+      assert(spillFiles().nonEmpty, "fixture did not spill")
+      it = null // abandon mid-stream; only the cleaner can release the files now
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spillFiles().nonEmpty && System.nanoTime() < deadline) {
+        System.gc()
+        Thread.sleep(50)
+      }
+      if (weak.get() != null) {
+        cancel("JVM did not collect the abandoned iterator within 15s - " +
+          "backstop unobservable here")
+      }
+      assert(spillFiles().isEmpty,
+        s"iterator collected but spill files survived: ${spillFiles()}")
+    }
+  }
+}
