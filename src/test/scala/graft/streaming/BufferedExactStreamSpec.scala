@@ -13,6 +13,32 @@ import org.apache.spark.sql.streaming.OutputMode
   * document. Batch truths are independent reimplementations (regex scan /
   * sequential fold / sorted scan), not the processors' own code.
   */
+/** The PRE-r14-continuation buffer layout (ValueState[Seq]), kept only to
+  * write an old-format checkpoint for the migration fail-fast test.
+  */
+final class OldBufferLayoutProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StatefulOps.TimedUserEvent, StatefulOps.PatternCount] {
+  private type BufEvent = (Long, Long, String, Long)
+  @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    buf = getHandle.getValueState[Seq[BufEvent]](
+      "buffer",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[StatefulOps.TimedUserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.PatternCount] = {
+    val cur = if (buf.exists()) buf.get() else Seq.empty
+    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    Iterator.empty
+  }
+}
+
 class BufferedExactStreamSpec extends SparkSpec {
   import spark.implicits._
   import StatefulOps.{AttributedPurchaseTs, CusumState, PatternCount, TimedUserEvent}
@@ -300,6 +326,60 @@ class BufferedExactStreamSpec extends SparkSpec {
       AttributedPurchaseTs(1L, 1L, 20000L, 700L, "view"),
       AttributedPurchaseTs(2L, 11L, 20000L, 900L, "click")),
       s"restart broke buffered-exact state: $rows")
+  }
+
+  test("migration: an old ValueState-buffer checkpoint fails fast with the named error") {
+    // PARITY's migration note as a tested contract: the r14 continuation
+    // changed the buffer state variable ValueState[Seq] -> ListState, so
+    // a checkpoint written under the old layout must be REJECTED at
+    // restart with Spark's named state-variable-type error — fail-fast,
+    // never silent corruption. Run 1 writes a checkpoint through a
+    // processor registering the pre-change layout; run 2 restarts the
+    // shipped buffered-exact operator on it.
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-bxm-in").toString
+    val ckpt = Files.createTempDirectory("graft-bxm-ckpt").toString
+    def put(rows: String*): Unit = {
+      val f = Files.createTempFile(java.nio.file.Paths.get(in), "part", ".json")
+      Files.writeString(f, rows.mkString("\n") + "\n")
+    }
+    def src = spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, eventType string, cents bigint")
+      .json(in)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "eventType", "cents")
+      .as[TimedUserEvent]
+    withRocksDBProvider {
+      // memory sink cannot recover from a checkpoint; foreachBatch can,
+      // and the sink's contents are irrelevant here
+      val q1 = src.withWatermark("ts", "10 seconds").groupByKey(_.userId)
+        .transformWithState(new OldBufferLayoutProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[PatternCount], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+      put("""{"tsMs":10000,"userId":1,"eventId":0,"eventType":"view","cents":0}""")
+      q1.processAllAvailable()
+      q1.stop()
+      val err = intercept[Exception] {
+        val q2 = StatefulOps.patternMatchCountsExact(src, watermark = "10 seconds")
+          .writeStream.outputMode(OutputMode.Update)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[PatternCount], _: Long) =>
+            { df.count(); () })
+          .option("checkpointLocation", ckpt).start()
+        put("""{"tsMs":20000,"userId":1,"eventId":1,"eventType":"purchase","cents":0}""")
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => s"${e.getClass.getName}: ${e.getMessage}").mkString("\n")
+      // Spark 4.1 rejects the layout at the schema layer
+      // (STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE); accept the
+      // variable-type form too in case a future version checks types
+      // first — either way the contract is a NAMED error, no silent read
+      assert(chain.contains("SCHEMA_NOT_COMPATIBLE")
+          || chain.contains("INVALID_VARIABLE_TYPE_CHANGE"),
+        s"expected a named state-incompatibility error, got:\n$chain")
+    }
   }
 
   test("multi-stage watermark advance folds incrementally and carries state across timer passes") {
