@@ -237,6 +237,49 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("soak: state rows plateau at the horizon across 50 triggers, then collapse") {
+    // PARITY rows 19-21 claim O(events in watermark horizon) state per
+    // key; the drain test pins the endpoint, this soak pins the
+    // TRAJECTORY: 50 triggers of 100 users x 4 events, event-time
+    // advancing 1s per trigger against a 5s delay, so the horizon holds
+    // ~5-6 triggers of events per key at any moment. State rows must
+    // plateau there (a leak in the buffer, the armed cache, or timers
+    // would grow monotonically with total ingested events) and collapse
+    // after settling.
+    withRocksDBProvider {
+      val in = MemoryStream[TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExact(in.toDS(), watermark = "5 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_soak50").start()
+      val types = Array("view", "click", "purchase", "signup")
+      def stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val traj = (0 until 50).map { t =>
+        in.addData((0 until 100).flatMap(u => (0 until 4).map(j =>
+          ev(u.toLong, 10000L + t * 1000L + j * 10, (t * 4 + j).toLong, types((t + j) % 4)))))
+        q.processAllAvailable()
+        stateRows
+      }
+      in.addData(ev(999L, 10000000L, 9001L, "s")); q.processAllAvailable()
+      in.addData(ev(999L, 20000000L, 9002L, "s")); q.processAllAvailable()
+      val settled = stateRows
+      q.stop()
+      // plateau: the late half of the run must not outgrow the early
+      // plateau — a per-event leak over 30k total events would dwarf 1.3×
+      val early = traj(14); val late = traj.drop(25).max
+      assert(late <= early * 13 / 10 + 2,
+        s"state rows grew past the horizon plateau: early(t15)=$early late-max=$late " +
+          s"trajectory=${traj.mkString(",")}")
+      // collapse: settled keys keep only their O(1) folded rows
+      assert(settled <= 210L,
+        s"state did not collapse after settling: $settled rows")
+      // and the fold is exact: every user saw all 200 of its events
+      val counts = spark.table("bx_soak50").as[PatternCount].collect()
+        .filter(_.userId < 100L).groupBy(_.userId).map(_._2.maxBy(_.nEvents).nEvents)
+      assert(counts.size == 100 && counts.forall(_ == 200L),
+        s"per-user event counts wrong after soak: ${counts.toSeq.distinct}")
+    }
+  }
+
   test("admission boundary: an event at exactly the watermark is dropped, never re-folded") {
     // the exactly-once-fold invariant (WatermarkBufferedProcessor
     // scaladoc) relies on the late filter admitting only ts STRICTLY
