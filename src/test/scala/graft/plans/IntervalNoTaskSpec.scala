@@ -22,11 +22,21 @@ class IntervalNoTaskSpec extends SparkSpec {
   private def row(vs: Long*): InternalRow =
     new GenericInternalRow(vs.map(v => v: Any).toArray)
 
-  /** Spill files currently present in Spark's local scratch dir. */
-  private def spillFiles(): Seq[String] = {
+  /** Spill files currently present in Spark's local scratch dir. The
+    * dir is JVM-global (one shared session), so tests assert on the
+    * DELTA vs a snapshot taken before their own iterator, never on the
+    * dir being globally empty — another suite's file (e.g. an abandoned
+    * no-task iterator still awaiting GC) must not fail them.
+    */
+  private def spillFiles(): Set[String] = {
     val d = org.apache.spark.graftbridge.CoreBridge.localDir()
-    Option(d.list()).map(_.toSeq.filter(_.startsWith("graft-interval-spill-")))
-      .getOrElse(Seq.empty)
+    Option(d.list()).map(_.toSet.filter((n: String) => n.startsWith("graft-interval-spill-")))
+      .getOrElse(Set.empty)
+  }
+
+  private def deleteSpillFiles(names: Set[String]): Unit = {
+    val d = org.apache.spark.graftbridge.CoreBridge.localDir()
+    names.foreach(n => { new java.io.File(d, n).delete(); () })
   }
 
   /** Build the exec over one deep key (depth 64 >> inMemoryRows 4, so
@@ -65,35 +75,40 @@ class IntervalNoTaskSpec extends SparkSpec {
 
   test("no-task exhaustion: the output iterator's drain closes the spill files") {
     withTinySpill {
+      val before = spillFiles()
       val it = noTaskIterator()
       var n = 0L
       var sawSpill = false
-      while (it.hasNext) { it.next(); n += 1; if (spillFiles().nonEmpty) sawSpill = true }
+      while (it.hasNext) {
+        it.next(); n += 1
+        if ((spillFiles() -- before).nonEmpty) sawSpill = true
+      }
       assert(n == 32L * 64, s"expected 2048 joined rows, got $n")
       assert(sawSpill, "the store never spilled - the fixture lost its deep key")
-      assert(spillFiles().isEmpty,
-        s"exhausted no-task iterator left spill files: ${spillFiles()}")
+      assert((spillFiles() -- before).isEmpty,
+        s"exhausted no-task iterator left spill files: ${spillFiles() -- before}")
     }
   }
 
   test("no-task abandonment: a dropped partial iterator is reclaimed by the GC backstop") {
     withTinySpill {
+      val before = spillFiles()
       var it = noTaskIterator()
       val weak = new java.lang.ref.WeakReference[AnyRef](it)
       (0 until 10).foreach(_ => it.next()) // partial consumption engages the store
-      assert(spillFiles().nonEmpty, "fixture did not spill")
+      def mine = spillFiles() -- before
+      assert(mine.nonEmpty, "fixture did not spill")
       it = null // abandon mid-stream; only the cleaner can release the files now
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (spillFiles().nonEmpty && System.nanoTime() < deadline) {
-        System.gc()
-        Thread.sleep(50)
-      }
+      graft.GcPoll.until(mine.isEmpty)
       if (weak.get() != null) {
+        // environment, not a bug: tidy this test's own files so later
+        // tests in the same JVM see a clean delta (the channels stay
+        // open - only the uncollected store could close them)
+        deleteSpillFiles(mine)
         cancel("JVM did not collect the abandoned iterator within 15s - " +
           "backstop unobservable here")
       }
-      assert(spillFiles().isEmpty,
-        s"iterator collected but spill files survived: ${spillFiles()}")
+      assert(mine.isEmpty, s"iterator collected but spill files survived: $mine")
     }
   }
 }

@@ -44,11 +44,7 @@ class IntervalSpillCleanerSpec extends AnyFunSuite {
     IntervalSpillCleaner.cleaner.register(
       referent, new IntervalSpillCleaner.CloseAction(channels, files))
     referent = null // drop the only strong reference
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    while (files.exists(_.exists()) && System.nanoTime() < deadline) {
-      System.gc()
-      Thread.sleep(50)
-    }
+    graft.GcPoll.until(files.forall(!_.exists()))
     if (weak.get() != null) {
       files.foreach(_.delete())
       cancel("JVM did not collect the unreachable referent within 15s " +

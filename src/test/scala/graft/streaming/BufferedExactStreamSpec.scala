@@ -13,32 +13,6 @@ import org.apache.spark.sql.streaming.OutputMode
   * document. Batch truths are independent reimplementations (regex scan /
   * sequential fold / sorted scan), not the processors' own code.
   */
-/** The PRE-r14-continuation buffer layout (ValueState[Seq]), kept only to
-  * write an old-format checkpoint for the migration fail-fast test.
-  */
-final class OldBufferLayoutProcessor
-    extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, StatefulOps.TimedUserEvent, StatefulOps.PatternCount] {
-  private type BufEvent = (Long, Long, String, Long)
-  @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
-
-  override def init(outputMode: OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    buf = getHandle.getValueState[Seq[BufEvent]](
-      "buffer",
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
-
-  override def handleInputRows(
-      userId: Long,
-      rows: Iterator[StatefulOps.TimedUserEvent],
-      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.PatternCount] = {
-    val cur = if (buf.exists()) buf.get() else Seq.empty
-    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
-    Iterator.empty
-  }
-}
-
 class BufferedExactStreamSpec extends SparkSpec {
   import spark.implicits._
   import StatefulOps.{AttributedPurchaseTs, CusumState, PatternCount, TimedUserEvent}
@@ -58,6 +32,29 @@ class BufferedExactStreamSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  // ---- file-source scaffolding shared by the checkpoint tests ----
+
+  private def newDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def putJson(dir: String)(rows: String*): Unit = {
+    val f = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), "part", ".json")
+    java.nio.file.Files.writeString(f, rows.mkString("\n") + "\n")
+    ()
+  }
+
+  private def js(uid: Long, ms: Long, id: Long, typ: String, cents: Long = 0L) =
+    s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"eventType":"$typ","cents":$cents}"""
+
+  /** The one place the json schema <-> TimedUserEvent mapping lives. */
+  private def jsonEventSource(dir: String): org.apache.spark.sql.Dataset[TimedUserEvent] =
+    spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, eventType string, cents bigint")
+      .json(dir)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "eventType", "cents")
+      .as[TimedUserEvent]
 
   /** Run `batches` through `wire`, then advance the watermark past every
     * real event with TWO flush batches (the second gives the first's
@@ -327,23 +324,12 @@ class BufferedExactStreamSpec extends SparkSpec {
     //    survived, and the post-restart touch folds BEFORE the
     //    pre-restart purchase).
     // Append-mode parquet sink: exactly one row per purchase, ever.
-    import java.nio.file.Files
-    val in = Files.createTempDirectory("graft-bx-in").toString
-    val ckpt = Files.createTempDirectory("graft-bx-ckpt").toString
-    val out = Files.createTempDirectory("graft-bx-out").toString
-    def put(rows: String*): Unit = {
-      val f = Files.createTempFile(java.nio.file.Paths.get(in), "part", ".json")
-      Files.writeString(f, rows.mkString("\n") + "\n")
-    }
-    def js(uid: Long, ms: Long, id: Long, typ: String, cents: Long = 0L) =
-      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"eventType":"$typ","cents":$cents}"""
+    val in = newDir("graft-bx-in")
+    val ckpt = newDir("graft-bx-ckpt")
+    val out = newDir("graft-bx-out")
+    def put(rows: String*): Unit = putJson(in)(rows: _*)
     def startQuery() = withRocksDBProvider {
-      val src = spark.readStream
-        .schema("tsMs bigint, userId bigint, eventId bigint, eventType string, cents bigint")
-        .json(in)
-        .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "eventType", "cents")
-        .as[TimedUserEvent]
-      StatefulOps.lastTouchAttributionExact(src, watermark = "10 seconds")
+      StatefulOps.lastTouchAttributionExact(jsonEventSource(in), watermark = "10 seconds")
         .writeStream.outputMode(OutputMode.Append).format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .start()
@@ -379,18 +365,10 @@ class BufferedExactStreamSpec extends SparkSpec {
     // never silent corruption. Run 1 writes a checkpoint through a
     // processor registering the pre-change layout; run 2 restarts the
     // shipped buffered-exact operator on it.
-    import java.nio.file.Files
-    val in = Files.createTempDirectory("graft-bxm-in").toString
-    val ckpt = Files.createTempDirectory("graft-bxm-ckpt").toString
-    def put(rows: String*): Unit = {
-      val f = Files.createTempFile(java.nio.file.Paths.get(in), "part", ".json")
-      Files.writeString(f, rows.mkString("\n") + "\n")
-    }
-    def src = spark.readStream
-      .schema("tsMs bigint, userId bigint, eventId bigint, eventType string, cents bigint")
-      .json(in)
-      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "eventType", "cents")
-      .as[TimedUserEvent]
+    val in = newDir("graft-bxm-in")
+    val ckpt = newDir("graft-bxm-ckpt")
+    def put(rows: String*): Unit = putJson(in)(rows: _*)
+    def src = jsonEventSource(in)
     withRocksDBProvider {
       // memory sink cannot recover from a checkpoint; foreachBatch can,
       // and the sink's contents are irrelevant here
@@ -535,5 +513,31 @@ class BufferedExactStreamSpec extends SparkSpec {
           s"user $u: got ${rows(u)}, batch truth ($n, $m)")
       }
     }
+  }
+}
+
+/** The PRE-r14-continuation buffer layout (ValueState[Seq]), kept only to
+  * write an old-format checkpoint for the migration fail-fast test above.
+  */
+final class OldBufferLayoutProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StatefulOps.TimedUserEvent, StatefulOps.PatternCount] {
+  private type BufEvent = (Long, Long, String, Long)
+  @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    buf = getHandle.getValueState[Seq[BufEvent]](
+      "buffer",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[StatefulOps.TimedUserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.PatternCount] = {
+    val cur = if (buf.exists()) buf.get() else Seq.empty
+    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    Iterator.empty
   }
 }
