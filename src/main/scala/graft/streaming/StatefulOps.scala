@@ -643,6 +643,18 @@ object StatefulOps {
   // with dropDuplicatesWithinWatermark upstream exactly as row 16 does.
   // =====================================================================
 
+  /** Session conf capping buffered events per key in the buffered-exact
+    * trio. The settle fold materializes and sorts a key's whole backlog,
+    * so a key that exceeds the cap fails at INGEST with a named error
+    * naming this conf — never an executor OOM at settle (the same
+    * philosophy as [[graft.plans.IntervalJoinExec.MaxDepthKey]]).
+    */
+  val MaxBufferedEventsKey = "spark.graft.bufferedExact.maxEvents"
+  val DefaultMaxBufferedEvents: Long = 1000000L
+
+  private def bufferedCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxBufferedEventsKey, DefaultMaxBufferedEvents.toString).toLong
+
   /** An event on the buffered-exact streams: a real timestamp column for
     * the watermark, then the same (user, id, type, cents) surface the
     * unbuffered trio consumes.
@@ -701,7 +713,8 @@ object StatefulOps {
     * ties (same ts, different eventId) always land in one cohort and
     * sort by eventId inside it, and cross-cohort order is ts order.
     */
-  abstract private[streaming] class WatermarkBufferedProcessor[S, O]
+  abstract private[streaming] class WatermarkBufferedProcessor[S, O](
+      maxBuffered: Long = DefaultMaxBufferedEvents)
       extends StatefulProcessor[Long, TimedUserEvent, O] {
     protected type BufEvent = (Long, Long, String, Long) // (tsMs, eventId, type, cents)
 
@@ -720,14 +733,18 @@ object StatefulOps {
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var st: ValueState[S] = _
-    // expiry of the key's one live timer = min buffered ts. This is a
-    // deliberate CACHE over the timer registry: listTimers() is a RocksDB
-    // prefix scan per call, armed is one small ValueState read. The sync
-    // invariant (armed == the single live timer's expiry, or neither
-    // exists) must hold on all three write paths — input re-arm, fold
-    // re-arm, fold drain — and survives restart with the rest of the
-    // state (pinned by the checkpoint-restart spec).
-    @transient private var armed: ValueState[Long] = _
+    // (min buffered ts, buffered count). The first half is the expiry of
+    // the key's one live timer — a deliberate CACHE over the timer
+    // registry: listTimers() is a RocksDB prefix scan per call, this is
+    // one small ValueState read. The sync invariant (armed == the single
+    // live timer's expiry, count == buffer length, or none exist) must
+    // hold on all three write paths — input re-arm, fold re-arm, fold
+    // drain — and survives restart with the rest of the state (pinned by
+    // the checkpoint-restart spec). The count feeds the depth guard: the
+    // fold materializes the whole backlog, so a pathological key must
+    // fail with a NAMED error at ingest, not an executor OOM at settle
+    // (same philosophy as IntervalJoinExec's maxDepth guard).
+    @transient private var armed: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[BufEvent](
@@ -735,8 +752,8 @@ object StatefulOps {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[BufEvent](),
         TTLConfig.NONE)
       st = getHandle.getValueState[S]("folded", stateEncoder, TTLConfig.NONE)
-      armed = getHandle.getValueState[Long]("armedTs",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[(Long, Long)]("armedTs",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
     }
 
     override def handleInputRows(
@@ -756,19 +773,30 @@ object StatefulOps {
         // exactly the fold timing we want; do not "optimize" by skipping
         // registration for past expiries
         if (armed.exists()) {
-          val cur = armed.get()
+          val (cur, n0) = armed.get()
+          val n = n0 + added.length
+          guardDepth(userId, n)
           if (mn < cur) {
             getHandle.deleteTimer(cur)
             getHandle.registerTimer(mn)
-            armed.update(mn)
-          }
+            armed.update((mn, n))
+          } else armed.update((cur, n))
         } else {
+          guardDepth(userId, added.length.toLong)
           getHandle.registerTimer(mn)
-          armed.update(mn)
+          armed.update((mn, added.length.toLong))
         }
       }
       Iterator.empty
     }
+
+    private def guardDepth(userId: Long, n: Long): Unit =
+      if (n > maxBuffered) throw new IllegalStateException(
+        s"buffered-exact state for key $userId reached $n events inside the " +
+          s"watermark horizon (cap $maxBuffered). The settle fold materializes " +
+          s"the whole backlog, so this would risk an executor OOM; shorten the " +
+          s"watermark delay, pre-aggregate the key, or raise " +
+          s"$MaxBufferedEventsKey")
 
     override def handleExpiredTimer(
         userId: Long,
@@ -796,7 +824,7 @@ object StatefulOps {
         var mn = Long.MaxValue
         live.foreach(e => if (e._1 < mn) mn = e._1)
         getHandle.registerTimer(mn)
-        armed.update(mn)
+        armed.update((mn, live.size.toLong))
       }
       out.result().iterator
     }
@@ -806,8 +834,8 @@ object StatefulOps {
     * event-time order once the watermark settles each event — bit-exact
     * vs the batch regex scan for any admitted arrival order.
     */
-  final class BufferedPatternProcessor
-      extends WatermarkBufferedProcessor[(Long, Long, Long), PatternCount] {
+  final class BufferedPatternProcessor(maxBuffered: Long = DefaultMaxBufferedEvents)
+      extends WatermarkBufferedProcessor[(Long, Long, Long), PatternCount](maxBuffered) {
     protected def stateEncoder =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     protected def zero = (0L, 0L, 0L)
@@ -831,8 +859,9 @@ object StatefulOps {
     * event-time order — the latched first-alarm event id is the batch
     * one regardless of arrival order.
     */
-  final class BufferedCusumProcessor(target: Long, threshold: Long)
-      extends WatermarkBufferedProcessor[(Long, Long, Long), CusumState] {
+  final class BufferedCusumProcessor(target: Long, threshold: Long,
+      maxBuffered: Long = DefaultMaxBufferedEvents)
+      extends WatermarkBufferedProcessor[(Long, Long, Long), CusumState](maxBuffered) {
     protected def stateEncoder =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     protected def zero = (0L, 0L, -1L)
@@ -852,8 +881,8 @@ object StatefulOps {
     * touch arriving a trigger after "its" purchase now claims it, the
     * exact residual PARITY row 9 documents for the unbuffered twin.
     */
-  final class BufferedAttributionProcessor
-      extends WatermarkBufferedProcessor[(Long, Long, String), AttributedPurchaseTs] {
+  final class BufferedAttributionProcessor(maxBuffered: Long = DefaultMaxBufferedEvents)
+      extends WatermarkBufferedProcessor[(Long, Long, String), AttributedPurchaseTs](maxBuffered) {
     protected def stateEncoder =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
     protected def zero = (-1L, -1L, "none")
@@ -880,7 +909,7 @@ object StatefulOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .transformWithState(new BufferedPatternProcessor,
+      .transformWithState(new BufferedPatternProcessor(bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Update())
   }
 
@@ -891,7 +920,8 @@ object StatefulOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .transformWithState(new BufferedCusumProcessor(target, threshold),
+      .transformWithState(new BufferedCusumProcessor(target, threshold,
+          bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Update())
   }
 
@@ -904,7 +934,7 @@ object StatefulOps {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
-      .transformWithState(new BufferedAttributionProcessor,
+      .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -477,6 +477,33 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("depth guard: a key exceeding the buffered cap fails with the named error at ingest") {
+    // The settle fold materializes and sorts a key's whole backlog, so a
+    // pathological key must die a NAMED death at ingest (naming the
+    // conf), never an executor OOM at settle — the same contract the
+    // interval join's maxDepth guard pins.
+    val key = StatefulOps.MaxBufferedEventsKey
+    spark.conf.set(key, "5")
+    try withRocksDBProvider {
+      val in = MemoryStream[TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExact(in.toDS(), watermark = "400 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_cap").start()
+      val err = intercept[Exception] {
+        // nothing settles under the 400s delay, so the second batch must
+        // push user 1's buffered count past the cap of 5
+        in.addData((0 until 4).map(i => ev(1L, 10000L + i, i.toLong, "view")))
+        q.processAllAvailable()
+        in.addData((4 until 8).map(i => ev(1L, 10000L + i, i.toLong, "view")))
+        try q.processAllAvailable() finally q.stop()
+      }
+      val chain = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString("\n")
+      assert(chain.contains(key) && chain.contains("cap 5"),
+        s"expected the named depth-guard error citing $key, got:\n$chain")
+    } finally spark.conf.unset(key)
+  }
+
   test("min-ts timer arming: backlog-only triggers fire zero timers") {
     // The O(new events)/trigger ingest bound (class doc, decision 2): a
     // key's one timer is armed at its MIN buffered ts, so a trigger
