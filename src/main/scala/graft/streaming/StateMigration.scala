@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline state dump for the buffered-exact checkpoint migration (r14
+  * verdict task 2).
+  *
+  * The r14 continuation changed the buffered-exact trio's buffer state
+  * variable from `ValueState[Seq[event]]` to `ListState[event]` — a
+  * state-layout break Spark rejects at restart with the named
+  * `STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE` error (fail-fast, pinned by
+  * the migration test in BufferedExactStreamSpec). Fail-fast is correct,
+  * but a user holding a pre-change checkpoint needs a road FORWARD; this
+  * is its read half:
+  *
+  * {{{
+  * // 1. dump the old checkpoint offline (no streaming restart needed)
+  * val snap = StateMigration.readOldBufferedExact[(Long, Long, Long)](spark, oldCkpt)
+  * // 2. bootstrap a FRESH checkpoint through the *From entry point
+  * StatefulOps.patternMatchCountsExactFrom(source, snap, watermark)
+  *   .writeStream.option("checkpointLocation", newCkpt)...
+  * // 3. resume the source from the old checkpoint's committed offsets
+  * }}}
+  *
+  * Built on Spark's `statestore` batch reader (the same capability
+  * StateReaderSpec audits): each state VARIABLE of a transformWithState
+  * operator reads back as a DataFrame keyed by the grouping key, one task
+  * per state partition — the dump scales like any parquet-ish scan, never
+  * through the driver. The reader needs the old layout's schemas only,
+  * so it keeps working precisely when the new operator does not.
+  *
+  * Scale note: the dump→bootstrap round trip is shuffle-shaped, not
+  * collect-shaped — `readOldBufferedExact` returns a distributed Dataset
+  * that `transformWithState(..., initialState)` co-partitions with the
+  * stream by key. A 1000-executor migration moves each key's buffer
+  * exactly once.
+  */
+object StateMigration {
+
+  /** Read a pre-change buffered-exact checkpoint's state — the
+    * `buffer: ValueState[Seq[(tsMs, eventId, type, cents)]]` plus (when
+    * the operator had settled anything) `folded: ValueState[S]` — into
+    * one [[StatefulOps.BufferedSnapshot]] row per key. Keys with only a
+    * buffer get `folded = None`; keys whose buffer had drained but whose
+    * fold result lives on get an empty buffer. The armed-timer cache and
+    * the timer registry are NOT dumped: both are derived state the
+    * bootstrap's `handleInitialState` rebuilds from the snapshot.
+    *
+    * `S` is the operator's fold-state type: `(Long, Long, Long)` for the
+    * CEP and CUSUM processors, `(Long, Long, String)` for attribution.
+    */
+  def readOldBufferedExact[S](spark: SparkSession, checkpoint: String)(
+      implicit enc: Encoder[StatefulOps.BufferedSnapshot[S]])
+      : Dataset[StatefulOps.BufferedSnapshot[S]] = {
+    val buf = readVar(spark, checkpoint, "buffer")
+      .select(col("key.value").as("userId"), col("value.value").as("buffer"))
+    val folded = readVar(spark, checkpoint, "folded")
+      .select(col("key.value").as("userId"), struct(col("value.*")).as("folded"))
+    val bufferType = buf.schema("buffer").dataType
+    buf.join(folded, Seq("userId"), "full_outer")
+      .select(col("userId"),
+        // a key can exist in only one of the two vars (buffer drained /
+        // never settled); BufferedSnapshot.buffer is non-optional, so the
+        // missing side reads as an empty buffer
+        coalesce(col("buffer"), array().cast(bufferType)).as("buffer"),
+        col("folded"))
+      .as[StatefulOps.BufferedSnapshot[S]]
+  }
+
+  /** One transformWithState state variable of the checkpoint's operator 0,
+    * raw (`key`, `value` structs as the statestore reader lays them out).
+    */
+  private[streaming] def readVar(spark: SparkSession, checkpoint: String,
+      name: String): DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", name)
+      .load(checkpoint)
+}

@@ -122,6 +122,28 @@ object StatefulOps {
     * of the WORKING list briefly exceeding K within a trigger, bounded
     * by the batch's own size).
     */
+  /** Merge-insert event (t, cents) into a gap-separated sorted fragment
+    * list `(start, last, n, cents)`: fragments wholly more than gap
+    * BEFORE t stay, the ≤2 fragments within gap of t fuse with it (an
+    * event can bridge its two neighbors), fragments wholly more than gap
+    * AFTER t stay. Keeps both invariants (sorted by start AND by last —
+    * gap-separated fragments cannot interleave) by construction. Shared
+    * by the O(maxFragments)-state [[SessionProcessor]] and the
+    * buffered-exact [[BufferedSessionProcessor]] so the two siblings can
+    * never diverge on the merge rule itself.
+    */
+  private[streaming] def mergeInsertFragment(
+      fs: Vector[(Long, Long, Long, Long)], gapMs: Long, t: Long,
+      cents: Long): Vector[(Long, Long, Long, Long)] = {
+    val (before, rest) = fs.span { case (_, l, _, _) => l + gapMs < t }
+    val (touch, after) = rest.span { case (s, _, _, _) => s - gapMs <= t }
+    val fused: (Long, Long, Long, Long) =
+      if (touch.isEmpty) (t, t, 1L, cents)
+      else (math.min(touch.head._1, t), math.max(touch.last._2, t),
+        touch.map(_._3).sum + 1L, touch.map(_._4).sum + cents)
+    (before :+ fused) ++ after
+  }
+
   final class SessionProcessor(gapMs: Long, maxFragments: Int = 8)
       extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
     require(maxFragments >= 1, s"maxFragments must be >= 1, got $maxFragments")
@@ -135,22 +157,11 @@ object StatefulOps {
         TTLConfig.NONE)
     }
 
-    /** Merge-insert event (t, cents) into the gap-separated sorted list:
-      * fragments wholly more than gap BEFORE t stay, the ≤2 fragments
-      * within gap of t fuse with it (an event can bridge its two
-      * neighbors), fragments wholly more than gap AFTER t stay. Keeps
-      * both invariants (sorted by start AND by last — gap-separated
-      * fragments cannot interleave) by construction.
+    /** Merge-insert — see [[mergeInsertFragment]] (shared with the
+      * buffered-exact sibling, [[BufferedSessionProcessor]]).
       */
-    private def insert(fs: Vector[Frag], t: Long, cents: Long): Vector[Frag] = {
-      val (before, rest) = fs.span { case (_, l, _, _) => l + gapMs < t }
-      val (touch, after) = rest.span { case (s, _, _, _) => s - gapMs <= t }
-      val fused: Frag =
-        if (touch.isEmpty) (t, t, 1L, cents)
-        else (math.min(touch.head._1, t), math.max(touch.last._2, t),
-          touch.map(_._3).sum + 1L, touch.map(_._4).sum + cents)
-      (before :+ fused) ++ after
-    }
+    private def insert(fs: Vector[Frag], t: Long, cents: Long): Vector[Frag] =
+      mergeInsertFragment(fs, gapMs, t, cents)
 
     override def handleInputRows(
         userId: Long,
@@ -670,6 +681,17 @@ object StatefulOps {
   final case class AttributedPurchaseTs(
     userId: Long, purchaseEventId: Long, tsMs: Long, cents: Long, touchType: String)
 
+  /** One key's buffered-exact state, externalized: the not-yet-settled
+    * event buffer plus the operator's folded state (None when the key
+    * never settled anything). This is BOTH the shape
+    * [[StateMigration.readOldBufferedExact]] dumps from a pre-r15
+    * ValueState-layout checkpoint AND the initial-state row the `*From`
+    * entry points bootstrap a fresh checkpoint with — the write-path half
+    * of the migration recipe (r14 verdict task 2).
+    */
+  final case class BufferedSnapshot[S](
+    userId: Long, buffer: Seq[(Long, Long, String, Long)], folded: Option[S])
+
   /** Shared skeleton of the buffered-exact trio: a per-key event buffer
     * (ListState of (tsMs, eventId, type, cents) tuples) plus the
     * operator's own small fold state `S`. Input rows only append to the
@@ -715,7 +737,8 @@ object StatefulOps {
     */
   abstract private[streaming] class WatermarkBufferedProcessor[S, O](
       maxBuffered: Long = DefaultMaxBufferedEvents)
-      extends StatefulProcessor[Long, TimedUserEvent, O] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TimedUserEvent, O, BufferedSnapshot[S]] {
     protected type BufEvent = (Long, Long, String, Long) // (tsMs, eventId, type, cents)
 
     protected def stateEncoder: org.apache.spark.sql.Encoder[S]
@@ -730,6 +753,34 @@ object StatefulOps {
       * append-style operators).
       */
     protected def snapshot(userId: Long, s: S): Seq[O]
+
+    // --- settle hooks (r15, for the sessionization sibling) -------------
+    /** Post-fold pass over the state at watermark `wm`: return the state
+      * to keep and the rows to emit. The trio's default keeps the state
+      * and emits [[snapshot]]; sessionization overrides it to EXTRACT the
+      * fragments the watermark has closed (emitting them) and keep the
+      * open rest.
+      */
+    protected def settle(userId: Long, s: S, wm: Long): (S, Seq[O]) =
+      (s, snapshot(userId, s))
+    /** Run [[settle]] on a timer pass even when no buffered event was due
+      * — sessionization needs it (a fragment's close time `last + gap`
+      * lies BEYOND its last event, so the closing pass has an empty fold),
+      * the trio does not (their timers only ever arm at buffered-event
+      * timestamps, so a fire always has due events).
+      */
+    protected def settleOnEmptyFold: Boolean = false
+    /** The state's own next wake-up (e.g. the earliest open fragment's
+      * `last + gap`), independent of any buffered event. None for the
+      * trio: their folded state never needs a timer of its own.
+      */
+    protected def nextTimerFromState(s: S): Option[Long] = None
+    /** True when the settled state carries nothing — the key's folded
+      * ValueState is cleared instead of updated, so a fully-drained key
+      * leaves ZERO state behind. The trio keeps its per-user counters
+      * forever (they are the result), so the default is false.
+      */
+    protected def stateIsEmpty(s: S): Boolean = false
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var st: ValueState[S] = _
@@ -762,6 +813,14 @@ object StatefulOps {
         timerValues: TimerValues): Iterator[O] = {
       val added = rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)).toArray
       if (added.nonEmpty) {
+        // the guard runs BEFORE any state write (r14 ADVICE): the armed
+        // count is one tiny ValueState read, so an over-cap batch rejects
+        // without merging into the ListState — the named error then never
+        // depends on the provider rolling back a failed task attempt, and
+        // a retrying source does not re-append the same backlog each loop
+        val prior = if (armed.exists()) Some(armed.get()) else None
+        val n = prior.fold(0L)(_._2) + added.length
+        guardDepth(userId, n)
         buf.appendList(added)
         var mn = Long.MaxValue
         added.foreach(e => if (e._1 < mn) mn = e._1)
@@ -772,19 +831,16 @@ object StatefulOps {
         // a past-expiry timer in this same batch's timer phase, which is
         // exactly the fold timing we want; do not "optimize" by skipping
         // registration for past expiries
-        if (armed.exists()) {
-          val (cur, n0) = armed.get()
-          val n = n0 + added.length
-          guardDepth(userId, n)
-          if (mn < cur) {
-            getHandle.deleteTimer(cur)
+        prior match {
+          case Some((cur, _)) =>
+            if (mn < cur) {
+              getHandle.deleteTimer(cur)
+              getHandle.registerTimer(mn)
+              armed.update((mn, n))
+            } else armed.update((cur, n))
+          case None =>
             getHandle.registerTimer(mn)
             armed.update((mn, n))
-          } else armed.update((cur, n))
-        } else {
-          guardDepth(userId, added.length.toLong)
-          getHandle.registerTimer(mn)
-          armed.update((mn, added.length.toLong))
         }
       }
       Iterator.empty
@@ -806,27 +862,69 @@ object StatefulOps {
       val cur: Seq[BufEvent] = if (buf.exists()) buf.get().toVector else Vector.empty
       val (due, live) = cur.partition(_._1 <= wm)
       val out = Vector.newBuilder[O]
-      if (due.nonEmpty) {
+      // the state's own next wake-up after this pass (None for the trio)
+      var stateTimer: Option[Long] = None
+      if (due.nonEmpty || settleOnEmptyFold) {
         var s = if (st.exists()) st.get() else zero
         due.sortBy(e => (e._1, e._2)).foreach { e =>
           val (s2, os) = fold(userId, s, e)
           s = s2
           out ++= os
         }
-        st.update(s)
-        out ++= snapshot(userId, s)
+        val (s3, settled) = settle(userId, s, wm)
+        if (stateIsEmpty(s3)) st.clear() else st.update(s3)
+        out ++= settled
+        stateTimer = nextTimerFromState(s3)
+      } else if (st.exists()) {
+        stateTimer = nextTimerFromState(st.get())
       }
-      if (live.isEmpty) { buf.clear(); armed.clear() }
+      if (live.isEmpty) buf.clear()
       else {
         // replace-in-full is the rare path (only rows past the watermark
         // survive a fold) and bounded by the live remainder, not history
         buf.put(live.toArray)
-        var mn = Long.MaxValue
-        live.foreach(e => if (e._1 < mn) mn = e._1)
-        getHandle.registerTimer(mn)
-        armed.update((mn, live.size.toLong))
+      }
+      val bufTimer =
+        if (live.isEmpty) None
+        else Some(live.minBy(_._1)._1)
+      (bufTimer.toSeq ++ stateTimer.toSeq).reduceOption(_ min _) match {
+        case Some(t) =>
+          // t > wm always: a buffered live event has ts > wm by the
+          // partition above, and nextTimerFromState only returns closes
+          // the settle pass left OPEN, i.e. beyond wm — so the new timer
+          // never collides with the one that just fired
+          getHandle.registerTimer(t)
+          armed.update((t, live.size.toLong))
+        case None => armed.clear()
       }
       out.result().iterator
+    }
+
+    /** Write-path bootstrap for checkpoint migration (r14 verdict task 2):
+      * seed this key's buffer, folded state, and timer from an externally
+      * dumped [[BufferedSnapshot]] — one call per key, before the first
+      * batch of the new query. The armed cache and the single live timer
+      * are REBUILT from the snapshot (they are derived state), so the
+      * snapshot only has to carry what the old checkpoint knew: the
+      * unsettled events and the fold result so far.
+      */
+    override def handleInitialState(
+        userId: Long,
+        initial: BufferedSnapshot[S],
+        timerValues: TimerValues): Unit = {
+      initial.folded.foreach(st.update)
+      val n = initial.buffer.size.toLong
+      if (n > 0) {
+        guardDepth(userId, n)
+        buf.appendList(initial.buffer.toArray)
+      }
+      val bufTimer =
+        if (initial.buffer.isEmpty) None else Some(initial.buffer.map(_._1).min)
+      val stTimer = initial.folded.flatMap(nextTimerFromState)
+      (bufTimer.toSeq ++ stTimer.toSeq).reduceOption(_ min _).foreach { t =>
+        getHandle.registerTimer(t)
+        armed.update((t, n))
+      }
     }
   }
 
@@ -936,5 +1034,138 @@ object StatefulOps {
       .groupByKey(_.userId)
       .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Buffered-exact sessionization (r14 verdict task 4) — the fourth
+    * rider on [[WatermarkBufferedProcessor]], closing PARITY row 11's
+    * `maxFragments` overflow fallback: events buffer per user until the
+    * watermark settles them, merge-insert into an UNBOUNDED gap-separated
+    * fragment list (same [[mergeInsertFragment]] rule as the bounded
+    * sibling), and a fragment emits exactly when the watermark passes its
+    * `last + gapMs` — at which point NO admitted event can ever extend it
+    * (an extending event needs ts ≤ last + gap ≤ watermark, which the
+    * strict-> admission filter drops), so sessions are bit-exact vs the
+    * batch gap-sessionization for ANY admitted arrival order and ANY
+    * trigger split, with no overflow fallback.
+    *
+    * What it pays for that: state is O(open fragments + unsettled events)
+    * per user instead of the sibling's fixed O(maxFragments) — the same
+    * horizon-bounded class as rows 19-21, guarded by the same
+    * [[MaxBufferedEventsKey]] ingest cap. Two hook overrides carry the
+    * session shape through the shared skeleton: [[settle]] EXTRACTS
+    * closed fragments from the folded state (the trio only snapshots it),
+    * and [[nextTimerFromState]] keeps a wake-up armed at the earliest
+    * open fragment's close time even when the event buffer is empty —
+    * a fragment's close lies strictly beyond its last event, which is
+    * also why `settleOnEmptyFold`: the closing timer pass has nothing
+    * left to fold.
+    */
+  final class BufferedSessionProcessor(gapMs: Long,
+      maxBuffered: Long = DefaultMaxBufferedEvents)
+      extends WatermarkBufferedProcessor[Seq[(Long, Long, Long, Long)],
+        SessionSummary](maxBuffered) {
+    private type Frag = (Long, Long, Long, Long) // (start, last, n, cents)
+    protected def stateEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Frag]]()
+    protected def zero: Seq[Frag] = Vector.empty
+    override protected def settleOnEmptyFold: Boolean = true
+    override protected def stateIsEmpty(s: Seq[Frag]): Boolean = s.isEmpty
+    // fragment lasts are ascending (gap-separated fragments cannot
+    // interleave), so the earliest close is the head's
+    override protected def nextTimerFromState(s: Seq[Frag]): Option[Long] =
+      s.headOption.map(_._2 + gapMs)
+    protected def fold(userId: Long, s: Seq[Frag], e: BufEvent): (Seq[Frag], Seq[SessionSummary]) =
+      (mergeInsertFragment(s.toVector, gapMs, e._1, e._4), Seq.empty)
+    protected def snapshot(userId: Long, s: Seq[Frag]): Seq[SessionSummary] = Seq.empty
+    override protected def settle(userId: Long, s: Seq[Frag],
+        wm: Long): (Seq[Frag], Seq[SessionSummary]) = {
+      val (due, live) = s.partition { case (_, l, _, _) => l + gapMs <= wm }
+      (live, due.map { case (st, l, n, c) => SessionSummary(userId, st, l, n, c) })
+    }
+  }
+
+  /** Buffered-exact sessionization (Append mode: each session emits
+    * exactly once, final, when the watermark passes its close). See
+    * [[BufferedSessionProcessor]] for the guarantee/state trade vs
+    * [[timedSessions]].
+    */
+  def timedSessionsExact(events: Dataset[TimedEvent], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      // re-shape onto the buffered skeleton's event surface BEFORE the
+      // watermark so the event-time column survives (a typed map after
+      // withWatermark re-serializes and drops the watermark tag)
+      .map(e => TimedUserEvent(e.ts, e.userId, e.eventId, "session", e.cents))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedSessionProcessor(gapMs,
+          bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ===== checkpoint migration entry points (r14 verdict task 2) ========
+  //
+  // A checkpoint written by the pre-r14-continuation buffered-exact
+  // layout (buffer as ValueState[Seq]) cannot restart on the shipped
+  // ListState operators — Spark fails fast with
+  // STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE (pinned by the migration
+  // test). The road forward for a user holding such a checkpoint:
+  //
+  //   1. DUMP: StateMigration.readOldBufferedExact reads the old
+  //      checkpoint's state offline (Spark's `statestore` batch reader —
+  //      no streaming restart needed) into BufferedSnapshot rows;
+  //   2. BOOTSTRAP: start the SAME operator on a FRESH checkpoint via the
+  //      *From entry point below, passing the dump as initial state —
+  //      handleInitialState re-seeds each key's buffer, folded state, and
+  //      timer before the first batch;
+  //   3. RESUME the source from the old checkpoint's committed offsets
+  //      (the offsets/ WAL is layout-independent; for Kafka, copy the
+  //      last committed offsets into startingOffsets).
+  //
+  // One contract caveat, stated: the new query's watermark restarts at 0,
+  // so events the OLD query would have dropped as late can be admitted
+  // during the first trigger(s) after migration. That only ever WIDENS
+  // admission — each admitted event still folds exactly once (the fold
+  // invariant is against the new query's own monotone watermark) — but a
+  // bit-exact handover additionally requires the resumed source not to
+  // replay pre-offset rows (step 3), exactly as within-version restarts
+  // require.
+
+  /** [[patternMatchCountsExact]] bootstrapped from dumped state. */
+  def patternMatchCountsExactFrom(events: Dataset[TimedUserEvent],
+      initial: Dataset[BufferedSnapshot[(Long, Long, Long)]],
+      watermark: String = "10 seconds"): Dataset[PatternCount] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedPatternProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update(), initial.groupByKey(_.userId))
+  }
+
+  /** [[cusumMonitorExact]] bootstrapped from dumped state. */
+  def cusumMonitorExactFrom(events: Dataset[TimedUserEvent], target: Long,
+      threshold: Long, initial: Dataset[BufferedSnapshot[(Long, Long, Long)]],
+      watermark: String = "10 seconds"): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedCusumProcessor(target, threshold,
+          bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update(), initial.groupByKey(_.userId))
+  }
+
+  /** [[lastTouchAttributionExact]] bootstrapped from dumped state. */
+  def lastTouchAttributionExactFrom(events: Dataset[TimedUserEvent],
+      initial: Dataset[BufferedSnapshot[(Long, Long, String)]],
+      watermark: String = "10 seconds"): Dataset[AttributedPurchaseTs] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
   }
 }

@@ -108,6 +108,12 @@ class IntervalNoTaskSpec extends SparkSpec {
         cancel("JVM did not collect the abandoned iterator within 15s - " +
           "backstop unobservable here")
       }
+      // the referent IS collected, but the Cleaner runs its CloseAction on
+      // a daemon thread AFTER the collection — a collection landing near
+      // the first poll's deadline can leave weak.get() null with the files
+      // momentarily alive. Grant the cleaner thread its own grace poll so
+      // only a genuinely stuck cleaner fails (r14 ADVICE).
+      graft.GcPoll.until(mine.isEmpty)
       assert(mine.isEmpty, s"iterator collected but spill files survived: $mine")
     }
   }

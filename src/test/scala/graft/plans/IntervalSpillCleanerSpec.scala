@@ -50,6 +50,11 @@ class IntervalSpillCleanerSpec extends AnyFunSuite {
       cancel("JVM did not collect the unreachable referent within 15s " +
         "(explicit-GC hints disabled?) - backstop unobservable here")
     }
+    // collected — but the Cleaner's daemon thread runs the CloseAction
+    // AFTER collection, so a near-deadline collection can leave the files
+    // momentarily alive. One grace poll so only a genuinely stuck cleaner
+    // fails (r14 ADVICE).
+    graft.GcPoll.until(files.forall(!_.exists()))
     assert(files.forall(!_.exists()),
       "referent collected but the cleaner did not release its files")
     assert(channels.forall(!_.isOpen))

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The watermark-buffered EXACT sessionization (r14 verdict task 4;
+  * PARITY row 22) — the fourth rider on the buffered-exact skeleton.
+  * Contract under test: sessions equal the BATCH gap-sessionization of
+  * the globally (event-time, eventId)-sorted events for ANY admitted
+  * arrival order and ANY trigger split — including the shape the bounded
+  * sibling (PARITY row 11) documents as its residual: more than
+  * `maxFragments` concurrently-open fragments, where the bounded form
+  * emits the earliest early and a later straggler then SPLITS a session
+  * the batch truth merges. Batch truth is an independent walk of the
+  * sorted events, not the processor's own merge rule.
+  */
+class BufferedSessionStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulOps.{SessionSummary, TimedEvent}
+
+  private def t(ms: Long) = new java.sql.Timestamp(ms)
+  private def ev(uid: Long, ms: Long, id: Long = 0L, cents: Long = 1L) =
+    TimedEvent(t(ms), uid, ms / 100 + id, cents)
+
+  private def withRocksDBProvider[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Deliver `batches`, then two flush batches (second lets the first's
+    * timer pass fire — the BufferedExactStreamSpec pattern), return the
+    * sink rows for non-flush users.
+    */
+  private def run(batches: Seq[Seq[TimedEvent]], name: String,
+      checkpoint: Option[String] = None)(
+      wire: org.apache.spark.sql.Dataset[TimedEvent] => org.apache.spark.sql.Dataset[SessionSummary]): Seq[SessionSummary] =
+    withRocksDBProvider {
+      val in = MemoryStream[TimedEvent](spark)
+      val w0 = wire(in.toDS())
+        .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name)
+      val q = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData(ev(999L, 200000L)); q.processAllAvailable()
+      in.addData(ev(999L, 260000L)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[SessionSummary].collect().toSeq
+        .filter(_.userId != 999L).sortBy(s => (s.userId, s.startMs))
+    }
+
+  /** Independent batch truth: walk the (ts, eventId)-sorted events, split
+    * whenever the next event is more than `gap` past the session's last.
+    */
+  private def truth(evs: Seq[TimedEvent], gap: Long): Seq[SessionSummary] =
+    evs.groupBy(_.userId).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.eventId))
+      val out = Seq.newBuilder[SessionSummary]
+      var cur: Option[SessionSummary] = None
+      sorted.foreach { e =>
+        val ts = e.ts.getTime
+        cur match {
+          case Some(s) if ts <= s.endMs + gap =>
+            cur = Some(s.copy(endMs = math.max(s.endMs, ts),
+              nEvents = s.nEvents + 1, cents = s.cents + e.cents))
+          case Some(s) =>
+            out += s
+            cur = Some(SessionSummary(uid, ts, ts, 1L, e.cents))
+          case None =>
+            cur = Some(SessionSummary(uid, ts, ts, 1L, e.cents))
+        }
+      }
+      cur.foreach(out += _)
+      out.result()
+    }.sortBy(s => (s.userId, s.startMs))
+
+  test("cross-batch reversed arrival sessionizes bit-exactly vs the batch truth") {
+    // u1: two sessions [10s..12s] and [30s..31s] (gap 5s); u2: one session
+    // bridged by an event that arrives LAST but sits in the MIDDLE by
+    // event time. Delivery is reversed: each user's latest events arrive
+    // first; watermark delay 60s admits everything.
+    val u1 = Seq(ev(1L, 10000, 1), ev(1L, 11500, 2), ev(1L, 12000, 3),
+      ev(1L, 30000, 4), ev(1L, 31000, 5))
+    val u2 = Seq(ev(2L, 20000, 1), ev(2L, 28000, 3), ev(2L, 24000, 2))
+    val all = u1 ++ u2
+    val got = run(Seq(Seq(u1(3), u1(4), u2(1)), Seq(u1(2), u2(2)),
+      Seq(u1(0), u1(1), u2(0))), "bs_reversed")(
+      StatefulOps.timedSessionsExact(_, gapMs = 5000L, watermark = "60 seconds"))
+    assert(got == truth(all, 5000L), s"got $got\nexpected ${truth(all, 5000L)}")
+  }
+
+  test("straggler beyond maxFragments merges - the bounded sibling's row-11 residual, closed") {
+    // 10 gap-separated fragments open concurrently in batch 1 (the
+    // bounded sibling at its default maxFragments=8 emits the 2 earliest
+    // at batch end); the batch-2 straggler lands within gap of fragment
+    // #1, so the batch truth merges them into ONE session. The exact form
+    // must match the truth; the bounded form must show the split (that is
+    // the residual this operator closes — if the bounded form stops
+    // splitting, row 11's contract changed and BOTH rows need re-pinning).
+    val gap = 2000L
+    val frags = (0 until 10).map(i => ev(3L, 10000L + i * 10000L, 1))
+    val straggler = ev(3L, 11500L, 2) // within gap of fragment #1 (10s..10s)
+    val all = frags :+ straggler
+    val exact = run(Seq(frags, Seq(straggler)), "bs_overflow")(
+      StatefulOps.timedSessionsExact(_, gapMs = gap, watermark = "120 seconds"))
+    assert(exact == truth(all, gap), s"exact form: got $exact\nexpected ${truth(all, gap)}")
+    assert(exact.count(_.userId == 3L) == 10L, "straggler must merge, not open an 11th session")
+    val bounded = run(Seq(frags, Seq(straggler)), "bs_overflow_bounded")(
+      StatefulOps.timedSessions(_, gapMs = gap, watermark = "120 seconds"))
+    assert(bounded.count(_.userId == 3L) == 11L,
+      s"the bounded sibling should still split under K-overflow (residual contract): $bounded")
+  }
+
+  test("sessions emit exactly once and the key's state fully drains after close") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bs-drain").toString
+    val evs = Seq(ev(4L, 10000, 1), ev(4L, 12000, 2), ev(4L, 40000, 3))
+    val got = run(Seq(evs, Seq(ev(998L, 50000L))), "bs_drain", Some(ckpt))(
+      StatefulOps.timedSessionsExact(_, gapMs = 5000L, watermark = "10 seconds"))
+      .filter(_.userId == 4L)
+    assert(got == truth(evs, 5000L), s"got $got")
+    // append finality: exactly one row per session even though the flush
+    // batches kept advancing the watermark afterwards
+    assert(got.size == got.distinct.size, s"duplicate session rows: $got")
+    // drain: the closed user's buffer, fragments, and armed cache are all
+    // gone from the store (read offline; flush user 999's state may live)
+    withRocksDBProvider {
+      Seq("buffer", "folded", "armedTs").foreach { v =>
+        val live = StateMigration.readVar(spark, ckpt, v)
+          .where("key.value = 4").count()
+        assert(live == 0L, s"state var '$v' still holds rows for the drained key")
+      }
+    }
+  }
+
+  test("admission boundary: an event at exactly the watermark drops (strict >)") {
+    // pusher moves wm to 20s; a boundary event at ts == 20s in the next
+    // batch must DROP (strictly-late filter), one at 20.001s must fold —
+    // same contract as the trio's bx_boundary case
+    val pusher = ev(997L, 30000L)
+    val boundary = ev(5L, 20000L, 1)
+    val justIn = ev(5L, 20001L, 2)
+    val got = run(Seq(Seq(pusher), Seq(boundary, justIn)), "bs_boundary")(
+      StatefulOps.timedSessionsExact(_, gapMs = 5000L, watermark = "10 seconds"))
+      .filter(_.userId == 5L)
+    assert(got == truth(Seq(justIn), 5000L),
+      s"boundary event not dropped (or the admitted one lost): $got")
+  }
+}
