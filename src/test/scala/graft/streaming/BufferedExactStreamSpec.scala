@@ -403,6 +403,70 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("migration: dump the old layout offline, bootstrap a fresh checkpoint, resume exactly") {
+    // The road FORWARD from the fail-fast above (r14 verdict task 2),
+    // end-to-end: (1) a checkpoint written under the OLD ValueState-buffer
+    // layout holds u1 = folded (1,2,0) [a settled v,c prefix] + one
+    // buffered purchase, u2 = one buffered view and NO fold result;
+    // (2) StateMigration reads it offline into BufferedSnapshot rows;
+    // (3) the shipped operator starts on a FRESH checkpoint with that
+    // dump as initial state and the stream continues. Resume-exactness:
+    //  - u1 gets NO events after the migration — its buffered purchase
+    //    must settle from the bootstrapped timer alone and fold onto the
+    //    bootstrapped prefix: (3 events, 1 match);
+    //  - u2's post-migration purchase (16s) must fold AFTER its
+    //    pre-migration buffered view (15s) in event-time order: (2, 1).
+    val inOld = newDir("graft-bxmig-in1")
+    val ckptOld = newDir("graft-bxmig-ckpt1")
+    val inNew = newDir("graft-bxmig-in2")
+    val ckptNew = newDir("graft-bxmig-ckpt2")
+    withRocksDBProvider {
+      val q1 = jsonEventSource(inOld).withWatermark("ts", "10 seconds")
+        .groupByKey(_.userId)
+        .transformWithState(new OldBufferLayoutProcessor(Map(1L -> ((1L, 2L, 0L)))),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[PatternCount], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckptOld).start()
+      putJson(inOld)(js(1L, 20000, 2, "purchase"), js(2L, 15000, 10, "view"))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // -- dump (offline; no streaming restart against the old layout) --
+      val snap = StateMigration
+        .readOldBufferedExact[(Long, Long, Long)](spark, ckptOld)
+      val byUser = snap.collect().map(s => s.userId -> s).toMap
+      assert(byUser(1L).buffer == Seq((20000L, 2L, "purchase", 0L))
+          && byUser(1L).folded == Some((1L, 2L, 0L)),
+        s"u1 dump wrong: ${byUser.get(1L)}")
+      assert(byUser(2L).buffer == Seq((15000L, 10L, "view", 0L))
+          && byUser(2L).folded.isEmpty,
+        s"u2 dump wrong: ${byUser.get(2L)}")
+
+      // -- bootstrap a fresh checkpoint and keep consuming --
+      val q2 = StatefulOps
+        .patternMatchCountsExactFrom(jsonEventSource(inNew), snap, "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_migrated")
+        .option("checkpointLocation", ckptNew).start()
+      putJson(inNew)(js(2L, 16000, 11, "purchase"), js(9L, 25000, 90, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 300000, 91, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 400000, 92, "s"))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("bx_migrated").as[PatternCount].collect()
+        .filter(_.userId <= 2L).groupBy(_.userId)
+        .map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      assert(rows(1L) == PatternCount(1L, 3L, 1L),
+        s"u1 must settle on the bootstrapped fold+timer alone: ${rows.get(1L)}")
+      assert(rows(2L) == PatternCount(2L, 2L, 1L),
+        s"u2's pre-migration view must fold before its post-migration purchase: ${rows.get(2L)}")
+    }
+  }
+
   test("multi-stage watermark advance folds incrementally and carries state across timer passes") {
     // band A [10s,11s) and band B [25s,26s) for one user, delay 20s:
     //  T1 delivers band B (+ a second user's C event at 40.9s that pushes
@@ -546,23 +610,38 @@ class BufferedExactStreamSpec extends SparkSpec {
 /** The PRE-r14-continuation buffer layout (ValueState[Seq]), kept only to
   * write an old-format checkpoint for the migration fail-fast test above.
   */
-final class OldBufferLayoutProcessor
+/** Mimics the PRE-r14-continuation buffered-exact state layout: the
+  * buffer as `ValueState[Seq[...]]` (the variable type the continuation
+  * changed to ListState — the layout break under test) plus the `folded`
+  * tuple the CEP processor kept then and keeps now. `installFolded`
+  * lets the migration test plant a fold result for chosen keys, standing
+  * in for state the old build had settled before its last commit.
+  */
+final class OldBufferLayoutProcessor(
+    installFolded: Map[Long, (Long, Long, Long)] = Map.empty)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, StatefulOps.TimedUserEvent, StatefulOps.PatternCount] {
   private type BufEvent = (Long, Long, String, Long)
   @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
+  @transient private var folded: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
     buf = getHandle.getValueState[Seq[BufEvent]](
       "buffer",
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
       org.apache.spark.sql.streaming.TTLConfig.NONE)
+    folded = getHandle.getValueState[(Long, Long, Long)]("folded",
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
 
   override def handleInputRows(
       userId: Long,
       rows: Iterator[StatefulOps.TimedUserEvent],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.PatternCount] = {
+    installFolded.get(userId).foreach { f => if (!folded.exists()) folded.update(f) }
     val cur = if (buf.exists()) buf.get() else Seq.empty
     buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
     Iterator.empty
