@@ -277,6 +277,129 @@ object Bench {
   private[graft] def taintedJson(legs: Seq[String]): String =
     legs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  // ===== Contention-resilient sealing (r14 verdict task 1) =====
+  //
+  // r14 spent 13 bench windows to get 2 clean ones: the taint flag
+  // adjudicated dirty windows correctly, but the only remedy was a full
+  // ~10-min re-run and a human reading calib numbers. The adjudication
+  // now lives INSIDE one bench invocation:
+  //
+  //   - the headline set runs in CHUNKS of [[ChunkSize]] queries with a
+  //     light calib BOUNDARY (1 spin + 2 shuffle + 2 scan samples)
+  //     between chunks — contention localizes to the chunk(s) it
+  //     actually touched instead of smearing over the whole window;
+  //   - a chunk is DIRTY when either surrounding boundary trips the
+  //     taint factor; after the first pass, dirty chunks are re-run
+  //     under a calib re-check, at most [[MaxChunkRetries]] rounds —
+  //     a retry is ACCEPTED only when its own pre- and post-boundaries
+  //     are both clean;
+  //   - the MAIN line always carries a `composite_clean` object the
+  //     driver can parse: the total over clean-window values (first-pass
+  //     value for clean chunks, accepted retry value for re-queried
+  //     ones), the re-queried per-query values, and the names of queries
+  //     that never got a clean measurement ("unclean" — the honest
+  //     remainder, their first-pass value still counted in the total).
+  //
+  // `queries`/`total`/`tainted` keep their exact r13/r14 semantics (the
+  // FIRST pass and its pooled pre/post brackets) so round-over-round
+  // deltas stay comparable; `composite_clean` is the adjudicated number.
+
+  /** Headline queries per boundary-bracketed chunk. 6 ≈ 3-5 min of
+    * queries between boundary samples at sf0.1 — fine enough to localize
+    * a co-tenant burst, coarse enough that boundary cost (~1.7 s each)
+    * stays under 2% of the window.
+    */
+  private[graft] val ChunkSize = 6
+
+  /** Retry rounds over still-dirty chunks after the first pass. Two
+    * bounds the added wall-clock at roughly one extra chunk pass per
+    * dirty chunk while covering the common case (a burst that ends).
+    */
+  private[graft] val MaxChunkRetries = 2
+
+  /** Boundary taint: a leg trips when its MINIMUM boundary sample is at
+    * or above factor × reference (or it has no sample). Minimum, not
+    * median: one quiet sample proves the window COULD run at reference
+    * speed right then, while sustained co-tenancy inflates every sample —
+    * so min trades a little sensitivity to intermittent bursts for far
+    * fewer false retries on 1-2-sample boundaries.
+    */
+  private[graft] def boundaryTainted(samples: Map[String, Seq[Double]],
+      refs: Map[String, Double]): Seq[String] =
+    refs.keys.toSeq.sorted.filter { k =>
+      val xs = samples.getOrElse(k, Seq.empty)
+      xs.isEmpty || xs.min >= CalibTaintFactor * refs(k)
+    }
+
+  /** Chunk indices whose window was dirty on the first pass: chunk i sits
+    * between boundaries i and i+1; either tripping marks it.
+    */
+  private[graft] def dirtyChunks(boundaries: Seq[Map[String, Seq[Double]]],
+      nChunks: Int, refs: Map[String, Double]): Set[Int] =
+    (0 until nChunks).filter { i =>
+      boundaryTainted(boundaries(i), refs).nonEmpty ||
+        boundaryTainted(boundaries(i + 1), refs).nonEmpty
+    }.toSet
+
+  /** The clean-composite per-query values: first-pass value for queries
+    * in clean chunks, the accepted retry value for re-queried ones, and
+    * the first-pass value (plus a listing in `unclean`) for queries whose
+    * chunk never got a clean pass. Returns (perQuery in headline order,
+    * unclean names).
+    */
+  private[graft] def compositeClean(
+      first: Seq[(String, Double)],
+      chunkOf: Map[String, Int],
+      dirty: Set[Int],
+      retriedClean: Map[String, Double]): (Seq[(String, Double)], Seq[String]) = {
+    val perQuery = first.map { case (n, v) =>
+      if (!dirty(chunkOf(n))) n -> v
+      else n -> retriedClean.getOrElse(n, v)
+    }
+    val unclean = first.collect {
+      case (n, _) if dirty(chunkOf(n)) && !retriedClean.contains(n) => n
+    }
+    (perQuery, unclean)
+  }
+
+  /** Inline cap for the main line's composite detail: at most this many
+    * re-queried entries and unclean names ride on the MAIN line (with the
+    * true counts always present and `"truncated":true` when clipped); the
+    * full maps live in target/bench.json. 4 keeps the worst-plausible
+    * main line under the guard-minus-300 headroom pin (BenchLineSpec).
+    */
+  private[graft] val CompositeInlineMax = 4
+
+  /** The main line's `composite_clean` JSON object: the adjudicated total
+    * (clean-window value per query), the exact re-queried/unclean counts,
+    * and — with `inlineDetail` — the re-queried per-query values and
+    * never-clean query names, clipped to [[CompositeInlineMax]] inline.
+    * Without `inlineDetail` (the stdout-budget fallback, see
+    * [[assembleStdout]]) only total + counts ride the line; either way the
+    * full maps live in target/bench.json, and any omission is flagged
+    * in-band with `"truncated":true`.
+    */
+  private[graft] def compositeJson(perQuery: Seq[(String, Double)],
+      requeried: Map[String, Double], unclean: Seq[String],
+      inlineDetail: Boolean = true): String = {
+    val total = perQuery.map(_._2).filter(_ >= 0).sum
+    val rqAll = requeried.toSeq.sortBy(_._1)
+    val head = f""""composite_clean":{"total":$total%.3f,""" +
+      f""""requeried_n":${rqAll.size}%d,"unclean_n":${unclean.size}%d"""
+    if (!inlineDetail) {
+      val trunc = if (rqAll.nonEmpty || unclean.nonEmpty) ""","truncated":true""" else ""
+      head + trunc + "}"
+    } else {
+      val clipped = rqAll.size > CompositeInlineMax || unclean.size > CompositeInlineMax
+      val rq = rqAll.take(CompositeInlineMax)
+        .map { case (n, v) => f""""$n":$v%.3f""" }.mkString("{", ",", "}")
+      val un = unclean.take(CompositeInlineMax)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val trunc = if (clipped) ""","truncated":true""" else ""
+      head + s""","requeried":$rq,"unclean":$un$trunc}"""
+    }
+  }
+
   // ===== Two-line stdout contract (r13 verdict task 2) =====
   //
   // The single compact line reached 1791 of its 1800-char guard in r13 —
@@ -312,8 +435,29 @@ object Bench {
     * the real headline set.
     */
   private[graft] def buildMainLine(total: Double, taintedArr: String,
-      calibCompact: String, qsCompact: String, sfDir: String): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","tainted":$taintedArr$calibCompact,"queries":$qsCompact,"sf":"$sfDir","runs_file":"target/bench.json","probes":"preceding stdout line + target/bench.json"}"""
+      calibCompact: String, qsCompact: String, compositeObj: String,
+      sfDir: String): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","tainted":$taintedArr$calibCompact,"queries":$qsCompact,$compositeObj,"sf":"$sfDir","detail":"target/bench.json"}"""
+
+  /** Three-stage budget degradation (r15, with the composite field): the
+    * pair is tried with the DETAILED main line first; if over budget, the
+    * main line falls back to the counts-only composite (per-query retry
+    * detail already lives in target/bench.json, and the fallback carries
+    * `"truncated":true` in-band); only if even that pair is over budget
+    * does the probes line degrade to its pointer. Every stage logs to
+    * stderr — nothing is ever dropped silently.
+    */
+  private[graft] def assembleStdout(probesLine: String, mainDetail: String,
+      mainCounts: String): Seq[String] = {
+    if (probesLine.length + mainDetail.length + 2 <= StdoutBudget)
+      assembleStdout(probesLine, mainDetail)
+    else if (probesLine.length + mainCounts.length + 2 <= StdoutBudget) {
+      System.err.println(s"[bench] composite detail (${mainDetail.length} chars) " +
+        s"dropped from the main line for the stdout budget; counts-only " +
+        s"composite kept, full detail in target/bench.json")
+      assembleStdout(probesLine, mainCounts)
+    } else assembleStdout(probesLine, mainDetail)
+  }
 
   /** The two stdout lines in print order (probes first, main LAST), with
     * the probes line degraded to a pointer when the pair would outgrow a
@@ -421,6 +565,27 @@ object Bench {
     val bracket1 = Map("spin" -> spinRuns.size, "shuffle" -> shuffleRuns.size,
       "scan" -> scanRuns.size)
 
+    // taint references resolve up front: the chunk boundaries and the
+    // retry pass consult them mid-run (see the contention-resilient
+    // sealing section above)
+    val calibRefs = sys.env.get("SPARK_GRAFT_CALIB_REF")
+      .map(parseCalibRef).filter(_.nonEmpty) // empty override -> defaults
+      .getOrElse(DefaultCalibRef)
+
+    /** One light calib boundary between headline chunks: 1 spin + 2
+      * shuffle + 2 scan samples (~1.7 s). Everything is deep-warm by the
+      * first boundary (sampleCalib just ran its warm-ups), so no per-
+      * boundary warm-up — boundaryTainted's MIN estimator absorbs a
+      * stray slow sample.
+      */
+    def sampleBoundary(): Map[String, Seq[Double]] = {
+      def leg(f: => Double, n: Int): Seq[Double] =
+        (1 to n).flatMap(_ => try Seq(f) catch { case _: Throwable => Seq.empty })
+      Map("spin" -> leg(calibSpin(), 1),
+        "shuffle" -> leg(calibShuffle(spark), 2),
+        "scan" -> leg(calibScan(spark, sfDir), 2))
+    }
+
     // The ScaleProbe's estimator, ported to the headline loop (r6/r7 verdict
     // task 1): three consecutive rounds showed the old single-session
     // median-of-3 cannot tell a 15-20s GC/heap-expansion pause from a real
@@ -431,7 +596,7 @@ object Bench {
     // — robust to two polluted runs — and the raw runs array is emitted in
     // the JSON so a phantom swing is inspectable instead of hidden behind
     // one scalar.
-    val results = headline.map { name =>
+    def measureQuery(name: String): (String, Double, Double, Seq[Double]) = {
       // progress marker on stderr (driver parses stdout JSON only) — also
       // correlates any logged scheduler noise with the query that ran
       System.err.println(s"[bench] ${java.time.Instant.now()} $name")
@@ -463,6 +628,82 @@ object Bench {
       }
       (name, median, medianPlain, runs)
     }
+
+    // ---- first pass: chunked headline loop with calib boundaries ----
+    val chunks: Vector[Vector[String]] =
+      headline.grouped(ChunkSize).map(_.toVector).toVector
+    val chunkOf: Map[String, Int] =
+      chunks.zipWithIndex.flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+    val boundariesB = Vector.newBuilder[Map[String, Seq[Double]]]
+    boundariesB += sampleBoundary()
+    val firstPassChunks = chunks.map { c =>
+      val r = c.map(measureQuery)
+      boundariesB += sampleBoundary()
+      r
+    }
+    val results = firstPassChunks.flatten
+    val boundarySamples = boundariesB.result()
+    // diagnostic override: force chunks dirty regardless of boundaries,
+    // to drive the requeue-accept path on demand (window forensics / the
+    // GATE's end-to-end check of the retry machinery)
+    val dirty = sys.env.get("SPARK_GRAFT_FORCE_DIRTY_CHUNKS") match {
+      case Some(s) =>
+        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+      case None => dirtyChunks(boundarySamples, chunks.size, calibRefs)
+    }
+
+    // ---- bounded retry of dirty chunks (contention-resilient sealing) --
+    val retriedMedians = scala.collection.mutable.Map[String, Double]()
+    val retriedRuns = scala.collection.mutable.Map[String, Seq[Double]]()
+    val retryLog = scala.collection.mutable.ArrayBuffer[String]()
+    var remaining = dirty
+    var retryRound = 0
+    while (remaining.nonEmpty && retryRound < MaxChunkRetries) {
+      retryRound += 1
+      remaining = remaining.toSeq.sorted.filterNot { ci =>
+        // calib re-check BEFORE burning 5 runs per query into a window
+        // that is still dirty; one short grace retry for a burst tail
+        var pre = sampleBoundary()
+        if (boundaryTainted(pre, calibRefs).nonEmpty) {
+          Thread.sleep(5000L)
+          pre = sampleBoundary()
+        }
+        val preDirty = boundaryTainted(pre, calibRefs)
+        if (preDirty.nonEmpty) {
+          retryLog += s"chunk $ci round $retryRound: calib re-check dirty " +
+            s"(${preDirty.mkString("+")}), deferred"
+          false // keep for the next round
+        } else {
+          System.err.println(s"[bench] requeueing dirty chunk $ci: " +
+            chunks(ci).mkString(", "))
+          val res = chunks(ci).map(measureQuery)
+          val post = sampleBoundary()
+          val postDirty = boundaryTainted(post, calibRefs)
+          if (postDirty.isEmpty) {
+            res.foreach { case (n, m, _, rs) =>
+              retriedMedians(n) = m; retriedRuns(n) = rs
+            }
+            retryLog += s"chunk $ci round $retryRound: requeued clean"
+            true // done with this chunk
+          } else {
+            retryLog += s"chunk $ci round $retryRound: post-boundary dirty " +
+              s"(${postDirty.mkString("+")}), retry discarded"
+            false
+          }
+        }
+      }.toSet
+    }
+    remaining.toSeq.sorted.foreach { ci =>
+      retryLog += s"chunk $ci: no clean window within $MaxChunkRetries rounds"
+    }
+    val (compositePerQuery, uncleanNames) = compositeClean(
+      results.map { case (n, m, _, _) => (n, m) }, chunkOf, dirty,
+      retriedMedians.toMap)
+    val compositeObj =
+      compositeJson(compositePerQuery, retriedMedians.toMap, uncleanNames)
+    val compositeCountsObj = compositeJson(compositePerQuery,
+      retriedMedians.toMap, uncleanNames, inlineDetail = false)
+
     val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val qsUntrimmed =
       results.map { case (k, _, u, _) => s""""$k":$u""" }.mkString("{", ",", "}")
@@ -584,9 +825,6 @@ object Bench {
         shuffleRuns.drop(bracket1("shuffle")).toSeq),
       "scan" -> Seq(scanRuns.take(bracket1("scan")).toSeq,
         scanRuns.drop(bracket1("scan")).toSeq))
-    val calibRefs = sys.env.get("SPARK_GRAFT_CALIB_REF")
-      .map(parseCalibRef).filter(_.nonEmpty) // empty override -> defaults
-      .getOrElse(DefaultCalibRef)
     val tainted = taintedJson(taintedLegsBracketed(calibBrackets, calibRefs))
     val calibCompact =
       f""","calib":{"spin":${calibMedians("spin")}%.3f,"shuffle":${calibMedians("shuffle")}%.3f,""" +
@@ -611,15 +849,42 @@ object Bench {
     //    per-probe raw runs arrays plus the calib references, forensics;
     //  - stdout: the two-line contract documented at assembleStdout — the
     //    probes line, then the MAIN line last.
+    // clean-composite forensics for the file record: the full per-query
+    // composite map, the per-boundary raw samples, the retry runs, and
+    // the human-readable retry log (what got requeued, deferred, or
+    // discarded and why)
+    val compositeFull = {
+      val pq = compositePerQuery.map { case (n, v) => s""""$n":$v""" }
+        .mkString("{", ",", "}")
+      val rr = retriedRuns.toSeq.sortBy(_._1).map { case (n, rs) =>
+        s""""$n":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      val bnd = boundarySamples.zipWithIndex.map { case (b, i) =>
+        val legs = b.toSeq.sortBy(_._1).map { case (k, xs) =>
+          s""""$k":${arr(xs)}"""
+        }.mkString("{", ",", "}")
+        s""""b$i":$legs"""
+      }.mkString("{", ",", "}")
+      val dirtyArr = dirty.toSeq.sorted.mkString("[", ",", "]")
+      val logArr = retryLog
+        .map(s => "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"")
+        .mkString("[", ",", "]")
+      s""","composite_clean_full":{"per_query":$pq,"dirty_chunks":$dirtyArr,""" +
+        s""""chunk_size":$ChunkSize,"boundaries":$bnd,"retry_runs":$rr,""" +
+        s""""retry_log":$logArr}"""
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +
         s""""tainted":$tainted,"value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
-        s""""queries_untrimmed":$qsUntrimmed,"runs":$runsJson,"sf":"$sfDir"""" +
-        s"""$calibFull$probeFull$exchangeFull}"""
-    val mainLine = buildMainLine(total, tainted, calibCompact, qsCompact, sfDir)
+        s""""queries_untrimmed":$qsUntrimmed,$compositeObj,"runs":$runsJson,"sf":"$sfDir"""" +
+        s"""$calibFull$compositeFull$probeFull$exchangeFull}"""
+    val mainLine = buildMainLine(total, tainted, calibCompact, qsCompact,
+      compositeObj, sfDir)
+    val mainLineCounts = buildMainLine(total, tainted, calibCompact, qsCompact,
+      compositeCountsObj, sfDir)
     val probesLine =
       s"""{"graft_probes":true$probeCompact$exchangeCompact}"""
-    val stdoutLines = assembleStdout(probesLine, mainLine)
+    val stdoutLines = assembleStdout(probesLine, mainLine, mainLineCounts)
     try {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full)

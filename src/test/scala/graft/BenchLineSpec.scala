@@ -91,14 +91,78 @@ class BenchLineSpec extends AnyFunSuite {
 
   // ---- the two-line stdout contract ----
 
+  // ---- contention-resilient sealing (r14 verdict task 1) ----
+
+  test("boundaryTainted: MIN estimator — one quiet sample clears the leg") {
+    val refs = Map("spin" -> 0.4, "shuffle" -> 0.4, "scan" -> 0.2)
+    // one inflated + one quiet shuffle sample: min 0.35 < 0.5 -> clean
+    assert(Bench.boundaryTainted(Map("spin" -> Seq(0.41),
+      "shuffle" -> Seq(0.9, 0.35), "scan" -> Seq(0.15, 0.16)), refs).isEmpty)
+    // every sample inflated -> tainted; exactly-at-threshold trips (>= rule)
+    assert(Bench.boundaryTainted(Map("spin" -> Seq(0.5),
+      "shuffle" -> Seq(0.9, 0.8), "scan" -> Seq(0.15, 0.16)), refs) ==
+      Seq("shuffle", "spin"))
+    // a leg with no sample is not a clean leg
+    assert(Bench.boundaryTainted(Map("spin" -> Seq(0.41),
+      "shuffle" -> Seq.empty, "scan" -> Seq(0.15)), refs) == Seq("shuffle"))
+  }
+
+  test("dirtyChunks: a chunk is dirty when EITHER surrounding boundary trips") {
+    val refs = Map("scan" -> 0.2)
+    val clean = Map("scan" -> Seq(0.15))
+    val hot = Map("scan" -> Seq(0.4))
+    // boundaries b0..b3 around chunks 0..2: hot b1 dirties chunks 0 AND 1
+    assert(Bench.dirtyChunks(Seq(clean, hot, clean, clean), 3, refs) == Set(0, 1))
+    assert(Bench.dirtyChunks(Seq(clean, clean, clean, hot), 3, refs) == Set(2))
+    assert(Bench.dirtyChunks(Seq(clean, clean, clean, clean), 3, refs).isEmpty)
+  }
+
+  test("compositeClean: clean chunks keep first-pass, dirty+retried take the retry, dirty unretried list unclean") {
+    val first = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0)
+    val chunkOf = Map("a" -> 0, "b" -> 0, "c" -> 1, "d" -> 2)
+    val (pq, unclean) = Bench.compositeClean(first, chunkOf,
+      dirty = Set(0, 2), retriedClean = Map("a" -> 0.9, "b" -> 1.8))
+    assert(pq == Seq("a" -> 0.9, "b" -> 1.8, "c" -> 3.0, "d" -> 4.0),
+      s"per-query composite wrong: $pq")
+    // d's chunk never got a clean pass: first-pass value retained, name listed
+    assert(unclean == Seq("d"))
+  }
+
+  test("compositeJson: parses, counts exact, inline detail clipped with an explicit flag") {
+    val pq = (1 to 10).map(i => s"q$i" -> 1.0)
+    val rq = (1 to 7).map(i => s"q$i" -> 0.9).toMap
+    val un = (8 to 10).map(i => s"q$i")
+    val j = parses("{" + Bench.compositeJson(pq, rq, un) + "}")
+      .get("composite_clean")
+    // total is over the per-query composite values as handed in (the
+    // substitution happened in compositeClean)
+    assert(math.abs(j.get("total").asDouble() - 10.0) < 1e-6)
+    assert(j.get("requeried_n").asInt() == 7 && j.get("unclean_n").asInt() == 3)
+    assert(j.get("requeried").size() == Bench.CompositeInlineMax,
+      "inline requeried must clip at the cap")
+    assert(j.get("truncated").asBoolean(), "clipping must be flagged in-band")
+    // the clean-window case: no clipping, no flag, empty detail
+    val jc = parses("{" + Bench.compositeJson(pq, Map.empty, Seq.empty) + "}")
+      .get("composite_clean")
+    assert(jc.get("requeried_n").asInt() == 0 && !jc.has("truncated"))
+  }
+
   /** A main line built from the REAL headline set with worst-plausible
     * field widths (two-digit seconds per query, every calib leg tainted).
     */
   private def realisticMainLine: String = {
     val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
     val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
+    // worst-plausible composite: every chunk dirty, the inline cap worth
+    // of re-queried entries AND unclean names (longest headline names),
+    // truncation flagged
+    val longest = Bench.headline.sortBy(-_.length)
+    val composite = Bench.compositeJson(
+      Bench.headline.map(_ -> 99.999),
+      longest.take(Bench.CompositeInlineMax + 3).map(_ -> 99.999).toMap,
+      longest.take(Bench.CompositeInlineMax + 3))
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
-      "/root/testdata/sf0.1")
+      composite, "/root/testdata/sf0.1")
   }
 
   /** A probes line at the width the full probe set produces (12 scale
@@ -125,6 +189,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("tainted").isArray)
     assert(j.get("queries").size() == Bench.headline.size)
     assert(j.get("calib").has("scan"))
+    assert(j.get("composite_clean").has("total"),
+      "the adjudicated composite must ride the main line (r14 verdict task 1)")
     // r13 verdict task 2's done bar: the line that must never truncate
     // keeps >= 300 chars of headroom under its guard even at worst widths
     assert(m.length <= Bench.MainLineGuard - 300,
@@ -132,14 +198,49 @@ class BenchLineSpec extends AnyFunSuite {
         s"${Bench.MainLineGuard} - trim the headline precision or restructure")
   }
 
-  test("probes + main pair fits the tail-capture budget at worst widths") {
+  /** The counts-only fallback of [[realisticMainLine]] (same worst
+    * widths, composite detail degraded to exact counts + truncation flag).
+    */
+  private def realisticMainLineCounts: String = {
+    val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
+    val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
+    val longest = Bench.headline.sortBy(-_.length)
+    val composite = Bench.compositeJson(
+      Bench.headline.map(_ -> 99.999),
+      longest.take(Bench.CompositeInlineMax + 3).map(_ -> 99.999).toMap,
+      longest.take(Bench.CompositeInlineMax + 3), inlineDetail = false)
+    Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
+      composite, "/root/testdata/sf0.1")
+  }
+
+  test("probes + main pair fits the budget at worst widths, via the counts-only composite stage") {
     val p = realisticProbesLine
-    val m = realisticMainLine
+    val mDetail = realisticMainLine
+    val mCounts = realisticMainLineCounts
     parses(p)
-    assert(p.length + m.length + 2 <= Bench.StdoutBudget,
-      s"pair ${p.length}+${m.length} outgrows ${Bench.StdoutBudget} - a " +
+    val jc = parses(mCounts)
+    // the fallback still carries the adjudicated numbers and flags the
+    // dropped detail in-band
+    assert(jc.get("composite_clean").has("total")
+      && jc.get("composite_clean").get("truncated").asBoolean())
+    assert(p.length + mCounts.length + 2 <= Bench.StdoutBudget,
+      s"pair ${p.length}+${mCounts.length} outgrows ${Bench.StdoutBudget} - a " +
         "2000-char tail window would clip the probes line head")
-    assert(Bench.assembleStdout(p, m) == Seq(p, m), "within budget the pair passes through")
+    // three-stage assembly at worst widths: the detailed pair is over
+    // budget, so the counts-only main ships and the probes line SURVIVES
+    val out = Bench.assembleStdout(p, mDetail, mCounts)
+    assert(out == Seq(p, mCounts),
+      s"expected the counts-only stage to keep the probes line; got lengths ${out.map(_.length)}")
+  }
+
+  test("a clean window's pair (empty composite detail) passes through the detailed stage") {
+    val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
+    val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
+    val composite = Bench.compositeJson(Bench.headline.map(_ -> 99.999), Map.empty, Seq.empty)
+    val m = Bench.buildMainLine(9999.999, "[]", calib, qs, composite, "/root/testdata/sf0.1")
+    val p = realisticProbesLine
+    assert(Bench.assembleStdout(p, m, m) == Seq(p, m),
+      "a clean window must ship the full pair with the (empty) composite detail inline")
   }
 
   test("over-budget pair degrades the probes line to an explicit pointer, main intact and LAST") {
