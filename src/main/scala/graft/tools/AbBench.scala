@@ -431,6 +431,48 @@ object AbBench {
     }
     capFoldLeg("buffered-capfold-250k", 250000)
     capFoldLeg("buffered-capfold-1M", 1000000)
+
+    // r15: the sessionization exactness price (PARITY row 22 vs row 11)
+    // — the same 600k-event / 20k-user / 4-trigger regime as the CEP
+    // pair above, gap 5s against per-user events 1s apart (one live
+    // session per user, folding progressively as the watermark advances,
+    // closing at the flush). The bounded form pays an O(K) fragment
+    // merge per event inline; the exact form pays the ListState append
+    // per trigger plus the settle-fold sort when its min-ts timer fires.
+    // r15 RESULT (medians of 3, quiet window): bounded 12.250 s vs exact
+    // 13.093 s → the sessionization exactness price is **1.07×** — far
+    // below the CEP trio's 1.8-1.9×, because the bounded sibling already
+    // pays a per-event sorted merge inline while the exact form's extra
+    // work is only the buffer append + one settle sort per fold cohort.
+    def sessionLeg(name: String)(
+        wire: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TimedEvent] =>
+          org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionSummary]): Unit =
+      abStream(name) { rep =>
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val in = MemoryStream[graft.streaming.StatefulOps.TimedEvent](spark)
+        val q = wire(in.toDS())
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"${name.replace('-', '_')}_$rep").start()
+        (0 until 4).foreach { b =>
+          in.addData((0 until nEvents / 4).map { i =>
+            val g = b.toLong * (nEvents / 4) + i
+            graft.streaming.StatefulOps.TimedEvent(
+              new java.sql.Timestamp(1000000L + (g / nUsers) * 1000L), g % nUsers, g, 1L)
+          })
+          q.processAllAvailable()
+        }
+        Seq(200000000L, 300000000L).zipWithIndex.foreach { case (off, k) =>
+          in.addData(Seq(graft.streaming.StatefulOps.TimedEvent(
+            new java.sql.Timestamp(1000000L + off), 999999L, -1L - k, 0L)))
+          q.processAllAvailable()
+        }
+        q.stop()
+      }
+    sessionLeg("sessions-bounded-600k")(
+      graft.streaming.StatefulOps.timedSessions(_, gapMs = 5000L, watermark = "10 seconds"))
+    sessionLeg("sessions-exact-600k")(
+      graft.streaming.StatefulOps.timedSessionsExact(_, gapMs = 5000L, watermark = "10 seconds"))
     spark.stop()
   }
 }

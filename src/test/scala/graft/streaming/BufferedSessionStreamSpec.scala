@@ -23,6 +23,9 @@ class BufferedSessionStreamSpec extends SparkSpec {
   private def ev(uid: Long, ms: Long, id: Long = 0L, cents: Long = 1L) =
     TimedEvent(t(ms), uid, ms / 100 + id, cents)
 
+  private def newDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   private def withRocksDBProvider[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -136,6 +139,84 @@ class BufferedSessionStreamSpec extends SparkSpec {
         assert(live == 0L, s"state var '$v' still holds rows for the drained key")
       }
     }
+  }
+
+  test("fuzz: random trigger assignments all sessionize to the batch truth") {
+    // 12 events per seed spanning 3 gap-separated sessions for one user
+    // plus an interleaved second user, randomly dealt into 3 triggers —
+    // any admitted arrival order must reproduce the batch walk (the same
+    // fuzz contract rows 19-21 carry)
+    val gap = 3000L
+    val evs = Seq(10000L, 11000L, 12500L, 20000L, 21000L, 30000L).zipWithIndex.flatMap {
+      case (ms, i) => Seq(ev(6L, ms, i), ev(7L, ms + 500L, i))
+    }
+    Seq(11L, 23L, 47L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val batches = Seq.newBuilder[Seq[TimedEvent]]
+      val dealt = evs.map(e => (rnd.nextInt(3), e))
+      (0 until 3).foreach { b => batches += dealt.collect { case (`b`, e) => e } }
+      val got = run(batches.result(), s"bs_fuzz_$seed")(
+        StatefulOps.timedSessionsExact(_, gapMs = gap, watermark = "60 seconds"))
+      assert(got == truth(evs, gap), s"seed $seed: got $got\nexpected ${truth(evs, gap)}")
+    }
+  }
+
+  test("checkpoint restart preserves fragments, buffer, and timers (row 22 across a WAL recovery)") {
+    // Three facts across one stop/restart (gap 5s, delay 10s; every
+    // pre-stop ts <= 24s so the stop-point watermark is 14s — the open
+    // fragment's close at 17s and the buffered 24s event both sit PAST
+    // it, and the 16.5s straggler is still admissible after the restart):
+    //  - u1's two events (10s, 12s) FOLD into an open fragment before
+    //    the stop; the post-restart straggler at 16.5s (> wm 14s, within
+    //    gap of the fragment's last 12s) must MERGE into it -> the
+    //    fragment ValueState survived;
+    //  - u2's 24s event is still BUFFERED (unfolded) at the stop and
+    //    must fold with a post-restart 25s event into one session -> the
+    //    ListState buffer survived;
+    //  - both sessions emit exactly once, from timer passes after the
+    //    restart -> the armed timers survived.
+    val in = newDir("graft-bs-in")
+    val ckpt = newDir("graft-bs-ckpt")
+    val out = newDir("graft-bs-out")
+    def put(rows: String*): Unit = {
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(in), "part", ".json")
+      java.nio.file.Files.writeString(f, rows.mkString("\n") + "\n")
+      ()
+    }
+    def js(uid: Long, ms: Long, id: Long) =
+      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"cents":1}"""
+    def src = spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, cents bigint")
+      .json(in)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "cents")
+      .as[TimedEvent]
+    def startQuery() = withRocksDBProvider {
+      StatefulOps.timedSessionsExact(src, gapMs = 5000L, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = startQuery()
+    put(js(1L, 10000, 0), js(1L, 12000, 1), js(2L, 24000, 10), js(9L, 24000, 90))
+    q1.processAllAvailable()
+    put(js(9L, 23000, 91)) // timer pass at wm 14s folds u1 into an open fragment
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    put(js(1L, 16500, 2), js(2L, 25000, 11), js(9L, 40000, 92))
+    q2.processAllAvailable()
+    put(js(9L, 60000, 93)) // wm 30s: straggler merges + both sessions close
+    q2.processAllAvailable()
+    put(js(9L, 70000, 94)) // backstop advance for any re-armed timer
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).as[SessionSummary].collect()
+      .filter(_.userId <= 2L).sortBy(_.userId).toSeq
+    assert(rows == Seq(
+      SessionSummary(1L, 10000L, 16500L, 3L, 3L),
+      SessionSummary(2L, 24000L, 25000L, 2L, 2L)),
+      s"restart broke buffered-exact session state: $rows")
   }
 
   test("admission boundary: an event at exactly the watermark drops (strict >)") {
