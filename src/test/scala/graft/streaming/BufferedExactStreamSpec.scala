@@ -21,22 +21,7 @@ class BufferedExactStreamSpec extends SparkSpec {
   private def ev(uid: Long, ms: Long, id: Long, typ: String, cents: Long = 0L) =
     TimedUserEvent(t(ms), uid, id, typ, cents)
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   // ---- file-source scaffolding shared by the checkpoint tests ----
-
-  private def newDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
 
   private def putJson(dir: String)(rows: String*): Unit = {
     val f = java.nio.file.Files.createTempFile(
@@ -467,6 +452,63 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("migration: the attribution-typed dump round-trips too (folded carries a String field)") {
+    // The dump/bootstrap machinery is generic in the fold-state type S;
+    // the CEP round trip above exercises S = (Long, Long, Long). This
+    // pins the OTHER shape — attribution's (touchTs, touchId, touchType)
+    // with a String column — through the same statestore read
+    // (struct(value.*)) and initial-state encoder path:
+    //  - u3's bootstrapped folded best-touch ("view") must credit its
+    //    still-buffered pre-migration purchase with no new u3 events;
+    //  - u4's pre-migration buffered click must fold before its
+    //    post-migration purchase.
+    val inOld = newDir("graft-bxmiga-in1")
+    val ckptOld = newDir("graft-bxmiga-ckpt1")
+    val inNew = newDir("graft-bxmiga-in2")
+    val ckptNew = newDir("graft-bxmiga-ckpt2")
+    withRocksDBProvider {
+      val q1 = jsonEventSource(inOld).withWatermark("ts", "10 seconds")
+        .groupByKey(_.userId)
+        .transformWithState(
+          new OldAttributionLayoutProcessor(Map(3L -> ((5000L, 50L, "view")))),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[AttributedPurchaseTs], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckptOld).start()
+      putJson(inOld)(js(3L, 20000, 51, "purchase", 700L), js(4L, 15000, 60, "click"))
+      q1.processAllAvailable()
+      q1.stop()
+
+      val snap = StateMigration
+        .readOldBufferedExact[(Long, Long, String)](spark, ckptOld)
+      val byUser = snap.collect().map(s => s.userId -> s).toMap
+      assert(byUser(3L).folded == Some((5000L, 50L, "view"))
+          && byUser(3L).buffer == Seq((20000L, 51L, "purchase", 700L)),
+        s"u3 dump wrong: ${byUser.get(3L)}")
+      assert(byUser(4L).folded.isEmpty, s"u4 dump wrong: ${byUser.get(4L)}")
+
+      val q2 = StatefulOps
+        .lastTouchAttributionExactFrom(jsonEventSource(inNew), snap, "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("bx_migrated_attr")
+        .option("checkpointLocation", ckptNew).start()
+      putJson(inNew)(js(4L, 16000, 61, "purchase", 900L), js(9L, 25000, 90, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 300000, 91, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 400000, 92, "s"))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("bx_migrated_attr").as[AttributedPurchaseTs]
+        .collect().filter(_.userId <= 4L).sortBy(_.userId).toSeq
+      assert(rows == Seq(
+        AttributedPurchaseTs(3L, 51L, 20000L, 700L, "view"),
+        AttributedPurchaseTs(4L, 61L, 16000L, 900L, "click")),
+        s"attribution migration broke: $rows")
+    }
+  }
+
   test("multi-stage watermark advance folds incrementally and carries state across timer passes") {
     // band A [10s,11s) and band B [25s,26s) for one user, delay 20s:
     //  T1 delivers band B (+ a second user's C event at 40.9s that pushes
@@ -607,9 +649,42 @@ class BufferedExactStreamSpec extends SparkSpec {
   }
 }
 
-/** The PRE-r14-continuation buffer layout (ValueState[Seq]), kept only to
-  * write an old-format checkpoint for the migration fail-fast test above.
+/** The attribution-typed twin of [[OldBufferLayoutProcessor]]: same old
+  * ValueState[Seq] buffer layout, folded as the attribution triple
+  * (touchTs, touchEventId, touchType) — the fold-state shape with a
+  * String column, for the generic-S migration round trip.
   */
+final class OldAttributionLayoutProcessor(
+    installFolded: Map[Long, (Long, Long, String)] = Map.empty)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StatefulOps.TimedUserEvent, StatefulOps.AttributedPurchaseTs] {
+  private type BufEvent = (Long, Long, String, Long)
+  @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
+  @transient private var folded: org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    buf = getHandle.getValueState[Seq[BufEvent]](
+      "buffer",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    folded = getHandle.getValueState[(Long, Long, String)]("folded",
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[StatefulOps.TimedUserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.AttributedPurchaseTs] = {
+    installFolded.get(userId).foreach { f => if (!folded.exists()) folded.update(f) }
+    val cur = if (buf.exists()) buf.get() else Seq.empty
+    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    Iterator.empty
+  }
+}
+
 /** Mimics the PRE-r14-continuation buffered-exact state layout: the
   * buffer as `ValueState[Seq[...]]` (the variable type the continuation
   * changed to ListState — the layout break under test) plus the `folded`

@@ -23,21 +23,6 @@ class BufferedSessionStreamSpec extends SparkSpec {
   private def ev(uid: Long, ms: Long, id: Long = 0L, cents: Long = 1L) =
     TimedEvent(t(ms), uid, ms / 100 + id, cents)
 
-  private def newDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   /** Deliver `batches`, then two flush batches (second lets the first's
     * timer pass fire — the BufferedExactStreamSpec pattern), return the
     * sink rows for non-flush users.

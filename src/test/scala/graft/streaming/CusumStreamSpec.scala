@@ -17,18 +17,6 @@ class CusumStreamSpec extends SparkSpec {
   private val Target = 100L
   private val Threshold = 150L
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[UserEvent]], name: String): Map[Long, CusumState] =
     withRocksDBProvider {
       val in = MemoryStream[UserEvent](spark)

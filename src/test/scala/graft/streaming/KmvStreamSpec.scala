@@ -31,18 +31,6 @@ class KmvStreamSpec extends SparkSpec {
   private def batchTruth(key: String): Seq[Long] =
     KmvSketch.bottomK(K, rows.filter(_.key == key).map(_.h))
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[HashedValue]], name: String): Map[String, KmvSketchRow] =
     withRocksDBProvider {
       val in = MemoryStream[HashedValue](spark)

@@ -30,18 +30,6 @@ class PatternMatchStreamSpec extends SparkSpec {
     }
   }
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[UserEvent]], name: String): Map[Long, PatternCount] =
     withRocksDBProvider {
       val in = MemoryStream[UserEvent](spark)

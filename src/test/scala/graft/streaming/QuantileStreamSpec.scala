@@ -26,18 +26,6 @@ class QuantileStreamSpec extends SparkSpec {
   private val rows: Seq[Observation] =
     aVals.map(Observation("a", _)) ++ Seq(1.0, 1.0, 1.0, 50.0, 99.0).map(Observation("b", _))
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[Observation]], name: String): Map[String, QuantileRow] =
     withRocksDBProvider {
       val in = MemoryStream[Observation](spark)

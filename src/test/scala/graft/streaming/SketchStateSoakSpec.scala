@@ -16,18 +16,6 @@ class SketchStateSoakSpec extends SparkSpec {
   import spark.implicits._
   import StatefulOps.HashedValue
 
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   test("KMV state rows track keys, not rows folded") {
     withRocksDBProvider {
       val in = MemoryStream[HashedValue](spark)

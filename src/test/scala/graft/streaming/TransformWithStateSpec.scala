@@ -34,18 +34,6 @@ class TransformWithStateSpec extends SparkSpec {
     * and restore whatever was set before (shared session — leaking the conf
     * would silently re-provider every later streaming test in the JVM).
     */
-  private def withRocksDBProvider[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   private def run(batches: Seq[Seq[UserEvent]], name: String): Seq[UserTotals] =
     withRocksDBProvider {
       val in = MemoryStream[UserEvent](spark)
