@@ -144,6 +144,35 @@ object StatefulOps {
     (before :+ fused) ++ after
   }
 
+  /** One buffered-session fold step: [[mergeInsertFragment]] semantics
+    * with a TAIL fast path. The general merge-insert re-scans the whole
+    * fragment vector per event, which would make one settle cohort of k
+    * gap-separated events O(k²) (a heartbeat key at the depth cap would
+    * wedge a task for hours inside the memory guard). The fold invariant
+    * makes the scan unnecessary: every due event's ts is strictly
+    * greater than every previously FOLDED event's ts (a buffered event
+    * survived past fold boundaries ⇔ its ts exceeds them), so it can
+    * only extend/join the LAST fragment or open a new one after it —
+    * and within a cohort events fold in ascending (ts, eventId) order,
+    * preserving that property step by step. Anything t ≥ the tail's
+    * start is provably single-touch (the previous fragment's
+    * `last + gap < tailStart ≤ t` by gap separation), so only
+    * t < tailStart falls back to the general path. Result equality with
+    * pure merge-insert is property-pinned for arbitrary (not just
+    * ascending) inputs by SessionFoldSpec.
+    */
+  private[streaming] def sessionFoldStep(
+      fs: Vector[(Long, Long, Long, Long)], gapMs: Long, t: Long,
+      cents: Long): Vector[(Long, Long, Long, Long)] =
+    if (fs.isEmpty) Vector((t, t, 1L, cents))
+    else {
+      val (st0, l0, n0, c0) = fs.last
+      if (t > l0 + gapMs) fs :+ ((t, t, 1L, cents))
+      else if (t >= st0)
+        fs.init :+ ((st0, math.max(l0, t), n0 + 1L, c0 + cents))
+      else mergeInsertFragment(fs, gapMs, t, cents)
+    }
+
   final class SessionProcessor(gapMs: Long, maxFragments: Int = 8)
       extends StatefulProcessor[Long, TimedEvent, SessionSummary] {
     require(maxFragments >= 1, s"maxFragments must be >= 1, got $maxFragments")
@@ -1085,32 +1114,8 @@ object StatefulOps {
     // interleave), so the earliest close is the head's
     override protected def nextTimerFromState(s: Seq[Frag]): Option[Long] =
       s.headOption.map(_._2 + gapMs)
-    protected def fold(userId: Long, s: Seq[Frag], e: BufEvent): (Seq[Frag], Seq[SessionSummary]) = {
-      // TAIL fast path — the general merge-insert re-scans the whole
-      // fragment vector per event, which would make one settle cohort of
-      // k gap-separated events O(k²) (a heartbeat key at the depth cap
-      // would wedge a task for hours inside the memory guard). The fold
-      // invariant makes the scan unnecessary: every due event's ts is
-      // strictly greater than every previously FOLDED event's ts (a
-      // buffered event survived past fold boundaries ⇔ its ts exceeds
-      // them), so it can only extend/join the LAST fragment or open a
-      // new one after it — and within a cohort events fold in ascending
-      // (ts, eventId) order, preserving that property step by step. The
-      // general path stays as the safety net for anything else.
-      val fs = s.toVector
-      val t = e._1
-      val cents = e._4
-      val merged =
-        if (fs.isEmpty) Vector((t, t, 1L, cents))
-        else {
-          val (st0, l0, n0, c0) = fs.last
-          if (t > l0 + gapMs) fs :+ ((t, t, 1L, cents))
-          else if (t >= st0)
-            fs.init :+ ((st0, math.max(l0, t), n0 + 1L, c0 + cents))
-          else mergeInsertFragment(fs, gapMs, t, cents)
-        }
-      (merged, Seq.empty)
-    }
+    protected def fold(userId: Long, s: Seq[Frag], e: BufEvent): (Seq[Frag], Seq[SessionSummary]) =
+      (sessionFoldStep(s.toVector, gapMs, e._1, e._4), Seq.empty)
     protected def snapshot(userId: Long, s: Seq[Frag]): Seq[SessionSummary] = Seq.empty
     override protected def settle(userId: Long, s: Seq[Frag],
         wm: Long): (Seq[Frag], Seq[SessionSummary]) = {
