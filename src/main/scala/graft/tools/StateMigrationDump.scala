@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The migration recipe's step 1 as a runnable script (r14 verdict task
+  * 2): dump a pre-r14-continuation buffered-exact checkpoint's state to
+  * parquet, offline.
+  *
+  * {{{
+  * sbt "runMain graft.tools.StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution [hdfs]"
+  * }}}
+  *
+  * Writes one row per key — `userId`, the unsettled `buffer`, the
+  * operator's `folded` state (null when the key never settled) — which
+  * the bootstrap side reads straight back:
+  *
+  * {{{
+  * val snap = spark.read.parquet(outDir)
+  *   .as[StatefulOps.BufferedSnapshot[(Long, Long, Long)]]   // cep / cusum
+  * StatefulOps.patternMatchCountsExactFrom(source, snap, watermark)
+  *   .writeStream.option("checkpointLocation", FRESH_CKPT)...
+  * }}}
+  *
+  * The optional 4th arg selects the state-store provider the OLD
+  * checkpoint was written with (default `rocksdb`; pass `hdfs` for the
+  * default HDFS-backed provider) — the offline reader instantiates the
+  * same provider to open the store files.
+  *
+  * Scale shape: the dump is a distributed `statestore` scan (one task
+  * per state partition) piped to a parquet write — nothing collects to
+  * the driver; the printed count is computed from the written files.
+  */
+object StateMigrationDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution [rocksdb|hdfs]")
+    val Array(ckpt, outDir, shape) = args.take(3)
+    val provider = if (args.length > 3) args(3) else "rocksdb"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val n = run(spark, ckpt, outDir, shape)
+    println(s"[migrate] dumped $n key snapshot(s) from $ckpt to $outDir ($shape layout)")
+    spark.stop()
+  }
+
+  /** The dump itself, session-agnostic (the spec drives this directly;
+    * `main` owns only arg parsing and session lifecycle). Returns the
+    * written key count, read back from the parquet files.
+    */
+  def run(spark: SparkSession, ckpt: String, outDir: String,
+      shape: String): Long = {
+    import spark.implicits._
+    val snap = shape match {
+      case "cep" | "cusum" =>
+        graft.streaming.StateMigration
+          .readOldBufferedExact[(Long, Long, Long)](spark, ckpt).toDF()
+      case "attribution" =>
+        graft.streaming.StateMigration
+          .readOldBufferedExact[(Long, Long, String)](spark, ckpt).toDF()
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown operator shape '$other' (want cep, cusum, or attribution)")
+    }
+    snap.write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+}

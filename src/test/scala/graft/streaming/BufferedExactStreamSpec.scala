@@ -429,6 +429,16 @@ class BufferedExactStreamSpec extends SparkSpec {
           && byUser(2L).folded.isEmpty,
         s"u2 dump wrong: ${byUser.get(2L)}")
 
+      // -- the scripted form of the same dump: parquet out, parquet back
+      // (what an ops runbook calls via graft.tools.StateMigrationDump) --
+      val dumpDir = newDir("graft-bxmig-dump")
+      assert(graft.tools.StateMigrationDump.run(spark, ckptOld, dumpDir, "cep") == 2L)
+      val viaParquet = spark.read.parquet(dumpDir)
+        .as[StatefulOps.BufferedSnapshot[(Long, Long, Long)]]
+        .collect().map(s => s.userId -> s).toMap
+      assert(viaParquet == byUser,
+        s"scripted dump diverged from the direct read: $viaParquet vs $byUser")
+
       // -- bootstrap a fresh checkpoint and keep consuming --
       val q2 = StatefulOps
         .patternMatchCountsExactFrom(jsonEventSource(inNew), snap, "10 seconds")
