@@ -441,11 +441,16 @@ object AbBench {
     // closing at the flush). The bounded form pays an O(K) fragment
     // merge per event inline; the exact form pays the ListState append
     // per trigger plus the settle-fold sort when its min-ts timer fires.
-    // r15 RESULT (medians of 3, quiet window): bounded 12.250 s vs exact
-    // 13.093 s → the sessionization exactness price is **1.07×** — far
-    // below the CEP trio's 1.8-1.9×, because the bounded sibling already
-    // pays a per-event sorted merge inline while the exact form's extra
-    // work is only the buffer append + one settle sort per fold cohort.
+    // r15 RESULT, two windows (streaming lifecycle wall-clock is the
+    // noisiest thing this harness measures — full query start/stop per
+    // rep): window A medians 12.250 (bounded) vs 13.093 (exact); window
+    // B 14.192 vs 17.407 with one 28.7 s GC/co-tenant outlier in the
+    // exact leg. Honest statement: min-vs-min across all reps 10.887 vs
+    // 12.729 = **1.17×**, medians scatter 1.07-1.23× — the sessionization
+    // exactness price sits around ~1.2×, well below the CEP trio's
+    // 1.8-1.9×, because the bounded sibling already pays a per-event
+    // sorted merge inline while the exact form's extra work is only the
+    // buffer append + one settle sort per fold cohort.
     def sessionLeg(name: String)(
         wire: org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TimedEvent] =>
           org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionSummary]): Unit =
