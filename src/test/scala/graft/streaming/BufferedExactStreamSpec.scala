@@ -459,6 +459,34 @@ class BufferedExactStreamSpec extends SparkSpec {
         s"u1 must settle on the bootstrapped fold+timer alone: ${rows.get(1L)}")
       assert(rows(2L) == PatternCount(2L, 2L, 1L),
         s"u2's pre-migration view must fold before its post-migration purchase: ${rows.get(2L)}")
+
+      // -- the CUSUM entry point bootstraps from the SAME dump (its fold
+      // state is the same (Long, Long, Long) layout): folded (1,2,0)
+      // reads as n=1, acc=2, alarm latched at event 0; settling u1's
+      // buffered zero-cents purchase under target=0 must give (2, 2, 0),
+      // and u2 folds its two events from zero to (2, 0, -1) --
+      val inCu = newDir("graft-bxmig-in3")
+      val ckptCu = newDir("graft-bxmig-ckpt3")
+      val q3 = StatefulOps
+        .cusumMonitorExactFrom(jsonEventSource(inCu), target = 0L,
+          threshold = 1000L, initial = snap, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_migrated_cusum")
+        .option("checkpointLocation", ckptCu).start()
+      putJson(inCu)(js(2L, 16000, 11, "purchase"), js(9L, 25000, 90, "s"))
+      q3.processAllAvailable()
+      putJson(inCu)(js(9L, 300000, 91, "s"))
+      q3.processAllAvailable()
+      putJson(inCu)(js(9L, 400000, 92, "s"))
+      q3.processAllAvailable()
+      q3.stop()
+      val cu = spark.table("bx_migrated_cusum").as[CusumState].collect()
+        .filter(_.userId <= 2L).groupBy(_.userId)
+        .map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      assert(cu(1L) == CusumState(1L, 2L, 2L, 0L),
+        s"CUSUM bootstrap must continue the dumped recursion + latch: ${cu.get(1L)}")
+      assert(cu(2L) == CusumState(2L, 2L, 0L, -1L),
+        s"CUSUM bootstrap from empty fold state wrong: ${cu.get(2L)}")
     }
   }
 
