@@ -409,7 +409,8 @@ object Bench {
   //   line P (probes):  {"graft_probes":true,"scale_probe":...,
   //                      "exchange_probe":...}
   //   line M (main):    {"metric":"total",...,"tainted":...,"calib":...,
-  //                      "queries":...}  <- ALWAYS the final stdout line
+  //                      "queries":...,"composite_clean":...}
+  //                      <- ALWAYS the final stdout line
   //
   // Extraction contract: the LAST stdout line is the main record (the
   // driver parses it; it carries everything that must never truncate —
