@@ -445,19 +445,22 @@ object Bench {
     * main line falls back to the counts-only composite (per-query retry
     * detail already lives in target/bench.json, and the fallback carries
     * `"truncated":true` in-band); only if even that pair is over budget
-    * does the probes line degrade to its pointer. Every stage logs to
-    * stderr — nothing is ever dropped silently.
+    * does the probes line degrade to its pointer — STILL paired with the
+    * counts-only main (r15 ADVICE: pointer + detailed main could itself
+    * exceed the budget with only a stderr warning; pointer + counts is
+    * the strictly safer last stage). Every stage logs to stderr — nothing
+    * is ever dropped silently.
     */
   private[graft] def assembleStdout(probesLine: String, mainDetail: String,
       mainCounts: String): Seq[String] = {
     if (probesLine.length + mainDetail.length + 2 <= StdoutBudget)
       assembleStdout(probesLine, mainDetail)
-    else if (probesLine.length + mainCounts.length + 2 <= StdoutBudget) {
+    else {
       System.err.println(s"[bench] composite detail (${mainDetail.length} chars) " +
         s"dropped from the main line for the stdout budget; counts-only " +
         s"composite kept, full detail in target/bench.json")
       assembleStdout(probesLine, mainCounts)
-    } else assembleStdout(probesLine, mainDetail)
+    }
   }
 
   /** The two stdout lines in print order (probes first, main LAST), with

@@ -824,10 +824,14 @@ object StatefulOps {
 
     @transient private var buf: org.apache.spark.sql.streaming.ListState[BufEvent] = _
     @transient private var st: ValueState[S] = _
-    // (min buffered ts, buffered count). The first half is the expiry of
-    // the key's one live timer — a deliberate CACHE over the timer
-    // registry: listTimers() is a RocksDB prefix scan per call, this is
-    // one small ValueState read. The sync invariant (armed == the single
+    // (expiry of the key's ONE live timer, buffered count). Since the r15
+    // settle hooks the first element is NOT always a buffered event ts: it
+    // is min(min buffered ts, the state's own next wake-up from
+    // nextTimerFromState — e.g. the session rider's earliest open-fragment
+    // close time). handleInputRows' `mn < cur` comparison relies on that
+    // single-live-timer-expiry meaning, not on "min buffered ts". The
+    // cache is deliberate — listTimers() is a RocksDB prefix scan per
+    // call, this is one small ValueState read. The sync invariant (armed == the single
     // live timer's expiry, count == buffer length, or none exist) must
     // hold on all three write paths — input re-arm, fold re-arm, fold
     // drain — and survives restart with the rest of the state (pinned by
@@ -1206,6 +1210,32 @@ object StatefulOps {
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
       .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
+  }
+
+  /** [[timedSessionsExact]] bootstrapped from dumped state (r15 verdict
+    * task 1 — the fourth `*From` rider, completing the migration surface).
+    * The snapshot's fold state is row 22's open-fragment list; its close
+    * timers are NOT in the snapshot — `handleInitialState` re-derives the
+    * key's one live timer as min(min buffered ts, earliest open fragment's
+    * `last + gap`) via the [[BufferedSessionProcessor]] `nextTimerFromState`
+    * override, so a key holding ONLY an open fragment (buffer fully
+    * settled before the dump) re-arms its close timer from initial state
+    * alone and the session still emits exactly once — pinned by the
+    * session round-trip spec.
+    */
+  def timedSessionsExactFrom(events: Dataset[TimedEvent], gapMs: Long,
+      initial: Dataset[BufferedSnapshot[Seq[(Long, Long, Long, Long)]]],
+      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      // same pre-watermark re-shape as timedSessionsExact (the event-time
+      // column must survive onto the buffered skeleton's surface)
+      .map(e => TimedUserEvent(e.ts, e.userId, e.eventId, "session", e.cents))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedSessionProcessor(gapMs,
+          bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * parquet, offline.
   *
   * {{{
-  * sbt "runMain graft.tools.StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution [hdfs]"
+  * sbt "runMain graft.tools.StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution|session [hdfs]"
   * }}}
   *
   * Writes one row per key — `userId`, the unsettled `buffer`, the
@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
 object StateMigrationDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution [rocksdb|hdfs]")
+      "usage: StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution|session [rocksdb|hdfs]")
     val Array(ckpt, outDir, shape) = args.take(3)
     val provider = if (args.length > 3) args(3) else "rocksdb"
     val spark = SparkSession.builder()
@@ -65,9 +65,13 @@ object StateMigrationDump {
       case "attribution" =>
         graft.streaming.StateMigration
           .readOldBufferedExact[(Long, Long, String)](spark, ckpt).toDF()
+      case "session" =>
+        // row 22's fold state is the open-fragment LIST — array-typed, so
+        // it reads through the sequence-shaped twin (r15 verdict task 1)
+        graft.streaming.StateMigration.readOldBufferedSession(spark, ckpt).toDF()
       case other =>
         throw new IllegalArgumentException(
-          s"unknown operator shape '$other' (want cep, cusum, or attribution)")
+          s"unknown operator shape '$other' (want cep, cusum, attribution, or session)")
     }
     snap.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir).count()

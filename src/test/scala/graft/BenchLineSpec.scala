@@ -243,6 +243,22 @@ class BenchLineSpec extends AnyFunSuite {
       "a clean window must ship the full pair with the (empty) composite detail inline")
   }
 
+  test("last stage pairs the pointer with the COUNTS-only main, never the detailed one") {
+    // r15 ADVICE: when even probes+counts outgrows the budget, the old
+    // final fallback re-tried the DETAILED main — so a detailed main past
+    // ~1878 chars could ship an over-budget (pointer, detail) pair with
+    // only a stderr warning. The safe last stage is (pointer, counts).
+    val fat = "{\"graft_probes\":true,\"pad\":\"" + "x" * 2500 + "\"}"
+    val mDetail = realisticMainLine
+    val mCounts = realisticMainLineCounts
+    val out = Bench.assembleStdout(fat, mDetail, mCounts)
+    assert(out.last == mCounts,
+      s"the last stage must ship the counts-only main; got a ${out.last.length}-char line")
+    assert(parses(out.head).get("graft_probes").asBoolean())
+    assert(out.head.length + out.last.length + 2 <= Bench.StdoutBudget,
+      s"last-stage pair ${out.map(_.length)} still outgrows ${Bench.StdoutBudget}")
+  }
+
   test("over-budget pair degrades the probes line to an explicit pointer, main intact and LAST") {
     val m = realisticMainLine
     val fat = "{\"graft_probes\":true,\"pad\":\"" + "x" * 2500 + "\"}"

@@ -408,13 +408,15 @@ class BufferedExactStreamSpec extends SparkSpec {
     withRocksDBProvider {
       val q1 = jsonEventSource(inOld).withWatermark("ts", "10 seconds")
         .groupByKey(_.userId)
-        .transformWithState(new OldBufferLayoutProcessor(Map(1L -> ((1L, 2L, 0L)))),
+        .transformWithState(new OldBufferLayoutProcessor(
+            Map(1L -> ((1L, 2L, 0L)), 7L -> ((1L, 5L, 1L))), bufferless = Set(7L)),
           org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
         .writeStream.outputMode(OutputMode.Update)
         .foreachBatch((df: org.apache.spark.sql.Dataset[PatternCount], _: Long) =>
           { df.count(); () })
         .option("checkpointLocation", ckptOld).start()
-      putJson(inOld)(js(1L, 20000, 2, "purchase"), js(2L, 15000, 10, "view"))
+      putJson(inOld)(js(1L, 20000, 2, "purchase"), js(2L, 15000, 10, "view"),
+        js(7L, 15000, 70, "view")) // u7's row installs folded, never buffers
       q1.processAllAvailable()
       q1.stop()
 
@@ -428,11 +430,18 @@ class BufferedExactStreamSpec extends SparkSpec {
       assert(byUser(2L).buffer == Seq((15000L, 10L, "view", 0L))
           && byUser(2L).folded.isEmpty,
         s"u2 dump wrong: ${byUser.get(2L)}")
+      // the drained-key shape (r15 ADVICE): u7 exists ONLY in the folded
+      // var — its buffer reads back null and must coalesce to the EMPTY
+      // buffer (the ArrayType(NullType) -> array<struct> cast), not crash
+      // or drop the key
+      assert(byUser(7L) == StatefulOps.BufferedSnapshot(7L, Seq.empty,
+          Some((1L, 5L, 1L))),
+        s"drained-key dump wrong: ${byUser.get(7L)}")
 
       // -- the scripted form of the same dump: parquet out, parquet back
       // (what an ops runbook calls via graft.tools.StateMigrationDump) --
       val dumpDir = newDir("graft-bxmig-dump")
-      assert(graft.tools.StateMigrationDump.run(spark, ckptOld, dumpDir, "cep") == 2L)
+      assert(graft.tools.StateMigrationDump.run(spark, ckptOld, dumpDir, "cep") == 3L)
       val viaParquet = spark.read.parquet(dumpDir)
         .as[StatefulOps.BufferedSnapshot[(Long, Long, Long)]]
         .collect().map(s => s.userId -> s).toMap
@@ -445,7 +454,8 @@ class BufferedExactStreamSpec extends SparkSpec {
         .writeStream.outputMode(OutputMode.Update).format("memory")
         .queryName("bx_migrated")
         .option("checkpointLocation", ckptNew).start()
-      putJson(inNew)(js(2L, 16000, 11, "purchase"), js(9L, 25000, 90, "s"))
+      putJson(inNew)(js(2L, 16000, 11, "purchase"), js(7L, 17000, 71, "purchase"),
+        js(9L, 25000, 90, "s"))
       q2.processAllAvailable()
       putJson(inNew)(js(9L, 300000, 91, "s"))
       q2.processAllAvailable()
@@ -453,12 +463,17 @@ class BufferedExactStreamSpec extends SparkSpec {
       q2.processAllAvailable()
       q2.stop()
       val rows = spark.table("bx_migrated").as[PatternCount].collect()
-        .filter(_.userId <= 2L).groupBy(_.userId)
+        .filter(_.userId <= 7L).groupBy(_.userId)
         .map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
       assert(rows(1L) == PatternCount(1L, 3L, 1L),
         s"u1 must settle on the bootstrapped fold+timer alone: ${rows.get(1L)}")
       assert(rows(2L) == PatternCount(2L, 2L, 1L),
         s"u2's pre-migration view must fold before its post-migration purchase: ${rows.get(2L)}")
+      // the drained-key snapshot bootstraps cleanly: u7's empty buffer
+      // seeds no timer, and its post-migration purchase folds onto the
+      // dumped (inPrefix=1, n=5, matches=1) prefix
+      assert(rows(7L) == PatternCount(7L, 6L, 2L),
+        s"drained-key bootstrap must continue from the folded record alone: ${rows.get(7L)}")
 
       // -- the CUSUM entry point bootstraps from the SAME dump (its fold
       // state is the same (Long, Long, Long) layout): folded (1,2,0)
@@ -728,10 +743,15 @@ final class OldAttributionLayoutProcessor(
   * changed to ListState — the layout break under test) plus the `folded`
   * tuple the CEP processor kept then and keeps now. `installFolded`
   * lets the migration test plant a fold result for chosen keys, standing
-  * in for state the old build had settled before its last commit.
+  * in for state the old build had settled before its last commit;
+  * `bufferless` keys consume their rows WITHOUT buffering them — the
+  * drained-key shape (folded present, buffer variable never written) a
+  * settle pass leaves behind (r15 ADVICE: the full-outer join's
+  * empty-buffer coalesce must be exercised, not just documented).
   */
 final class OldBufferLayoutProcessor(
-    installFolded: Map[Long, (Long, Long, Long)] = Map.empty)
+    installFolded: Map[Long, (Long, Long, Long)] = Map.empty,
+    bufferless: Set[Long] = Set.empty)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, StatefulOps.TimedUserEvent, StatefulOps.PatternCount] {
   private type BufEvent = (Long, Long, String, Long)
@@ -755,8 +775,53 @@ final class OldBufferLayoutProcessor(
       rows: Iterator[StatefulOps.TimedUserEvent],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.PatternCount] = {
     installFolded.get(userId).foreach { f => if (!folded.exists()) folded.update(f) }
-    val cur = if (buf.exists()) buf.get() else Seq.empty
-    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    if (bufferless(userId)) { rows.foreach(_ => ()) }
+    else {
+      val cur = if (buf.exists()) buf.get() else Seq.empty
+      buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    }
+    Iterator.empty
+  }
+}
+
+/** The session-shaped member of the old-layout family (r15 verdict task
+  * 1): buffer as `ValueState[Seq[...]]`, folded as the open-fragment LIST
+  * `ValueState[Seq[(start, last, n, cents)]]` — the array-typed fold
+  * state [[StateMigration.readOldBufferedSession]] reads. Buffered rows
+  * are stamped "session", matching what `timedSessionsExact`'s pre-
+  * watermark re-shape stores.
+  */
+final class OldSessionLayoutProcessor(
+    installFolded: Map[Long, Seq[(Long, Long, Long, Long)]] = Map.empty,
+    bufferless: Set[Long] = Set.empty)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, StatefulOps.TimedEvent, StatefulOps.SessionSummary] {
+  private type BufEvent = (Long, Long, String, Long)
+  private type Frag = (Long, Long, Long, Long)
+  @transient private var buf: org.apache.spark.sql.streaming.ValueState[Seq[BufEvent]] = _
+  @transient private var folded: org.apache.spark.sql.streaming.ValueState[Seq[Frag]] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    buf = getHandle.getValueState[Seq[BufEvent]](
+      "buffer",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[BufEvent]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    folded = getHandle.getValueState[Seq[Frag]]("folded",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Frag]](),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[StatefulOps.TimedEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.SessionSummary] = {
+    installFolded.get(userId).foreach { f => if (!folded.exists()) folded.update(f) }
+    if (bufferless(userId)) { rows.foreach(_ => ()) }
+    else {
+      val cur = if (buf.exists()) buf.get() else Seq.empty
+      buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, "session", r.cents)))
+    }
     Iterator.empty
   }
 }

@@ -204,6 +204,100 @@ class BufferedSessionStreamSpec extends SparkSpec {
       s"restart broke buffered-exact session state: $rows")
   }
 
+  test("migration: session dump + bootstrap; open-fragment close timers re-arm from initial state alone") {
+    // Row 22's migration surface (r15 verdict task 1), mirroring the
+    // trio's round trip: (1) an old ValueState-buffer checkpoint holds
+    // three key shapes; (2) StateMigration.readOldBufferedSession dumps it
+    // offline (the fold state is the open-fragment LIST — the array-typed
+    // shape the tuple reader cannot express); (3) timedSessionsExactFrom
+    // bootstraps a fresh checkpoint. The three shapes split the proof:
+    //  - u1 DRAINED-KEY + timer-re-arm headline: folded holds ONE open
+    //    fragment, the buffer variable was never written (settled and
+    //    cleared before the dump), and u1 gets NO events after migration —
+    //    its session must emit anyway, i.e. handleInitialState re-derived
+    //    the close timer from nextTimerFromState(initial state) alone;
+    //  - u2 buffer-only: a pre-migration buffered event and a
+    //    post-migration event within gap must fold into ONE session;
+    //  - u3 both: the pre-migration buffered event (33s) must merge into
+    //    the bootstrapped open fragment (30s..31s, gap 5s).
+    val inOld = newDir("graft-bsmig-in1")
+    val ckptOld = newDir("graft-bsmig-ckpt1")
+    val inNew = newDir("graft-bsmig-in2")
+    val ckptNew = newDir("graft-bsmig-ckpt2")
+    def put(dir: String)(rows: String*): Unit = {
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), "part", ".json")
+      java.nio.file.Files.writeString(f, rows.mkString("\n") + "\n")
+      ()
+    }
+    def js(uid: Long, ms: Long, id: Long) =
+      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"cents":1}"""
+    def src(dir: String) = spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, cents bigint")
+      .json(dir)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "cents")
+      .as[TimedEvent]
+    withRocksDBProvider {
+      val q1 = src(inOld).withWatermark("ts", "10 seconds").groupByKey(_.userId)
+        .transformWithState(new OldSessionLayoutProcessor(
+            installFolded = Map(
+              1L -> Seq((10000L, 12000L, 2L, 2L)),
+              3L -> Seq((30000L, 31000L, 1L, 1L))),
+            bufferless = Set(1L)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[SessionSummary], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckptOld).start()
+      put(inOld)(js(1L, 12000, 1), // consumed, never buffered (installs folded)
+        js(2L, 24000, 10), js(3L, 33000, 20))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // -- dump, direct + scripted (parquet round trip) --
+      val snap = StateMigration.readOldBufferedSession(spark, ckptOld)
+      val byUser = snap.collect().map(s => s.userId -> s).toMap
+      assert(byUser(1L) == StatefulOps.BufferedSnapshot(1L, Seq.empty,
+          Some(Seq((10000L, 12000L, 2L, 2L)))),
+        s"u1 (drained, open fragment only) dump wrong: ${byUser.get(1L)}")
+      assert(byUser(2L) == StatefulOps.BufferedSnapshot(2L,
+          Seq((24000L, 10L, "session", 1L)), None),
+        s"u2 (buffer only) dump wrong: ${byUser.get(2L)}")
+      assert(byUser(3L) == StatefulOps.BufferedSnapshot(3L,
+          Seq((33000L, 20L, "session", 1L)), Some(Seq((30000L, 31000L, 1L, 1L)))),
+        s"u3 (buffer + fragment) dump wrong: ${byUser.get(3L)}")
+      val dumpDir = newDir("graft-bsmig-dump")
+      assert(graft.tools.StateMigrationDump.run(spark, ckptOld, dumpDir, "session") == 3L)
+      val viaParquet = spark.read.parquet(dumpDir)
+        .as[StatefulOps.BufferedSnapshot[Seq[(Long, Long, Long, Long)]]]
+        .collect().map(s => s.userId -> s).toMap
+      assert(viaParquet == byUser,
+        s"scripted session dump diverged from the direct read: $viaParquet vs $byUser")
+
+      // -- bootstrap a fresh checkpoint; u1 gets NOTHING new --
+      val q2 = StatefulOps
+        .timedSessionsExactFrom(src(inNew), gapMs = 5000L, initial = snap,
+          watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("bs_migrated")
+        .option("checkpointLocation", ckptNew).start()
+      put(inNew)(js(2L, 25000, 11), js(9L, 50000, 90))
+      q2.processAllAvailable()
+      put(inNew)(js(9L, 100000, 91)) // wm 40s: every session's close passed
+      q2.processAllAvailable()
+      put(inNew)(js(9L, 200000, 92)) // backstop advance for re-armed timers
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("bs_migrated").as[SessionSummary].collect()
+        .filter(_.userId <= 3L).sortBy(_.userId).toSeq
+      assert(rows == Seq(
+        SessionSummary(1L, 10000L, 12000L, 2L, 2L),
+        SessionSummary(2L, 24000L, 25000L, 2L, 2L),
+        SessionSummary(3L, 30000L, 33000L, 2L, 2L)),
+        s"session migration round trip broke: $rows")
+    }
+  }
+
   test("admission boundary: an event at exactly the watermark drops (strict >)") {
     // pusher moves wm to 20s; a boundary event at ts == 20s in the next
     // batch must DROP (strictly-late filter), one at 20.001s must fold —
