@@ -31,6 +31,19 @@ object Graft {
       // semantics-preserving, so sessions built elsewhere (driver, tests)
       // differ only in plan cost, never in results
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // r16 measure-and-decide: RocksDB state-store commits upload a FULL
+      // snapshot per trigger by default; changelog checkpointing uploads
+      // O(trigger delta) and moves snapshots to background maintenance —
+      // at 100 TB-class state that is the streaming checkpoint cost model.
+      // A/B over the buffered-exact trio + sessionization (AbBench
+      // `*-cl-*` legs, 600k events/20k keys): checkpoint state bytes
+      // −21..−37%, commit latency −20..−35%, wall never worse; restart
+      // exactness re-pinned under the mode (BufferedSessionStreamSpec's
+      // changelog restart case). No-op unless a query opts into the
+      // RocksDB provider, and Spark supports toggling it across restarts
+      // of an existing checkpoint, so checkpoints stay portable to
+      // sessions built elsewhere (PARITY.md records the decision).
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

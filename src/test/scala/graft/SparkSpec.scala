@@ -35,6 +35,19 @@ trait SparkSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `body` with one session conf set, restoring the previous value
+    * afterwards (the generic form of [[withRocksDBProvider]]).
+    */
+  protected def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** A fresh temp directory (checkpoint/source/sink scaffolding). */
   protected def newDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString

@@ -147,22 +147,45 @@ class BufferedSessionStreamSpec extends SparkSpec {
   }
 
   test("checkpoint restart preserves fragments, buffer, and timers (row 22 across a WAL recovery)") {
-    // Three facts across one stop/restart (gap 5s, delay 10s; every
-    // pre-stop ts <= 24s so the stop-point watermark is 14s — the open
-    // fragment's close at 17s and the buffered 24s event both sit PAST
-    // it, and the 16.5s straggler is still admissible after the restart):
-    //  - u1's two events (10s, 12s) FOLD into an open fragment before
-    //    the stop; the post-restart straggler at 16.5s (> wm 14s, within
-    //    gap of the fragment's last 12s) must MERGE into it -> the
-    //    fragment ValueState survived;
-    //  - u2's 24s event is still BUFFERED (unfolded) at the stop and
-    //    must fold with a post-restart 25s event into one session -> the
-    //    ListState buffer survived;
-    //  - both sessions emit exactly once, from timer passes after the
-    //    restart -> the armed timers survived.
-    val in = newDir("graft-bs-in")
-    val ckpt = newDir("graft-bs-ckpt")
-    val out = newDir("graft-bs-out")
+    restartScenario("graft-bs")
+  }
+
+  test("restart exactness holds under RocksDB changelog checkpointing") {
+    // r15 verdict task 5: at 100 TB-class state, per-trigger FULL-snapshot
+    // uploads dominate streaming checkpoint cost;
+    // `...rocksdb.changelogCheckpointing.enabled` is the public knob that
+    // moves commits to O(trigger delta) changelog uploads. The knob only
+    // earns a recommendation if recovery is EXACT under it — replaying
+    // changelogs on top of the last snapshot must rebuild the same
+    // fragments, buffer, and timers the full-snapshot path does. Same
+    // scenario as the WAL-recovery test above, changelog mode on for both
+    // the original run and the restart.
+    withConf("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true") {
+      restartScenario("graft-bscl")
+    }
+  }
+
+  /** The row-22 stop/restart scenario, shared by the default-mode and
+    * changelog-mode restart tests. Three facts across one stop/restart
+    * (gap 5s, delay 10s; every pre-stop ts <= 24s so the stop-point
+    * watermark is 14s — the open fragment's close at 17s and the buffered
+    * 24s event both sit PAST it, and the 16.5s straggler is still
+    * admissible after the restart):
+    *  - u1's two events (10s, 12s) FOLD into an open fragment before
+    *    the stop; the post-restart straggler at 16.5s (> wm 14s, within
+    *    gap of the fragment's last 12s) must MERGE into it -> the
+    *    fragment ValueState survived;
+    *  - u2's 24s event is still BUFFERED (unfolded) at the stop and
+    *    must fold with a post-restart 25s event into one session -> the
+    *    ListState buffer survived;
+    *  - both sessions emit exactly once, from timer passes after the
+    *    restart -> the armed timers survived.
+    */
+  private def restartScenario(dirPrefix: String): Unit = {
+    val in = newDir(s"$dirPrefix-in")
+    val ckpt = newDir(s"$dirPrefix-ckpt")
+    val out = newDir(s"$dirPrefix-out")
     def put(rows: String*): Unit = {
       val f = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get(in), "part", ".json")
