@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * through the driver. The reader needs the old layout's schemas only,
   * so it keeps working precisely when the new operator does not.
   *
+  * Fresh-session caveat (r16): in a session that has never started a
+  * streaming query, the RocksDB load inside the statestore reader fails
+  * with `CANNOT_LOAD_STATE_STORE` (root cause
+  * `RpcEndpointNotFoundException: ...StateStoreCoordinator`) because
+  * snapshot-upload-lag reporting asks for a coordinator endpoint only
+  * streaming queries create. Offline-dump sessions must set
+  * `spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag=false`
+  * — [[graft.tools.StateMigrationDump]] does; pinned by
+  * MigrationFixtureSpec against the committed golden checkpoints.
+  *
   * Scale note: the dump→bootstrap round trip is shuffle-shaped, not
   * collect-shaped — `readOldBufferedExact` returns a distributed Dataset
   * that `transformWithState(..., initialState)` co-partitions with the

@@ -40,6 +40,14 @@ object StateMigrationDump {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      // this session is offline BY DEFINITION (no streaming query ever
+      // starts), so the StateStoreCoordinator RPC endpoint that snapshot-
+      // upload-lag reporting needs does not exist — without this the
+      // RocksDB load inside the statestore reader dies with
+      // CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException (r16,
+      // caught by the committed fixture's spec: the r15 round-trip specs
+      // masked it because their sessions had already run streams)
+      .config("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

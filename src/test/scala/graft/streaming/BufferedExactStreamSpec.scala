@@ -708,7 +708,8 @@ class BufferedExactStreamSpec extends SparkSpec {
   * String column, for the generic-S migration round trip.
   */
 final class OldAttributionLayoutProcessor(
-    installFolded: Map[Long, (Long, Long, String)] = Map.empty)
+    installFolded: Map[Long, (Long, Long, String)] = Map.empty,
+    bufferless: Set[Long] = Set.empty)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, StatefulOps.TimedUserEvent, StatefulOps.AttributedPurchaseTs] {
   private type BufEvent = (Long, Long, String, Long)
@@ -732,8 +733,11 @@ final class OldAttributionLayoutProcessor(
       rows: Iterator[StatefulOps.TimedUserEvent],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[StatefulOps.AttributedPurchaseTs] = {
     installFolded.get(userId).foreach { f => if (!folded.exists()) folded.update(f) }
-    val cur = if (buf.exists()) buf.get() else Seq.empty
-    buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    if (bufferless(userId)) { rows.foreach(_ => ()) }
+    else {
+      val cur = if (buf.exists()) buf.get() else Seq.empty
+      buf.update(cur ++ rows.map(r => (r.ts.getTime, r.eventId, r.eventType, r.cents)))
+    }
     Iterator.empty
   }
 }

@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{OldAttributionLayoutProcessor, OldBufferLayoutProcessor,
+  OldSessionLayoutProcessor, StatefulOps}
+
+/** Generator for the COMMITTED golden old-layout checkpoint fixture
+  * (r15 verdict task 3) under `src/test/resources/migration-fixture/`.
+  *
+  * The migration round-trip specs synthesize the pre-r14 ValueState-buffer
+  * layout at test time — so if the synthesizing processors and the reader
+  * drift TOGETHER, nothing fails. A committed binary checkpoint breaks
+  * that coupling: `MigrationFixtureSpec` dumps these frozen bytes with
+  * `StateMigration.readOldBuffered*` and pins the exact snapshot rows, so
+  * any future accidental drift in the reader (or in Spark's statestore
+  * source handling of the old layout) fails a spec immediately instead of
+  * surfacing on a user's real checkpoint at restart time.
+  *
+  * Run once (from the repo root) to (re)generate, then commit the bytes:
+  * {{{
+  * sbt "Test/runMain graft.tools.MigrationFixtureGen"
+  * }}}
+  *
+  * One checkpoint per operator shape — `cep` (the tuple fold state CUSUM
+  * shares), `attribution` (the String-bearing fold state), `session` (the
+  * array-typed fragment list). All three are RocksDB-provider checkpoints:
+  * transformWithState — which the old layout also used — supports ONLY the
+  * RocksDB state store, so an HDFS-provider old checkpoint cannot exist
+  * and no HDFS fixture is committed (the dump script's `hdfs` provider
+  * arg remains for generality of the reader, not for these operators).
+  *
+  * Key shapes per checkpoint (2 buffered + 1 drained — the drained key
+  * exercises the full-outer join's empty-buffer coalesce):
+  * u1 = folded + buffer, u2 = buffer only, u3 = folded only.
+  */
+object MigrationFixtureGen {
+  val FixtureRoot = "src/test/resources/migration-fixture"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      // 2 state partitions keep the committed checkpoint small (a RocksDB
+      // instance per partition); the reader scales partition count freely
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def regen(shape: String)(start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val dir = java.nio.file.Paths.get(FixtureRoot, shape)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(dir)
+        try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally s.close()
+      }
+      java.nio.file.Files.createDirectories(dir)
+      val q = start(dir.toString)
+      q.processAllAvailable()
+      q.stop()
+      println(s"[fixture] wrote $shape checkpoint to $dir")
+    }
+
+    def ev(uid: Long, ms: Long, id: Long, typ: String, cents: Long) =
+      StatefulOps.TimedUserEvent(new java.sql.Timestamp(ms), uid, id, typ, cents)
+
+    regen("cep") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+      in.addData(Seq(
+        ev(1L, 40000, 7, "view", 0L), ev(1L, 41000, 8, "purchase", 5L),
+        ev(2L, 15000, 10, "click", 2L),
+        ev(3L, 15000, 30, "view", 0L))) // u3 bufferless: installs folded only
+      in.toDS().withWatermark("ts", "10 seconds").groupByKey(_.userId)
+        .transformWithState(new OldBufferLayoutProcessor(
+            installFolded = Map(1L -> ((1L, 4L, 1L)), 3L -> ((0L, 9L, 3L))),
+            bufferless = Set(3L)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.PatternCount],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    regen("attribution") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+      in.addData(Seq(
+        ev(1L, 20000, 51, "purchase", 700L),
+        ev(2L, 15000, 60, "click", 0L),
+        ev(3L, 15000, 70, "view", 0L))) // u3 bufferless
+      in.toDS().withWatermark("ts", "10 seconds").groupByKey(_.userId)
+        .transformWithState(new OldAttributionLayoutProcessor(
+            installFolded = Map(1L -> ((5000L, 50L, "view")), 3L -> ((7000L, 70L, "click"))),
+            bufferless = Set(3L)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.AttributedPurchaseTs],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    regen("session") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedEvent](spark)
+      in.addData(Seq(
+        StatefulOps.TimedEvent(new java.sql.Timestamp(33000L), 1L, 20L, 1L),
+        StatefulOps.TimedEvent(new java.sql.Timestamp(24000L), 2L, 10L, 1L),
+        StatefulOps.TimedEvent(new java.sql.Timestamp(12000L), 3L, 1L, 1L))) // u3 bufferless
+      in.toDS().withWatermark("ts", "10 seconds").groupByKey(_.userId)
+        .transformWithState(new OldSessionLayoutProcessor(
+            installFolded = Map(
+              1L -> Seq((30000L, 31000L, 1L, 1L)),
+              3L -> Seq((10000L, 12000L, 2L, 2L))),
+            bufferless = Set(3L)),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.SessionSummary],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    spark.stop()
+  }
+}
