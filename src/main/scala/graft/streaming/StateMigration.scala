@@ -85,15 +85,71 @@ object StateMigration {
     readOldBuffered(spark, checkpoint, col("value.value"))
   }
 
-  /** Shared dump shape: `buffer` joined full-outer with `folded`, the
-    * folded projection supplied per fold-state kind (tuple vs sequence).
+  // ==== CURRENT-layout dump (r16): insurance against the NEXT break ====
+  //
+  // readOldBuffered* rescues pre-r14 (ValueState-buffer) checkpoints;
+  // these twins dump the SHIPPED layout (buffer as ListState — the
+  // statestore reader presents it as one row per list ELEMENT in a
+  // `list_element` struct, re-aggregated per key here). They exist so
+  // that when a future state-layout change breaks restart compatibility
+  // again, users holding today's checkpoints already have a working
+  // dump→bootstrap road instead of waiting for a reader to be written
+  // against a layout the new build can no longer open. BufferedSnapshot
+  // is layout-independent, so the bootstrap half (`*From` entry points)
+  // is shared unchanged.
+
+  /** Dump a CURRENT-layout (ListState-buffer) buffered-exact checkpoint
+    * for the trio's tuple-typed fold states. The buffer is re-assembled
+    * per key in canonical (tsMs, eventId) order — order inside the
+    * snapshot is semantically irrelevant (the settle fold sorts), sorted
+    * here so dumps are deterministic and diffable.
     */
+  def readCurrentBufferedExact[S](spark: SparkSession, checkpoint: String)(
+      implicit enc: Encoder[StatefulOps.BufferedSnapshot[S]])
+      : Dataset[StatefulOps.BufferedSnapshot[S]] =
+    readBuffered[S](spark, checkpoint, currentBuffer(spark, checkpoint),
+      struct(col("value.*")))
+
+  /** CURRENT-layout twin of [[readOldBufferedSession]]. */
+  def readCurrentBufferedSession(spark: SparkSession, checkpoint: String)
+      : Dataset[StatefulOps.BufferedSnapshot[Seq[(Long, Long, Long, Long)]]] = {
+    implicit val enc: Encoder[StatefulOps.BufferedSnapshot[Seq[(Long, Long, Long, Long)]]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[StatefulOps.BufferedSnapshot[Seq[(Long, Long, Long, Long)]]]()
+    readBuffered(spark, checkpoint, currentBuffer(spark, checkpoint),
+      col("value.value"))
+  }
+
+  /** The ListState buffer, one row per key: `list_element` rows grouped
+    * and sorted into the snapshot's buffer array. The groupBy is by the
+    * state key, so it shuffles O(buffered events) once — same scan shape
+    * as the rest of the dump.
+    */
+  private def currentBuffer(spark: SparkSession, checkpoint: String): DataFrame =
+    readVar(spark, checkpoint, "buffer")
+      .groupBy(col("key.value").as("userId"))
+      .agg(sort_array(collect_list(col("list_element"))).as("buffer"))
+
+  /** The pre-r14 ValueState buffer, already one row per key. */
+  private def oldBuffer(spark: SparkSession, checkpoint: String): DataFrame =
+    readVar(spark, checkpoint, "buffer")
+      .select(col("key.value").as("userId"), col("value.value").as("buffer"))
+
   private def readOldBuffered[S](spark: SparkSession, checkpoint: String,
       foldedCol: org.apache.spark.sql.Column)(
       implicit enc: Encoder[StatefulOps.BufferedSnapshot[S]])
+      : Dataset[StatefulOps.BufferedSnapshot[S]] =
+    readBuffered[S](spark, checkpoint, oldBuffer(spark, checkpoint), foldedCol)
+
+  /** Shared dump shape: `buffer` joined full-outer with `folded`, the
+    * buffer reader supplied per LAYOUT (old ValueState vs current
+    * ListState) and the folded projection per fold-state KIND (tuple vs
+    * sequence).
+    */
+  private def readBuffered[S](spark: SparkSession, checkpoint: String,
+      buf: DataFrame, foldedCol: org.apache.spark.sql.Column)(
+      implicit enc: Encoder[StatefulOps.BufferedSnapshot[S]])
       : Dataset[StatefulOps.BufferedSnapshot[S]] = {
-    val buf = readVar(spark, checkpoint, "buffer")
-      .select(col("key.value").as("userId"), col("value.value").as("buffer"))
     val folded = readVar(spark, checkpoint, "folded")
       .select(col("key.value").as("userId"), foldedCol.as("folded"))
     val bufferType = buf.schema("buffer").dataType

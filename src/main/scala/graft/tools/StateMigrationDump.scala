@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * parquet, offline.
   *
   * {{{
-  * sbt "runMain graft.tools.StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution|session [hdfs]"
+  * sbt "runMain graft.tools.StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution|session [rocksdb|hdfs] [old|current]"
   * }}}
   *
   * Writes one row per key — `userId`, the unsettled `buffer`, the
@@ -24,7 +24,12 @@ import org.apache.spark.sql.SparkSession
   * The optional 4th arg selects the state-store provider the OLD
   * checkpoint was written with (default `rocksdb`; pass `hdfs` for the
   * default HDFS-backed provider) — the offline reader instantiates the
-  * same provider to open the store files.
+  * same provider to open the store files. The optional 5th arg selects
+  * the buffer LAYOUT: `old` (default) reads pre-r14 ValueState-buffer
+  * checkpoints — the r14 restart break this script was built for;
+  * `current` reads the shipped ListState-buffer layout, so the NEXT
+  * layout break already has a working dump of the checkpoints users
+  * hold then (r16 — the insurance the r14 break did not have).
   *
   * Scale shape: the dump is a distributed `statestore` scan (one task
   * per state partition) piped to a parquet write — nothing collects to
@@ -33,9 +38,11 @@ import org.apache.spark.sql.SparkSession
 object StateMigrationDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: StateMigrationDump <oldCheckpoint> <outDir> cep|cusum|attribution|session [rocksdb|hdfs]")
+      "usage: StateMigrationDump <oldCheckpoint> <outDir> " +
+        "cep|cusum|attribution|session [rocksdb|hdfs] [old|current]")
     val Array(ckpt, outDir, shape) = args.take(3)
     val provider = if (args.length > 3) args(3) else "rocksdb"
+    val layout = if (args.length > 4) args(4) else "old"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -54,8 +61,8 @@ object StateMigrationDump {
     if (provider == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val n = run(spark, ckpt, outDir, shape)
-    println(s"[migrate] dumped $n key snapshot(s) from $ckpt to $outDir ($shape layout)")
+    val n = run(spark, ckpt, outDir, shape, layout)
+    println(s"[migrate] dumped $n key snapshot(s) from $ckpt to $outDir ($shape shape, $layout layout)")
     spark.stop()
   }
 
@@ -64,19 +71,27 @@ object StateMigrationDump {
     * written key count, read back from the parquet files.
     */
   def run(spark: SparkSession, ckpt: String, outDir: String,
-      shape: String): Long = {
+      shape: String, layout: String = "old"): Long = {
     import spark.implicits._
+    import graft.streaming.StateMigration
+    val old = layout match {
+      case "old" => true
+      case "current" => false
+      case other => throw new IllegalArgumentException(
+        s"unknown buffer layout '$other' (want old or current)")
+    }
     val snap = shape match {
       case "cep" | "cusum" =>
-        graft.streaming.StateMigration
-          .readOldBufferedExact[(Long, Long, Long)](spark, ckpt).toDF()
+        (if (old) StateMigration.readOldBufferedExact[(Long, Long, Long)](spark, ckpt)
+         else StateMigration.readCurrentBufferedExact[(Long, Long, Long)](spark, ckpt)).toDF()
       case "attribution" =>
-        graft.streaming.StateMigration
-          .readOldBufferedExact[(Long, Long, String)](spark, ckpt).toDF()
+        (if (old) StateMigration.readOldBufferedExact[(Long, Long, String)](spark, ckpt)
+         else StateMigration.readCurrentBufferedExact[(Long, Long, String)](spark, ckpt)).toDF()
       case "session" =>
         // row 22's fold state is the open-fragment LIST — array-typed, so
         // it reads through the sequence-shaped twin (r15 verdict task 1)
-        graft.streaming.StateMigration.readOldBufferedSession(spark, ckpt).toDF()
+        (if (old) StateMigration.readOldBufferedSession(spark, ckpt)
+         else StateMigration.readCurrentBufferedSession(spark, ckpt)).toDF()
       case other =>
         throw new IllegalArgumentException(
           s"unknown operator shape '$other' (want cep, cusum, attribution, or session)")

@@ -505,6 +505,74 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("migration insurance: the CURRENT ListState layout dumps and bootstraps too") {
+    // r16: readOldBufferedExact rescues pre-r14 checkpoints; this pins
+    // the CURRENT-layout reader (buffer as ListState — one statestore row
+    // per element, re-aggregated per key) so the NEXT layout break
+    // already has a working dump of the checkpoints users hold then.
+    // The SHIPPED operator builds the state: u1 settles a (v,c) prefix
+    // (folded (1,2,0), buffer drained — the ListState-cleared coalesce
+    // leg) then buffers a purchase past the watermark; u2 buffers a view.
+    // Dump, bootstrap a fresh checkpoint, and the continuation must
+    // match the old-layout round trip's expectations exactly.
+    val inCur = newDir("graft-bxcur-in1")
+    val ckptCur = newDir("graft-bxcur-ckpt1")
+    val inNew = newDir("graft-bxcur-in2")
+    val ckptNew = newDir("graft-bxcur-ckpt2")
+    withRocksDBProvider {
+      val q1 = StatefulOps.patternMatchCountsExact(jsonEventSource(inCur), "10 seconds")
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[PatternCount], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckptCur).start()
+      putJson(inCur)(js(1L, 5000, 0, "view"), js(1L, 6000, 1, "click"),
+        js(9L, 16000, 90, "s"))
+      q1.processAllAvailable()
+      // wm 6s: the timer pass folds u1's (v,c) into (1,2,0); the new
+      // batch buffers u1's 20s purchase and u2's 15s view past wm 10s
+      putJson(inCur)(js(1L, 20000, 2, "purchase"), js(2L, 15000, 10, "view"),
+        js(9L, 17000, 91, "s"))
+      q1.processAllAvailable()
+      q1.stop()
+
+      val snap = StateMigration
+        .readCurrentBufferedExact[(Long, Long, Long)](spark, ckptCur)
+      val byUser = snap.collect().map(s => s.userId -> s).toMap
+        .filter(_._1 != 9L) // the pusher has its own buffered state
+      assert(byUser(1L) == StatefulOps.BufferedSnapshot(1L,
+          Seq((20000L, 2L, "purchase", 0L)), Some((1L, 2L, 0L))),
+        s"u1 current-layout dump wrong: ${byUser.get(1L)}")
+      assert(byUser(2L) == StatefulOps.BufferedSnapshot(2L,
+          Seq((15000L, 10L, "view", 0L)), None),
+        s"u2 current-layout dump wrong: ${byUser.get(2L)}")
+
+      val dumpDir = newDir("graft-bxcur-dump")
+      assert(graft.tools.StateMigrationDump
+        .run(spark, ckptCur, dumpDir, "cep", "current") == 3L) // incl. pusher
+
+      val q2 = StatefulOps
+        .patternMatchCountsExactFrom(jsonEventSource(inNew),
+          snap.filter(_.userId != 9L), "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_cur_migrated")
+        .option("checkpointLocation", ckptNew).start()
+      putJson(inNew)(js(2L, 16000, 11, "purchase"), js(9L, 25000, 90, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 300000, 91, "s"))
+      q2.processAllAvailable()
+      putJson(inNew)(js(9L, 400000, 92, "s"))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("bx_cur_migrated").as[PatternCount].collect()
+        .filter(_.userId <= 2L).groupBy(_.userId)
+        .map { case (u, rs) => u -> rs.maxBy(_.nEvents) }
+      assert(rows(1L) == PatternCount(1L, 3L, 1L),
+        s"u1 must settle on the bootstrapped fold+timer alone: ${rows.get(1L)}")
+      assert(rows(2L) == PatternCount(2L, 2L, 1L),
+        s"u2's pre-dump view must fold before its post-bootstrap purchase: ${rows.get(2L)}")
+    }
+  }
+
   test("migration: the attribution-typed dump round-trips too (folded carries a String field)") {
     // The dump/bootstrap machinery is generic in the fold-state type S;
     // the CEP round trip above exercises S = (Long, Long, Long). This

@@ -321,6 +321,83 @@ class BufferedSessionStreamSpec extends SparkSpec {
     }
   }
 
+  test("migration insurance: the CURRENT session layout dumps and bootstraps too") {
+    // r16: the current-layout twin of the session round trip above — the
+    // SHIPPED operator builds the state (no synthesized old layout), the
+    // ListState buffer dumps via per-element re-aggregation, and the
+    // drained leg is the CLEARED ListState (u1's buffer emptied by the
+    // pre-stop fold, so only its open fragment survives):
+    //  - u1: two events fold into an open fragment before the stop, then
+    //    NO events after the bootstrap — the close timer must re-arm
+    //    from initial state alone (same headline as the old-layout test);
+    //  - u2: an event still buffered at the stop must fold with a
+    //    post-bootstrap event into ONE session.
+    val inCur = newDir("graft-bscur-in1")
+    val ckptCur = newDir("graft-bscur-ckpt1")
+    val inNew = newDir("graft-bscur-in2")
+    val ckptNew = newDir("graft-bscur-ckpt2")
+    def put(dir: String)(rows: String*): Unit = {
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), "part", ".json")
+      java.nio.file.Files.writeString(f, rows.mkString("\n") + "\n")
+      ()
+    }
+    def js(uid: Long, ms: Long, id: Long) =
+      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"cents":1}"""
+    def src(dir: String) = spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, cents bigint")
+      .json(dir)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "cents")
+      .as[TimedEvent]
+    withRocksDBProvider {
+      val q1 = StatefulOps.timedSessionsExact(src(inCur), gapMs = 5000L,
+          watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[SessionSummary], _: Long) =>
+          { df.count(); () })
+        .option("checkpointLocation", ckptCur).start()
+      put(inCur)(js(1L, 10000, 0), js(1L, 12000, 1), js(2L, 24000, 10),
+        js(9L, 24000, 90))
+      q1.processAllAvailable()
+      put(inCur)(js(9L, 23000, 91)) // timer pass at wm 14s folds u1's pair
+      q1.processAllAvailable()
+      q1.stop()
+
+      val snap = StateMigration.readCurrentBufferedSession(spark, ckptCur)
+      val byUser = snap.collect().map(s => s.userId -> s).toMap
+        .filter(_._1 != 9L)
+      assert(byUser(1L) == StatefulOps.BufferedSnapshot(1L, Seq.empty,
+          Some(Seq((10000L, 12000L, 2L, 2L)))),
+        s"u1 (fold-drained ListState, open fragment) dump wrong: ${byUser.get(1L)}")
+      assert(byUser(2L) == StatefulOps.BufferedSnapshot(2L,
+          Seq((24000L, 10L, "session", 1L)), None),
+        s"u2 (buffer only) dump wrong: ${byUser.get(2L)}")
+      val dumpDir = newDir("graft-bscur-dump")
+      assert(graft.tools.StateMigrationDump
+        .run(spark, ckptCur, dumpDir, "session", "current") == 3L) // incl. pusher
+
+      val q2 = StatefulOps
+        .timedSessionsExactFrom(src(inNew), gapMs = 5000L,
+          initial = snap.filter(_.userId != 9L), watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("bs_cur_migrated")
+        .option("checkpointLocation", ckptNew).start()
+      put(inNew)(js(2L, 25000, 11), js(9L, 50000, 90))
+      q2.processAllAvailable()
+      put(inNew)(js(9L, 100000, 91))
+      q2.processAllAvailable()
+      put(inNew)(js(9L, 200000, 92))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.table("bs_cur_migrated").as[SessionSummary].collect()
+        .filter(_.userId <= 2L).sortBy(_.userId).toSeq
+      assert(rows == Seq(
+        SessionSummary(1L, 10000L, 12000L, 2L, 2L),
+        SessionSummary(2L, 24000L, 25000L, 2L, 2L)),
+        s"current-layout session migration round trip broke: $rows")
+    }
+  }
+
   test("admission boundary: an event at exactly the watermark drops (strict >)") {
     // pusher moves wm to 20s; a boundary event at ts == 20s in the next
     // batch must DROP (strictly-late filter), one at 20.001s must fold —
