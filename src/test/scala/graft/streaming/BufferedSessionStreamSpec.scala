@@ -160,14 +160,32 @@ class BufferedSessionStreamSpec extends SparkSpec {
     // fragments, buffer, and timers the full-snapshot path does. Same
     // scenario as the WAL-recovery test above, changelog mode on for both
     // the original run and the restart.
-    withConf("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      "true") {
+    withConf(ChangelogKey, "true") {
       restartScenario("graft-bscl")
     }
   }
 
+  test("an existing non-changelog checkpoint restarts exactly under the new changelog default") {
+    // Graft.session now enables changelog checkpointing by default
+    // (r16 measure-and-decide), so every user holding a checkpoint
+    // written BEFORE the flip hits exactly this restart: snapshot-mode
+    // checkpoint, changelog-mode resume. The decision's scaladoc claims
+    // Spark supports the toggle across restarts — this pins the claim on
+    // row 22's fragments/buffer/timers recovery scenario instead of
+    // leaving it as a doc assertion (run 1 with the old default OFF,
+    // run 2 with the new default ON).
+    restartScenario("graft-bstog",
+      confRun1 = Map(ChangelogKey -> "false"),
+      confRun2 = Map(ChangelogKey -> "true"))
+  }
+
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
   /** The row-22 stop/restart scenario, shared by the default-mode and
-    * changelog-mode restart tests. Three facts across one stop/restart
+    * changelog-mode restart tests; `confRun1`/`confRun2` set per-phase
+    * session confs (the toggle test runs the phases under DIFFERENT
+    * checkpoint modes). Three facts across one stop/restart
     * (gap 5s, delay 10s; every pre-stop ts <= 24s so the stop-point
     * watermark is 14s — the open fragment's close at 17s and the buffered
     * 24s event both sit PAST it, and the 16.5s straggler is still
@@ -182,7 +200,9 @@ class BufferedSessionStreamSpec extends SparkSpec {
     *  - both sessions emit exactly once, from timer passes after the
     *    restart -> the armed timers survived.
     */
-  private def restartScenario(dirPrefix: String): Unit = {
+  private def restartScenario(dirPrefix: String,
+      confRun1: Map[String, String] = Map.empty,
+      confRun2: Map[String, String] = Map.empty): Unit = {
     val in = newDir(s"$dirPrefix-in")
     val ckpt = newDir(s"$dirPrefix-ckpt")
     val out = newDir(s"$dirPrefix-out")
@@ -199,26 +219,36 @@ class BufferedSessionStreamSpec extends SparkSpec {
       .json(in)
       .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "cents")
       .as[TimedEvent]
+    // per-phase conf: set before the phase's query starts, restored after
+    // it stops (a streaming query reads these at start)
+    def withPhaseConfs[T](confs: Map[String, String])(body: => T): T =
+      confs.foldLeft(() => body) { case (inner, (k, v)) =>
+        () => withConf(k, v)(inner())
+      }()
     def startQuery() = withRocksDBProvider {
       StatefulOps.timedSessionsExact(src, gapMs = 5000L, watermark = "10 seconds")
         .writeStream.outputMode(OutputMode.Append).format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .start()
     }
-    val q1 = startQuery()
-    put(js(1L, 10000, 0), js(1L, 12000, 1), js(2L, 24000, 10), js(9L, 24000, 90))
-    q1.processAllAvailable()
-    put(js(9L, 23000, 91)) // timer pass at wm 14s folds u1 into an open fragment
-    q1.processAllAvailable()
-    q1.stop()
-    val q2 = startQuery()
-    put(js(1L, 16500, 2), js(2L, 25000, 11), js(9L, 40000, 92))
-    q2.processAllAvailable()
-    put(js(9L, 60000, 93)) // wm 30s: straggler merges + both sessions close
-    q2.processAllAvailable()
-    put(js(9L, 70000, 94)) // backstop advance for any re-armed timer
-    q2.processAllAvailable()
-    q2.stop()
+    withPhaseConfs(confRun1) {
+      val q1 = startQuery()
+      put(js(1L, 10000, 0), js(1L, 12000, 1), js(2L, 24000, 10), js(9L, 24000, 90))
+      q1.processAllAvailable()
+      put(js(9L, 23000, 91)) // timer pass at wm 14s folds u1 into an open fragment
+      q1.processAllAvailable()
+      q1.stop()
+    }
+    withPhaseConfs(confRun2) {
+      val q2 = startQuery()
+      put(js(1L, 16500, 2), js(2L, 25000, 11), js(9L, 40000, 92))
+      q2.processAllAvailable()
+      put(js(9L, 60000, 93)) // wm 30s: straggler merges + both sessions close
+      q2.processAllAvailable()
+      put(js(9L, 70000, 94)) // backstop advance for any re-armed timer
+      q2.processAllAvailable()
+      q2.stop()
+    }
     val rows = spark.read.parquet(out).as[SessionSummary].collect()
       .filter(_.userId <= 2L).sortBy(_.userId).toSeq
     assert(rows == Seq(

@@ -100,4 +100,39 @@ class MigrationFixtureSpec extends SparkSpec {
         s"session fixture dump drifted: $got")
     }
   }
+
+  // ---- CURRENT-layout fixtures (r16): bytes written by the SHIPPED
+  // operators, so `readCurrentBuffered*` drift — or a Spark statestore
+  // change in how a ListState reads back — fails here instead of on the
+  // first real checkpoint a future migration has to rescue. ----
+
+  test("cep-current fixture dumps to the exact pinned snapshots (ListState buffer)") {
+    offline {
+      val got = StateMigration
+        .readCurrentBufferedExact[(Long, Long, Long)](spark, fixtureCopy("cep-current"))
+        .collect().sortBy(_.userId).toSeq
+      assert(got == Seq(
+        BufferedSnapshot(1L, Seq((20000L, 2L, "purchase", 0L)), Some((1L, 2L, 0L))),
+        BufferedSnapshot(2L, Seq((15000L, 10L, "view", 0L)), None),
+        // the watermark pusher's own buffered rows freeze too — canonical
+        // (ts, eventId) order is part of the pin
+        BufferedSnapshot(9L, Seq((16000L, 90L, "s", 0L), (17000L, 91L, "s", 0L)), None)),
+        s"cep-current fixture dump drifted: $got")
+    }
+  }
+
+  test("session-current fixture dumps to the exact pinned snapshots (fold-drained ListState)") {
+    offline {
+      val got = StateMigration
+        .readCurrentBufferedSession(spark, fixtureCopy("session-current"))
+        .collect().sortBy(_.userId).toSeq
+      assert(got == Seq(
+        // u1: buffer drained by the pre-freeze fold; only the open
+        // fragment survives — the current layout's drained-key leg
+        BufferedSnapshot(1L, Seq.empty, Some(Seq((10000L, 12000L, 2L, 2L)))),
+        BufferedSnapshot(2L, Seq((24000L, 10L, "session", 1L)), None),
+        BufferedSnapshot(9L, Seq((23000L, 91L, "session", 0L), (24000L, 90L, "session", 0L)), None)),
+        s"session-current fixture dump drifted: $got")
+    }
+  }
 }

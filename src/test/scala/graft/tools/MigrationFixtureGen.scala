@@ -53,8 +53,18 @@ object MigrationFixtureGen {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // A fixture is FROZEN once committed — regenerating an existing one
+    // would silently re-stamp the very bytes the pinning spec exists to
+    // hold still. Existing fixtures are skipped; to rebuild one on
+    // purpose, pass its shape name (or --all) as a program arg.
+    val force = args.toSet
     def regen(shape: String)(start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val dir = java.nio.file.Paths.get(FixtureRoot, shape)
+      if (java.nio.file.Files.exists(dir)
+          && !(force.contains(shape) || force.contains("--all"))) {
+        println(s"[fixture] $shape exists — skipped (pass '$shape' or --all to rebuild)")
+        return
+      }
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
         val s = java.nio.file.Files.walk(dir)
@@ -122,6 +132,54 @@ object MigrationFixtureGen {
         .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.SessionSummary],
             _: Long) => { df.count(); () })
         .option("checkpointLocation", ckpt).start()
+    }
+
+    // ---- CURRENT-layout fixtures (r16): written by the SHIPPED
+    // operators, frozen so `readCurrentBuffered*` drift is detectable
+    // against bytes the readers cannot influence (same rationale as the
+    // old-layout trio above). Two batches each: the first settles a fold
+    // (and, for the session, drains the ListState), the second leaves
+    // buffered state past the watermark. ----
+
+    regen("cep-current") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExact(in.toDS(), "10 seconds")
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.PatternCount],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+      // batch 1: u1 (v,c) + pusher to 16s -> wm 6s after commit
+      in.addData(Seq(ev(1L, 5000, 0, "view", 0L), ev(1L, 6000, 1, "click", 0L),
+        ev(9L, 16000, 90, "s", 0L)))
+      q.processAllAvailable()
+      // batch 2: timer pass at wm 6s folds u1 -> folded (1,2,0); the new
+      // rows stay buffered past wm 10s
+      in.addData(Seq(ev(1L, 20000, 2, "purchase", 0L), ev(2L, 15000, 10, "view", 0L),
+        ev(9L, 17000, 91, "s", 0L)))
+      q.processAllAvailable()
+      q
+    }
+
+    regen("session-current") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedEvent](spark)
+      val q = StatefulOps.timedSessionsExact(in.toDS(), gapMs = 5000L,
+          watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.SessionSummary],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+      // batch 1: u1 pair + u2 single + pusher to 24s -> wm 14s after commit
+      in.addData(Seq(
+        StatefulOps.TimedEvent(new java.sql.Timestamp(10000L), 1L, 0L, 1L),
+        StatefulOps.TimedEvent(new java.sql.Timestamp(12000L), 1L, 1L, 1L),
+        StatefulOps.TimedEvent(new java.sql.Timestamp(24000L), 2L, 10L, 1L),
+        StatefulOps.TimedEvent(new java.sql.Timestamp(24000L), 9L, 90L, 0L)))
+      q.processAllAvailable()
+      // batch 2: timer pass at wm 14s folds u1's pair into an OPEN
+      // fragment (close 17s > wm) and DRAINS its ListState buffer
+      in.addData(Seq(StatefulOps.TimedEvent(new java.sql.Timestamp(23000L), 9L, 91L, 0L)))
+      q.processAllAvailable()
+      q
     }
 
     spark.stop()
