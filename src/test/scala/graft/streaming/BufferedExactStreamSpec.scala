@@ -573,6 +573,46 @@ class BufferedExactStreamSpec extends SparkSpec {
     }
   }
 
+  test("the current-layout dump reads CHANGELOG-mode checkpoints (the new session default)") {
+    // Graft.session now writes RocksDB checkpoints in changelog mode by
+    // default (r16 decision), so the checkpoints a future migration has
+    // to rescue will mostly be changelog-mode — the offline statestore
+    // reader must REPLAY changelogs onto the last snapshot to see current
+    // state, not just unzip a full snapshot. Pin it: the shipped operator
+    // writes a changelog-mode checkpoint whose LAST commits are
+    // changelog-only deltas (the fold + late buffer writes), and the dump
+    // must read the post-replay state exactly.
+    val ckpt = newDir("graft-bxcl-ckpt")
+    withConf("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true") {
+      withRocksDBProvider {
+        val in = MemoryStream[TimedUserEvent](spark)
+        val q = StatefulOps.patternMatchCountsExact(in.toDS(), "10 seconds")
+          .writeStream.outputMode(OutputMode.Update).format("memory")
+          .queryName("bxcl_src").option("checkpointLocation", ckpt).start()
+        in.addData(Seq(ev(1L, 5000, 0, "view"), ev(1L, 6000, 1, "click"),
+          ev(9L, 16000, 90, "s")))
+        q.processAllAvailable()
+        // the timer pass folds u1 -> folded (1,2,0) and drains its
+        // ListState; the purchase buffers past wm 10s — both writes land
+        // in a changelog delta, not a snapshot
+        in.addData(Seq(ev(1L, 20000, 2, "purchase"), ev(2L, 15000, 10, "view"),
+          ev(9L, 17000, 91, "s")))
+        q.processAllAvailable()
+        q.stop()
+        val byUser = StateMigration
+          .readCurrentBufferedExact[(Long, Long, Long)](spark, ckpt)
+          .collect().map(s => s.userId -> s).toMap
+        assert(byUser(1L) == StatefulOps.BufferedSnapshot(1L,
+            Seq((20000L, 2L, "purchase", 0L)), Some((1L, 2L, 0L))),
+          s"changelog-mode dump missed replayed state: ${byUser.get(1L)}")
+        assert(byUser(2L) == StatefulOps.BufferedSnapshot(2L,
+            Seq((15000L, 10L, "view", 0L)), None),
+          s"changelog-mode dump wrong for buffer-only key: ${byUser.get(2L)}")
+      }
+    }
+  }
+
   test("migration: the attribution-typed dump round-trips too (folded carries a String field)") {
     // The dump/bootstrap machinery is generic in the fold-state type S;
     // the CEP round trip above exercises S = (Long, Long, Long). This
