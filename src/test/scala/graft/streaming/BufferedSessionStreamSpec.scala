@@ -428,6 +428,27 @@ class BufferedSessionStreamSpec extends SparkSpec {
     }
   }
 
+  test("the deduped composition absorbs a replayed trigger (row 16's recipe on row 22)") {
+    // Rows 19-22's replay column said "dedup upstream" as advice;
+    // timedSessionsExactDeduped ships it. A whole trigger is REDELIVERED
+    // (same events, same ids — what at-least-once redelivery means):
+    // the deduped form's sessions equal the batch truth of the original
+    // events; the plain form double-counts the replayed rows into its
+    // fragments — BOTH pinned, mirroring CmsStreamSpec's row-15/16
+    // contrast so the caveat stays explicit rather than discovered.
+    val gap = 5000L
+    val evs = Seq(ev(8L, 10000, 1), ev(8L, 12000, 2), ev(8L, 13000, 3))
+    val batches = Seq(evs, evs) // trigger 2 redelivers trigger 1 verbatim
+    val deduped = run(batches, "bs_dedup_replay")(
+      StatefulOps.timedSessionsExactDeduped(_, gapMs = gap, watermark = "60 seconds"))
+    assert(deduped == truth(evs, gap),
+      s"replayed trigger leaked through the dedup: $deduped vs ${truth(evs, gap)}")
+    val plain = run(batches, "bs_plain_replay")(
+      StatefulOps.timedSessionsExact(_, gapMs = gap, watermark = "60 seconds"))
+    assert(plain.map(_.nEvents).sum == 2L * evs.size,
+      s"the plain form's documented double-count contract changed: $plain")
+  }
+
   test("admission boundary: an event at exactly the watermark drops (strict >)") {
     // pusher moves wm to 20s; a boundary event at ts == 20s in the next
     // batch must DROP (strictly-late filter), one at 20.001s must fold —
