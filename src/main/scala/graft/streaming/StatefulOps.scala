@@ -1168,16 +1168,69 @@ object StatefulOps {
     events
       // ONE watermark feeds both stateful operators (re-stamping after the
       // dedup trips Spark's redefining-watermark guard), so the re-shape
-      // happens first and the dedup's untyped output is re-typed with
-      // as[] — a logical cast that, unlike a typed map, keeps the
-      // watermark tag
+      // happens first; dropDuplicatesWithinWatermark on a typed Dataset is
+      // type-preserving, so the processor wires on directly
       .map(e => TimedUserEvent(e.ts, e.userId, e.eventId, "session", e.cents))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("userId", "eventId")
-      .as[TimedUserEvent]
       .groupByKey(_.userId)
       .transformWithState(new BufferedSessionProcessor(gapMs,
           bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ===== replay-proof compositions for the buffered-exact trio =========
+  //
+  // PARITY rows 19-21 carried the same replay caveat row 22 did ("a
+  // redelivered event re-enters the buffer and folds again; dedup
+  // upstream") with the fix left as advice. These three ship it — the
+  // [[timedSessionsExactDeduped]] recipe verbatim, which is itself row
+  // 16's [[cmsFrequencyDeduped]] recipe: ONE watermark stamped up front
+  // feeds both stateful operators, and `dropDuplicatesWithinWatermark` on
+  // the (userId, eventId) PAIR drops an at-least-once redelivery inside
+  // the watermark horizon before it can reach the buffer. The
+  // idempotency-token contract and cost model are row 16's: eventId
+  // unique per key among LIVE events in the horizon, dedup state
+  // O(events in horizon) — the same horizon class the buffer already
+  // pays, so each composition roughly doubles rather than changes the
+  // state bound. The trio's inputs already carry the skeleton's
+  // TimedUserEvent surface, so unlike row 22 no pre-watermark re-shape is
+  // needed.
+
+  /** Replay-proof [[patternMatchCountsExact]] (PARITY row 19). */
+  def patternMatchCountsExactDeduped(events: Dataset[TimedUserEvent],
+      watermark: String = "10 seconds"): Dataset[PatternCount] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("userId", "eventId")
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedPatternProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Replay-proof [[cusumMonitorExact]] (PARITY row 20). */
+  def cusumMonitorExactDeduped(events: Dataset[TimedUserEvent], target: Long,
+      threshold: Long, watermark: String = "10 seconds"): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("userId", "eventId")
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedCusumProcessor(target, threshold,
+          bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Replay-proof [[lastTouchAttributionExact]] (PARITY row 21). */
+  def lastTouchAttributionExactDeduped(events: Dataset[TimedUserEvent],
+      watermark: String = "10 seconds"): Dataset[AttributedPurchaseTs] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("userId", "eventId")
+      .groupByKey(_.userId)
+      .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

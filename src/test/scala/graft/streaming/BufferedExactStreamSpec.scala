@@ -808,6 +808,64 @@ class BufferedExactStreamSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- replay absorption: the deduped compositions (r16 verdict task 1;
+  // PARITY rows 19-21). Mirrors BufferedSessionStreamSpec's row-22 case:
+  // a whole trigger is REDELIVERED verbatim (same events, same ids — what
+  // at-least-once redelivery means); the deduped form must match the
+  // batch truth of the ORIGINAL events, and the plain form's documented
+  // double-count is re-pinned alongside so the caveat stays explicit. ----
+
+  test("the deduped CEP composition absorbs a replayed trigger (row 16's recipe on row 19)") {
+    val evs = Seq(ev(11L, 10000, 0, "view"), ev(11L, 11000, 1, "click"),
+      ev(11L, 12000, 2, "purchase"))
+    val batches = Seq(evs, evs) // trigger 2 redelivers trigger 1 verbatim
+    val dd = run(batches, "bxr_cep_dd", OutputMode.Update, 200000L)(
+      StatefulOps.patternMatchCountsExactDeduped(_, watermark = "60 seconds"))
+      .as[PatternCount].collect().toSeq.filter(_.userId == 11L).maxBy(_.nEvents)
+    val (n, m) = cepTruth(evs)
+    assert(dd == PatternCount(11L, n, m),
+      s"replayed trigger leaked through the CEP dedup: $dd vs ($n events, $m matches)")
+    val plain = run(batches, "bxr_cep_pl", OutputMode.Update, 200000L)(
+      StatefulOps.patternMatchCountsExact(_, watermark = "60 seconds"))
+      .as[PatternCount].collect().toSeq.filter(_.userId == 11L).maxBy(_.nEvents)
+    assert(plain.nEvents == 2L * evs.size,
+      s"the plain CEP form's documented double-count contract changed: $plain")
+  }
+
+  test("the deduped CUSUM composition absorbs a replayed trigger (row 16's recipe on row 20)") {
+    val (target, threshold) = (20L, 100L)
+    val evs = Seq(ev(12L, 10000, 0, "signup", 500L), ev(12L, 11000, 1, "signup", 10L))
+    val batches = Seq(evs, evs)
+    val dd = run(batches, "bxr_cus_dd", OutputMode.Update, 200000L)(
+      StatefulOps.cusumMonitorExactDeduped(_, target, threshold, watermark = "60 seconds"))
+      .as[CusumState].collect().toSeq.filter(_.userId == 12L).maxBy(_.nEvents)
+    val truth = cusumTruth(evs, target, threshold)
+    assert(dd == truth,
+      s"replayed trigger leaked through the CUSUM dedup: $dd vs $truth")
+    val plain = run(batches, "bxr_cus_pl", OutputMode.Update, 200000L)(
+      StatefulOps.cusumMonitorExact(_, target, threshold, watermark = "60 seconds"))
+      .as[CusumState].collect().toSeq.filter(_.userId == 12L).maxBy(_.nEvents)
+    assert(plain.nEvents == 2L * evs.size,
+      s"the plain CUSUM form's documented double-count contract changed: $plain")
+  }
+
+  test("the deduped attribution composition absorbs a replayed trigger (row 16's recipe on row 21)") {
+    val evs = Seq(ev(13L, 10000, 0, "view"), ev(13L, 12000, 1, "purchase", 700L))
+    val batches = Seq(evs, evs)
+    val dd = run(batches, "bxr_att_dd", OutputMode.Append, 200000L)(
+      StatefulOps.lastTouchAttributionExactDeduped(_, watermark = "60 seconds"))
+      .as[AttributedPurchaseTs].collect().toSeq.filter(_.userId == 13L)
+    assert(dd == attributionTruth(evs),
+      s"replayed trigger leaked through the attribution dedup: $dd")
+    // plain form: the replayed purchase re-folds and re-emits — the same
+    // attribution row TWICE (idempotent value, duplicate row; PARITY row 21)
+    val plain = run(batches, "bxr_att_pl", OutputMode.Append, 200000L)(
+      StatefulOps.lastTouchAttributionExact(_, watermark = "60 seconds"))
+      .as[AttributedPurchaseTs].collect().toSeq.filter(_.userId == 13L)
+    assert(plain.size == 2 && plain.distinct == attributionTruth(evs),
+      s"the plain attribution form's documented re-emit contract changed: $plain")
+  }
 }
 
 /** The attribution-typed twin of [[OldBufferLayoutProcessor]]: same old
