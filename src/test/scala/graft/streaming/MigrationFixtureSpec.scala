@@ -121,6 +121,34 @@ class MigrationFixtureSpec extends SparkSpec {
     }
   }
 
+  test("cusum-current fixture dumps to the exact pinned snapshots (alarm-latched fold state)") {
+    offline {
+      val got = StateMigration
+        .readCurrentBufferedExact[(Long, Long, Long)](spark, fixtureCopy("cusum-current"))
+        .collect().sortBy(_.userId).toSeq
+      assert(got == Seq(
+        // u1's fold (n=2, acc=40, alarm latched on event 1) freezes the
+        // alarm column a cep fixture cannot exercise
+        BufferedSnapshot(1L, Seq((20000L, 2L, "s", 5L)), Some((2L, 40L, 1L))),
+        BufferedSnapshot(2L, Seq((15000L, 10L, "s", 7L)), None),
+        BufferedSnapshot(9L, Seq((16000L, 90L, "s", 0L), (17000L, 91L, "s", 0L)), None)),
+        s"cusum-current fixture dump drifted: $got")
+    }
+  }
+
+  test("attribution-current fixture dumps to the exact pinned snapshots (String-bearing fold state)") {
+    offline {
+      val got = StateMigration
+        .readCurrentBufferedExact[(Long, Long, String)](spark, fixtureCopy("attribution-current"))
+        .collect().sortBy(_.userId).toSeq
+      assert(got == Seq(
+        BufferedSnapshot(1L, Seq((20000L, 2L, "click", 0L)), Some((5000L, 0L, "view"))),
+        BufferedSnapshot(2L, Seq((15000L, 10L, "click", 0L)), None),
+        BufferedSnapshot(9L, Seq((16000L, 90L, "s", 0L), (17000L, 91L, "s", 0L)), None)),
+        s"attribution-current fixture dump drifted: $got")
+    }
+  }
+
   test("session-current fixture dumps to the exact pinned snapshots (fold-drained ListState)") {
     offline {
       val got = StateMigration

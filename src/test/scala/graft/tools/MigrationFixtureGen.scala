@@ -24,9 +24,12 @@ import graft.streaming.{OldAttributionLayoutProcessor, OldBufferLayoutProcessor,
   * sbt "Test/runMain graft.tools.MigrationFixtureGen"
   * }}}
   *
-  * One checkpoint per operator shape — `cep` (the tuple fold state CUSUM
-  * shares), `attribution` (the String-bearing fold state), `session` (the
-  * array-typed fragment list). All three are RocksDB-provider checkpoints:
+  * One OLD-layout checkpoint per operator shape — `cep` (the tuple fold
+  * state CUSUM shares), `attribution` (the String-bearing fold state),
+  * `session` (the array-typed fragment list) — plus one CURRENT-layout
+  * checkpoint per shipped operator (`cep-current`, `cusum-current`,
+  * `attribution-current`, `session-current`; r16/r17, the full 7-shape
+  * matrix). All are RocksDB-provider checkpoints:
   * transformWithState — which the old layout also used — supports ONLY the
   * RocksDB state store, so an HDFS-provider old checkpoint cannot exist
   * and no HDFS fixture is committed (the dump script's `hdfs` provider
@@ -38,6 +41,38 @@ import graft.streaming.{OldAttributionLayoutProcessor, OldBufferLayoutProcessor,
   */
 object MigrationFixtureGen {
   val FixtureRoot = "src/test/resources/migration-fixture"
+
+  /** The freeze guard + rebuild driver, extracted so the guard itself is
+    * spec-pinned (r16 verdict task 2 — it used to live only inside
+    * `main`, exercised manually): a fixture is FROZEN once committed —
+    * regenerating an existing one would silently re-stamp the very bytes
+    * the pinning spec exists to hold still. An existing `shape` dir is
+    * skipped unless `force` names it (or `--all`); only then are the old
+    * bytes deleted and `start` invoked on a fresh dir. Returns whether a
+    * checkpoint was (re)written.
+    */
+  private[tools] def regen(root: String, shape: String, force: Set[String])(
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+    val dir = java.nio.file.Paths.get(root, shape)
+    if (java.nio.file.Files.exists(dir)
+        && !(force.contains(shape) || force.contains("--all"))) {
+      println(s"[fixture] $shape exists — skipped (pass '$shape' or --all to rebuild)")
+      false
+    } else {
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(dir)
+        try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally s.close()
+      }
+      java.nio.file.Files.createDirectories(dir)
+      val q = start(dir.toString)
+      q.processAllAvailable()
+      q.stop()
+      println(s"[fixture] wrote $shape checkpoint to $dir")
+      true
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -53,29 +88,13 @@ object MigrationFixtureGen {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // A fixture is FROZEN once committed — regenerating an existing one
-    // would silently re-stamp the very bytes the pinning spec exists to
-    // hold still. Existing fixtures are skipped; to rebuild one on
+    // Freeze guard: see `regen` above (spec-pinned by
+    // MigrationFixtureGenSpec). To rebuild a committed fixture on
     // purpose, pass its shape name (or --all) as a program arg.
     val force = args.toSet
     def regen(shape: String)(start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-      val dir = java.nio.file.Paths.get(FixtureRoot, shape)
-      if (java.nio.file.Files.exists(dir)
-          && !(force.contains(shape) || force.contains("--all"))) {
-        println(s"[fixture] $shape exists — skipped (pass '$shape' or --all to rebuild)")
-        return
-      }
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(dir)
-        try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        finally s.close()
-      }
-      java.nio.file.Files.createDirectories(dir)
-      val q = start(dir.toString)
-      q.processAllAvailable()
-      q.stop()
-      println(s"[fixture] wrote $shape checkpoint to $dir")
+      MigrationFixtureGen.regen(FixtureRoot, shape, force)(start)
+      ()
     }
 
     def ev(uid: Long, ms: Long, id: Long, typ: String, cents: Long) =
@@ -155,6 +174,49 @@ object MigrationFixtureGen {
       // batch 2: timer pass at wm 6s folds u1 -> folded (1,2,0); the new
       // rows stay buffered past wm 10s
       in.addData(Seq(ev(1L, 20000, 2, "purchase", 0L), ev(2L, 15000, 10, "view", 0L),
+        ev(9L, 17000, 91, "s", 0L)))
+      q.processAllAvailable()
+      q
+    }
+
+    regen("cusum-current") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+      val q = StatefulOps.cusumMonitorExact(in.toDS(), target = 20L,
+          threshold = 15L, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Update)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.CusumState],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+      // batch 1: u1 deviations (cents 30, 50 vs target 20) + pusher to
+      // 16s -> wm 6s after commit
+      in.addData(Seq(ev(1L, 5000, 0, "s", 30L), ev(1L, 6000, 1, "s", 50L),
+        ev(9L, 16000, 90, "s", 0L)))
+      q.processAllAvailable()
+      // batch 2: timer pass at wm 6s folds u1 -> folded (2, 40, 1): acc
+      // 10 then 40, crossing threshold 15 on event 1 (the alarm latch —
+      // the fold-state column a cep fixture cannot exercise); the new
+      // rows stay buffered past wm 10s
+      in.addData(Seq(ev(1L, 20000, 2, "s", 5L), ev(2L, 15000, 10, "s", 7L),
+        ev(9L, 17000, 91, "s", 0L)))
+      q.processAllAvailable()
+      q
+    }
+
+    regen("attribution-current") { ckpt =>
+      val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+      val q = StatefulOps.lastTouchAttributionExact(in.toDS(), "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[StatefulOps.AttributedPurchaseTs],
+            _: Long) => { df.count(); () })
+        .option("checkpointLocation", ckpt).start()
+      // batch 1: u1 view -> purchase + pusher to 16s -> wm 6s after commit
+      in.addData(Seq(ev(1L, 5000, 0, "view", 0L), ev(1L, 6000, 1, "purchase", 700L),
+        ev(9L, 16000, 90, "s", 0L)))
+      q.processAllAvailable()
+      // batch 2: timer pass at wm 6s folds u1 (the purchase emits,
+      // credited "view"; folded keeps the String-bearing best-touch
+      // triple); the new rows stay buffered past wm 10s
+      in.addData(Seq(ev(1L, 20000, 2, "click", 0L), ev(2L, 15000, 10, "click", 0L),
         ev(9L, 17000, 91, "s", 0L)))
       q.processAllAvailable()
       q
