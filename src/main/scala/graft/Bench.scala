@@ -372,31 +372,51 @@ object Bench {
 
   /** The main line's `composite_clean` JSON object: the adjudicated total
     * (clean-window value per query), the exact re-queried/unclean counts,
-    * and — with `inlineDetail` — the re-queried per-query values and
-    * never-clean query names, clipped to [[CompositeInlineMax]] inline.
-    * Without `inlineDetail` (the stdout-budget fallback, see
-    * [[assembleStdout]]) only total + counts ride the line; either way the
-    * full maps live in target/bench.json, and any omission is flagged
-    * in-band with `"truncated":true`.
+    * and a `detail` ladder (r16 verdict task 3 — the sealed artifact must
+    * say WHICH queries were re-queried without reading target/bench.json):
+    *
+    *   - `"full"` — the re-queried per-query values and never-clean query
+    *     names, clipped to [[CompositeInlineMax]] inline;
+    *   - `"names"` — the COMPLETE re-queried and unclean name lists, no
+    *     values (the stdout-budget fallback when the full detail would
+    *     outgrow the line budget: names are the forensic signal, values
+    *     are a lookup);
+    *   - `"counts"` — only total + counts (the last resort, when even the
+    *     name list overflows).
+    *
+    * Whatever the stage, the full maps live in target/bench.json (the main
+    * line's `detail` pointer), and any inline omission is flagged in-band
+    * with `"truncated":true`.
     */
   private[graft] def compositeJson(perQuery: Seq[(String, Double)],
       requeried: Map[String, Double], unclean: Seq[String],
-      inlineDetail: Boolean = true): String = {
+      detail: String = "full"): String = {
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     val rqAll = requeried.toSeq.sortBy(_._1)
     val head = f""""composite_clean":{"total":$total%.3f,""" +
       f""""requeried_n":${rqAll.size}%d,"unclean_n":${unclean.size}%d"""
-    if (!inlineDetail) {
-      val trunc = if (rqAll.nonEmpty || unclean.nonEmpty) ""","truncated":true""" else ""
-      head + trunc + "}"
-    } else {
-      val clipped = rqAll.size > CompositeInlineMax || unclean.size > CompositeInlineMax
-      val rq = rqAll.take(CompositeInlineMax)
-        .map { case (n, v) => f""""$n":$v%.3f""" }.mkString("{", ",", "}")
-      val un = unclean.take(CompositeInlineMax)
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val trunc = if (clipped) ""","truncated":true""" else ""
-      head + s""","requeried":$rq,"unclean":$un$trunc}"""
+    val unAll = unclean.map("\"" + _ + "\"").mkString("[", ",", "]")
+    detail match {
+      case "counts" =>
+        val trunc = if (rqAll.nonEmpty || unclean.nonEmpty) ""","truncated":true""" else ""
+        head + trunc + "}"
+      case "names" =>
+        // every NAME is inline (the self-containedness contract); only the
+        // per-query VALUES defer to the main line's target/bench.json
+        // pointer — marked structurally by the `requeried_names` key
+        // itself, so no extra flag spends budget; an empty unclean list is
+        // omitted (unclean_n already says 0)
+        val namesArr = rqAll.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+        val un = if (unclean.isEmpty) "" else s""","unclean":$unAll"""
+        head + s""","requeried_names":$namesArr$un}"""
+      case _ => // full
+        val clipped = rqAll.size > CompositeInlineMax || unclean.size > CompositeInlineMax
+        val rq = rqAll.take(CompositeInlineMax)
+          .map { case (n, v) => f""""$n":$v%.3f""" }.mkString("{", ",", "}")
+        val un = unclean.take(CompositeInlineMax)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        val trunc = if (clipped) ""","truncated":true""" else ""
+        head + s""","requeried":$rq,"unclean":$un$trunc}"""
     }
   }
 
@@ -440,24 +460,45 @@ object Bench {
       sfDir: String): String =
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","tainted":$taintedArr$calibCompact,"queries":$qsCompact,$compositeObj,"sf":"$sfDir","detail":"target/bench.json"}"""
 
-  /** Three-stage budget degradation (r15, with the composite field): the
-    * pair is tried with the DETAILED main line first; if over budget, the
-    * main line falls back to the counts-only composite (per-query retry
-    * detail already lives in target/bench.json, and the fallback carries
-    * `"truncated":true` in-band); only if even that pair is over budget
-    * does the probes line degrade to its pointer — STILL paired with the
-    * counts-only main (r15 ADVICE: pointer + detailed main could itself
-    * exceed the budget with only a stderr warning; pointer + counts is
-    * the strictly safer last stage). Every stage logs to stderr — nothing
-    * is ever dropped silently.
+  /** The probes line's degraded form: an explicit in-band pointer, never
+    * a silent drop (r13 ADVICE).
+    */
+  private[graft] val ProbesPointer =
+    """{"graft_probes":true,"dropped":"stdout budget","see":"target/bench.json"}"""
+
+  /** Budget degradation ladder (r16 verdict task 3 added the names
+    * stages): the pair is tried with the DETAILED main line first; if
+    * over budget, with the NAMES-only composite (the complete
+    * requeried/unclean name lists — the sealed artifact then still says
+    * WHICH queries were re-queried, only their values defer to
+    * target/bench.json); if even that pair is over budget, the PROBES
+    * line degrades to its pointer while the name list survives — the
+    * names are the round-specific retry forensics, the probes are
+    * round-stable and always in target/bench.json, so the names outrank
+    * them; counts-only is the genuine last resort (a name list so long it
+    * overflows the budget even against the 75-char pointer), paired
+    * through the 2-arg stage so the final pair is (pointer, counts) if
+    * needed (r15 ADVICE: the last stage must be the strictly smallest
+    * pair). Every stage logs to stderr — nothing is ever dropped
+    * silently.
     */
   private[graft] def assembleStdout(probesLine: String, mainDetail: String,
-      mainCounts: String): Seq[String] = {
+      mainNames: String, mainCounts: String): Seq[String] = {
     if (probesLine.length + mainDetail.length + 2 <= StdoutBudget)
       assembleStdout(probesLine, mainDetail)
-    else {
-      System.err.println(s"[bench] composite detail (${mainDetail.length} chars) " +
-        s"dropped from the main line for the stdout budget; counts-only " +
+    else if (probesLine.length + mainNames.length + 2 <= StdoutBudget) {
+      System.err.println(s"[bench] composite value detail (${mainDetail.length} " +
+        s"chars) dropped from the main line for the stdout budget; the complete " +
+        s"requeried-name list kept, values in target/bench.json")
+      assembleStdout(probesLine, mainNames)
+    } else if (ProbesPointer.length + mainNames.length + 2 <= StdoutBudget) {
+      System.err.println(s"[bench] probes line (${probesLine.length} chars) " +
+        s"dropped from stdout to keep the complete requeried-name list " +
+        s"(${mainNames.length}-char main); full probes in target/bench.json")
+      Seq(ProbesPointer, mainNames)
+    } else {
+      System.err.println(s"[bench] composite name list (${mainNames.length} chars) " +
+        s"over the stdout budget even against the probes pointer; counts-only " +
         s"composite kept, full detail in target/bench.json")
       assembleStdout(probesLine, mainCounts)
     }
@@ -479,8 +520,7 @@ object Bench {
       System.err.println(s"[bench] probes line (${probesLine.length} chars) " +
         s"dropped from stdout: combined ${probesLine.length + mainLine.length}" +
         s" > $StdoutBudget budget; full probes in target/bench.json")
-      Seq("""{"graft_probes":true,"dropped":"stdout budget","see":"target/bench.json"}""",
-        mainLine)
+      Seq(ProbesPointer, mainLine)
     }
   }
 
@@ -722,19 +762,30 @@ object Bench {
     val (compositePerQuery, uncleanNames) = compositeClean(
       results.map { case (n, m, _, _) => (n, m) }, chunkOf, dirty,
       retriedMedians.toMap)
-    val compositeObj =
+    // the detailed stage prefers the names form outright when the full
+    // form would clip the name list (r16 verdict task 3: the one thing the
+    // sealed line must never hide is WHICH queries were re-queried)
+    val compositeFullObj =
       compositeJson(compositePerQuery, retriedMedians.toMap, uncleanNames)
+    val compositeNamesObj = compositeJson(compositePerQuery,
+      retriedMedians.toMap, uncleanNames, detail = "names")
+    val compositeObj =
+      if (retriedMedians.size > CompositeInlineMax
+          || uncleanNames.size > CompositeInlineMax) compositeNamesObj
+      else compositeFullObj
     val compositeCountsObj = compositeJson(compositePerQuery,
-      retriedMedians.toMap, uncleanNames, inlineDetail = false)
+      retriedMedians.toMap, uncleanNames, detail = "counts")
 
     val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val qsUntrimmed =
       results.map { case (k, _, u, _) => s""""$k":$u""" }.mkString("{", ",", "}")
-    // stdout variant: 3-decimal medians (ms precision is all the estimator
-    // can resolve anyway; full doubles cost ~6 chars × 29 entries of the
-    // fixed tail window)
+    // stdout variant: 2-decimal medians (r17; the med5 estimator's
+    // trigger-to-trigger noise is well above 10 ms, and the ~30 chars
+    // bought across the headline map are part of what lets the
+    // requeried-names stage fit the pair budget); the full 3-decimal
+    // values stay in target/bench.json
     val qsCompact =
-      results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      results.map { case (k, v, _, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, _, rs) =>
       s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -773,12 +824,17 @@ object Bench {
           f""""${p.name}":{"t1":${p.t1}%.3f,"tN":${p.tN}%.3f,"ratio":${p.ratio}%.2f$spill""" +
             s""","runs1":${arr(p.runs1)},"runsN":${arr(p.runsN)}}"""
         }.mkString(",")
+        // stdout timings at 2 decimals (r17): the compact walls are
+        // multi-second measurements whose third decimal is noise, and the
+        // ~24 chars bought are what lets the main line's requeried-names
+        // stage fit the pair budget at r16-like retry counts; the full
+        // 3-decimal values stay in target/bench.json
         def entriesCompact = probe.map { p =>
           val spill = (p.spill1, p.spillN) match {
             case (Some(a), Some(b)) => s",$a,$b"
             case _ => ""
           }
-          f""""${p.name}":[${p.t1}%.3f,${p.tN}%.3f,${p.ratio}%.2f$spill]"""
+          f""""${p.name}":[${p.t1}%.2f,${p.tN}%.2f,${p.ratio}%.2f$spill]"""
         }.mkString(",")
         (s""","scale_probe":{"factor":$factor,"queries":{$entriesFull}}""",
           s""","scale_probe":{"factor":$factor,"queries":{$entriesCompact}}""")
@@ -905,15 +961,17 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +
         s""""tainted":$tainted,"value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
-        s""""queries_untrimmed":$qsUntrimmed,$compositeObj,"runs":$runsJson,"sf":"$sfDir"""" +
+        s""""queries_untrimmed":$qsUntrimmed,$compositeFullObj,"runs":$runsJson,"sf":"$sfDir"""" +
         s"""$calibFull$compositeFull$probeFull$exchangeFull}"""
     val mainLine = buildMainLine(total, tainted, calibCompact, qsCompact,
       compositeObj, sfDir)
+    val mainLineNames = buildMainLine(total, tainted, calibCompact, qsCompact,
+      compositeNamesObj, sfDir)
     val mainLineCounts = buildMainLine(total, tainted, calibCompact, qsCompact,
       compositeCountsObj, sfDir)
     val probesLine =
       s"""{"graft_probes":true$probeCompact$exchangeCompact}"""
-    val stdoutLines = assembleStdout(probesLine, mainLine, mainLineCounts)
+    val stdoutLines = assembleStdout(probesLine, mainLine, mainLineNames, mainLineCounts)
     try {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full)

@@ -147,11 +147,33 @@ class BenchLineSpec extends AnyFunSuite {
     assert(jc.get("requeried_n").asInt() == 0 && !jc.has("truncated"))
   }
 
+  test("compositeJson names form: COMPLETE name lists, values deferred and flagged") {
+    val pq = (1 to 10).map(i => s"q$i" -> 1.0)
+    val rq = (1 to 7).map(i => s"q$i" -> 0.9).toMap
+    val un = (8 to 10).map(i => s"q$i")
+    val j = parses("{" + Bench.compositeJson(pq, rq, un, detail = "names") + "}")
+      .get("composite_clean")
+    // the self-containedness contract (r16 verdict task 3): EVERY
+    // requeried and unclean name inline, no clip, whatever the count
+    assert(j.get("requeried_names").size() == 7
+      && (0 until 7).forall(i => j.get("requeried_names").get(i).asText() == s"q${i + 1}"),
+      "names form must carry the complete requeried list")
+    assert(j.get("unclean").size() == 3)
+    assert(!j.has("requeried"), "names form carries no values")
+    // the stage is marked structurally (the requeried_names key), not by a
+    // flag, and an empty unclean list is omitted (unclean_n already says 0)
+    assert(!j.has("truncated"))
+    val jc = parses("{" + Bench.compositeJson(pq, rq, Seq.empty, detail = "names") + "}")
+      .get("composite_clean")
+    assert(!jc.has("unclean") && jc.get("unclean_n").asInt() == 0
+      && jc.get("requeried_names").size() == 7)
+  }
+
   /** A main line built from the REAL headline set with worst-plausible
     * field widths (two-digit seconds per query, every calib leg tainted).
     */
   private def realisticMainLine: String = {
-    val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
+    val qs = Bench.headline.map(n => s""""$n":99.99""").mkString("{", ",", "}")
     val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
     // worst-plausible composite: every chunk dirty, the inline cap worth
     // of re-queried entries AND unclean names (longest headline names),
@@ -174,8 +196,8 @@ class BenchLineSpec extends AnyFunSuite {
       "q_graph_pagerank", "q_sim_covariance", "q_join_star",
       "q_join_asof_native", "q_join_interval_keyed_native", "q_dedup_cc",
       "skew_join_salted", "skew_join_unsalted")
-    val scale = scaleNames.map(n => s""""$n":[99.999,99.999,99.99]""") :+
-      s""""interval_spill_forced":[99.999,99.999,99.99,1234567890,12345678901]"""
+    val scale = scaleNames.map(n => s""""$n":[99.99,99.99,99.99]""") :+
+      s""""interval_spill_forced":[99.99,99.99,99.99,1234567890,12345678901]"""
     s"""{"graft_probes":true,"scale_probe":{"factor":10,"queries":{${scale.mkString(",")}}},""" +
       s""""exchange_probe":{"factor":10,"bloom_cut":99.99,"superstep_checkpoint_cut":99.99,""" +
       s""""skew_balance":99.99,"lsh_band_cut":9999.9,"pagerank_contrib_cut":9999.9,""" +
@@ -202,59 +224,151 @@ class BenchLineSpec extends AnyFunSuite {
     * widths, composite detail degraded to exact counts + truncation flag).
     */
   private def realisticMainLineCounts: String = {
-    val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
+    val qs = Bench.headline.map(n => s""""$n":99.99""").mkString("{", ",", "}")
     val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
     val longest = Bench.headline.sortBy(-_.length)
     val composite = Bench.compositeJson(
       Bench.headline.map(_ -> 99.999),
       longest.take(Bench.CompositeInlineMax + 3).map(_ -> 99.999).toMap,
-      longest.take(Bench.CompositeInlineMax + 3), inlineDetail = false)
+      longest.take(Bench.CompositeInlineMax + 3), detail = "counts")
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
       composite, "/root/testdata/sf0.1")
   }
 
-  test("probes + main pair fits the budget at worst widths, via the counts-only composite stage") {
+  /** The names-stage variant of [[realisticMainLine]] (same worst widths,
+    * composite degraded to the complete name lists).
+    */
+  private def realisticMainLineNames(nRequeried: Int,
+      nUnclean: Int = 0): String = {
+    val qs = Bench.headline.map(n => s""""$n":99.99""").mkString("{", ",", "}")
+    val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
+    val longest = Bench.headline.sortBy(-_.length)
+    val composite = Bench.compositeJson(
+      Bench.headline.map(_ -> 99.999),
+      longest.take(nRequeried).map(_ -> 99.999).toMap,
+      longest.take(nUnclean), detail = "names")
+    Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
+      composite, "/root/testdata/sf0.1")
+  }
+
+  test("worst widths: the name list survives via the probes pointer; counts is the true last resort") {
     val p = realisticProbesLine
     val mDetail = realisticMainLine
+    val mNames = realisticMainLineNames(Bench.CompositeInlineMax + 3)
     val mCounts = realisticMainLineCounts
     parses(p)
     val jc = parses(mCounts)
-    // the fallback still carries the adjudicated numbers and flags the
-    // dropped detail in-band
+    // the counts fallback still carries the adjudicated numbers and flags
+    // the dropped detail in-band
     assert(jc.get("composite_clean").has("total")
       && jc.get("composite_clean").get("truncated").asBoolean())
     assert(p.length + mCounts.length + 2 <= Bench.StdoutBudget,
       s"pair ${p.length}+${mCounts.length} outgrows ${Bench.StdoutBudget} - a " +
         "2000-char tail window would clip the probes line head")
-    // three-stage assembly at worst widths: the detailed pair is over
-    // budget, so the counts-only main ships and the probes line SURVIVES
-    val out = Bench.assembleStdout(p, mDetail, mCounts)
-    assert(out == Seq(p, mCounts),
-      s"expected the counts-only stage to keep the probes line; got lengths ${out.map(_.length)}")
+    // ladder at worst widths (7 LONGEST-name requeries + 7 longest
+    // unclean): detail and names both outgrow the pair against the full
+    // probes line, so the PROBES degrade to the pointer and the complete
+    // name list ships - the names are the round-specific forensics, the
+    // probes are round-stable and always in target/bench.json
+    val out = Bench.assembleStdout(p, mDetail, mNames, mCounts)
+    assert(out == Seq(Bench.ProbesPointer, mNames),
+      s"expected (pointer, names); got lengths ${out.map(_.length)}")
+    assert(parses(out.last).get("composite_clean").get("requeried_names").size()
+      == Bench.CompositeInlineMax + 3)
+    // the counts stage is reachable: a name list too long even for the
+    // pointer pair (every headline query requeried, worst widths) falls
+    // back to counts - with the full probes line restored, since counts
+    // fits beside it
+    val mNamesHuge = realisticMainLineNames(Bench.headline.size, Bench.headline.size)
+    assert(Bench.ProbesPointer.length + mNamesHuge.length + 2 > Bench.StdoutBudget,
+      "fixture no longer exercises the counts stage - lengthen the name list")
+    val out2 = Bench.assembleStdout(p, mDetail, mNamesHuge, mCounts)
+    assert(out2 == Seq(p, mCounts),
+      s"expected the counts last resort; got lengths ${out2.map(_.length)}")
+  }
+
+  /** [[realisticMainLineNames]] with MEDIAN-length headline names — the
+    * realistic retry mix (a dirty window requeues whatever chunk was
+    * dirty, not adversarially the longest-named queries).
+    */
+  private def realisticMainLineNamesMedian(nRequeried: Int): String = {
+    val qs = Bench.headline.map(n => s""""$n":99.99""").mkString("{", ",", "}")
+    val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
+    val byLen = Bench.headline.sortBy(_.length)
+    val median = byLen.slice((byLen.size - nRequeried) / 2,
+      (byLen.size - nRequeried) / 2 + nRequeried)
+    val composite = Bench.compositeJson(
+      Bench.headline.map(_ -> 99.999),
+      median.map(_ -> 99.999).toMap, Seq.empty, detail = "names")
+    Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
+      composite, "/root/testdata/sf0.1")
+  }
+
+  test("an r16-shaped retry load (6 requeried) ships the COMPLETE name list inline") {
+    // The regression this ladder exists for: r16's sealed line said only
+    // "requeried_n":6,"truncated":true - the names lived in
+    // target/bench.json. At the same load, the final main line must now
+    // carry every requeried name, whichever probes form pairs with it.
+    val p = realisticProbesLine
+    val mDetail = realisticMainLine
+    val mNames = realisticMainLineNamesMedian(6)
+    val mCounts = realisticMainLineCounts
+    val out = Bench.assembleStdout(p, mDetail, mNames, mCounts)
+    assert(out.last == mNames,
+      s"expected the names-bearing main; got lengths ${out.map(_.length)}")
+    val names = parses(out.last).get("composite_clean").get("requeried_names")
+    assert(names.size() == 6, s"name list clipped: $names")
+    // and at the REAL value widths every round has produced (sub-10s
+    // per-query medians, r13-r16), the full probes line pairs with it
+    val realQs = Bench.headline.map(n => s""""$n":9.99""").mkString("{", ",", "}")
+    val calib = ""","calib":{"spin":0.439,"shuffle":0.700,"scan":0.527}"""
+    val byLen = Bench.headline.sortBy(_.length)
+    val median6 = byLen.slice((byLen.size - 6) / 2, (byLen.size - 6) / 2 + 6)
+    val realNames = Bench.buildMainLine(99.999, """["scan","shuffle"]""", calib,
+      realQs, Bench.compositeJson(Bench.headline.map(_ -> 9.999),
+        median6.map(_ -> 9.999).toMap, Seq.empty, detail = "names"),
+      "/root/testdata/sf0.1")
+    val realProbes = realisticProbesLine.replace("99.99,99.99", "9.99,9.99")
+    val outReal = Bench.assembleStdout(realProbes, realisticMainLine, realNames, mCounts)
+    assert(outReal == Seq(realProbes, realNames),
+      s"at real widths the (probes, names) pair must ship: lengths ${outReal.map(_.length)} " +
+        s"(${realProbes.length}+${realNames.length} vs ${Bench.StdoutBudget})")
   }
 
   test("a clean window's pair (empty composite detail) passes through the detailed stage") {
-    val qs = Bench.headline.map(n => s""""$n":99.999""").mkString("{", ",", "}")
+    val qs = Bench.headline.map(n => s""""$n":99.99""").mkString("{", ",", "}")
     val calib = ""","calib":{"spin":99.999,"shuffle":99.999,"scan":99.999}"""
     val composite = Bench.compositeJson(Bench.headline.map(_ -> 99.999), Map.empty, Seq.empty)
     val m = Bench.buildMainLine(9999.999, "[]", calib, qs, composite, "/root/testdata/sf0.1")
     val p = realisticProbesLine
-    assert(Bench.assembleStdout(p, m, m) == Seq(p, m),
+    assert(Bench.assembleStdout(p, m, m, m) == Seq(p, m),
       "a clean window must ship the full pair with the (empty) composite detail inline")
   }
 
-  test("last stage pairs the pointer with the COUNTS-only main, never the detailed one") {
-    // r15 ADVICE: when even probes+counts outgrows the budget, the old
-    // final fallback re-tried the DETAILED main — so a detailed main past
-    // ~1878 chars could ship an over-budget (pointer, detail) pair with
-    // only a stderr warning. The safe last stage is (pointer, counts).
+  test("a fat probes line degrades to the pointer; the names main survives beside it") {
     val fat = "{\"graft_probes\":true,\"pad\":\"" + "x" * 2500 + "\"}"
     val mDetail = realisticMainLine
+    val mNames = realisticMainLineNames(Bench.CompositeInlineMax + 3)
     val mCounts = realisticMainLineCounts
-    val out = Bench.assembleStdout(fat, mDetail, mCounts)
-    assert(out.last == mCounts,
-      s"the last stage must ship the counts-only main; got a ${out.last.length}-char line")
+    val out = Bench.assembleStdout(fat, mDetail, mNames, mCounts)
+    assert(out == Seq(Bench.ProbesPointer, mNames),
+      s"expected (pointer, names); got lengths ${out.map(_.length)}")
     assert(parses(out.head).get("graft_probes").asBoolean())
+    assert(out.head.length + out.last.length + 2 <= Bench.StdoutBudget,
+      s"pair ${out.map(_.length)} still outgrows ${Bench.StdoutBudget}")
+  }
+
+  test("last stage pairs the pointer with the COUNTS-only main, never a fatter one") {
+    // r15 ADVICE lineage: when even the pointer cannot rescue the names
+    // (every headline requeried at worst widths) AND the probes line is
+    // fat, the final pair must be the strictly smallest: (pointer, counts).
+    val fat = "{\"graft_probes\":true,\"pad\":\"" + "x" * 2500 + "\"}"
+    val mDetail = realisticMainLine
+    val mNamesHuge = realisticMainLineNames(Bench.headline.size, Bench.headline.size)
+    val mCounts = realisticMainLineCounts
+    val out = Bench.assembleStdout(fat, mDetail, mNamesHuge, mCounts)
+    assert(out == Seq(Bench.ProbesPointer, mCounts),
+      s"the last stage must be (pointer, counts); got lengths ${out.map(_.length)}")
     assert(out.head.length + out.last.length + 2 <= Bench.StdoutBudget,
       s"last-stage pair ${out.map(_.length)} still outgrows ${Bench.StdoutBudget}")
   }
