@@ -42,7 +42,11 @@ object Graft {
       // changelog restart case). No-op unless a query opts into the
       // RocksDB provider, and Spark supports toggling it across restarts
       // of an existing checkpoint, so checkpoints stay portable to
-      // sessions built elsewhere (PARITY.md records the decision).
+      // sessions built elsewhere — with one floor (r16 ADVICE): once a
+      // checkpoint's recent commits are changelog-only deltas, reading it
+      // requires a runtime with RocksDB changelog replay (Spark >= 3.4.0,
+      // where changelogCheckpointing shipped); an older runtime cannot
+      // open it. PARITY.md records the decision and the floor.
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

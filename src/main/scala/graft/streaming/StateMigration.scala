@@ -122,8 +122,14 @@ object StateMigration {
 
   /** The ListState buffer, one row per key: `list_element` rows grouped
     * and sorted into the snapshot's buffer array. The groupBy is by the
-    * state key, so it shuffles O(buffered events) once — same scan shape
-    * as the rest of the dump.
+    * state key; measured (r16 verdict task 4, `graft.tools
+    * .MigrationDumpProbe`), its exchange carries only O(keys) RECORDS —
+    * each key's list elements live in one state partition, so the partial
+    * `collect_list` collapses them to one record per key before the
+    * shuffle — and O(buffered events) BYTES riding inside those records
+    * (10k keys × 400 events = 4M buffered events: 10k records, ~54 MB,
+    * dump wall 2.5 s vs 1.3 s at 1/100th the events; the old ValueState
+    * layout measures the same because its rows already hold whole lists).
     */
   private def currentBuffer(spark: SparkSession, checkpoint: String): DataFrame =
     readVar(spark, checkpoint, "buffer")

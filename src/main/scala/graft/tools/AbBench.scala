@@ -604,8 +604,12 @@ object AbBench {
         import graft.streaming.StatefulOps
         var rep = 0
         val counters = Seq.newBuilder[Map[String, Long]]
-        val bytes = Seq.newBuilder[Long]
-        def runOnce(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+        // plain mutable buffers, snapshotted only after all reps (r16
+        // ADVICE: calling a Builder's result() mid-build and appending
+        // after it is undefined by the generic Builder contract)
+        var warmBytes = 0L
+        val repBytes = scala.collection.mutable.ListBuffer.empty[Long]
+        def runOnce(): (Seq[org.apache.spark.sql.streaming.StreamingQueryProgress], Long) = {
           rep += 1
           val ckpt = java.nio.file.Files.createTempDirectory("graft-ab-cl").toString
           val qn = s"${name.replace('-', '_')}_$rep"
@@ -659,21 +663,24 @@ object AbBench {
               }
               val p = q.recentProgress.toSeq; q.stop(); p
           }
-          bytes += stateDirBytes(ckpt)
-          progs
+          val b = stateDirBytes(ckpt)
+          (progs, b)
         }
         def once(warm: Boolean): Double = {
           val t0 = System.nanoTime()
-          val progs = runOnce()
+          val (progs, b) = runOnce()
           val dt = (System.nanoTime() - t0) / 1e9
-          if (!warm) counters += stateCounters(progs)
+          if (warm) warmBytes = b
+          else { counters += stateCounters(progs); repBytes += b }
           dt
         }
         once(warm = true)
-        val warmBytes = bytes.result().last
-        val times = Seq.fill(3)(once(warm = false)).sorted
-        val bs = bytes.result().drop(1)
-        println(f"[ab] $name%-28s ${times(1)}%.3f s (median of 3: ${times.map(x => f"$x%.3f").mkString(", ")})  stateDirMB=${bs.map(_ / 1048576.0).map(b => f"$b%.1f").mkString(",")} (warm ${warmBytes / 1048576.0}%.1f)")
+        // both per-rep lists print in RUN ORDER so a byte value pairs with
+        // its rep's time (r16 ADVICE); the headline stays the median
+        val runs = Seq.fill(3)(once(warm = false))
+        val median = runs.sorted.apply(1)
+        val bs = repBytes.toSeq
+        println(f"[ab] $name%-28s $median%.3f s (runs, run-order: ${runs.map(x => f"$x%.3f").mkString(", ")})  stateDirMB(run-order)=${bs.map(_ / 1048576.0).map(b => f"$b%.1f").mkString(",")} (warm ${warmBytes / 1048576.0}%.1f)")
         printCounters(name, counters.result())
       } finally prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
     }
@@ -681,6 +688,93 @@ object AbBench {
       changelogLeg(op, changelog = false)
       changelogLeg(op, changelog = true)
     }
+
+    // r17 (r16 verdict task 5): changelog-mode LONG-HORIZON soak. The
+    // default flipped on after 4-trigger A/B windows; the 100 TB question
+    // for the new default is whether changelog files accumulate
+    // unboundedly across a long run, or plateau once background
+    // maintenance uploads snapshots and deletes expired versions. 50
+    // triggers of steady sessionization churn (every trigger closes the
+    // previous burst's sessions, so state itself stays bounded) under a
+    // maintenance regime the horizon actually reaches (interval 500 ms,
+    // minBatchesToRetain 5 — the 60 s default would never fire inside a
+    // ~30 s run); after each trigger, the state dir's file count and
+    // bytes. Expected shape: growth over the first ~minBatchesToRetain
+    // triggers, then a file-count/byte plateau (cleanup keeps pace with
+    // the per-trigger changelog append) — printed as a trajectory so the
+    // GATE can quote plateau vs max.
+    def changelogSoakLeg(name: String, triggers: Int): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      val confs = Map(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+        "spark.sql.streaming.stateStore.maintenanceInterval" -> "500ms",
+        "spark.sql.streaming.minBatchesToRetain" -> "5")
+      val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try withRocksDB {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StatefulOps
+        import spark.implicits._
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ab-clsoak").toString
+        // the walk races the very maintenance under test (files vanish
+        // between listing and stat) — tolerate per-file disappearance and
+        // retry a walk the race breaks mid-iteration
+        def stats(): (Long, Long) = {
+          val root = java.nio.file.Paths.get(ckpt, "state")
+          def attempt(): (Long, Long) = {
+            import scala.jdk.CollectionConverters._
+            val s = java.nio.file.Files.walk(root)
+            try {
+              val fs = s.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+              (fs.size.toLong, fs.map { f =>
+                try java.nio.file.Files.size(f)
+                catch { case _: java.io.IOException => 0L }
+              }.sum)
+            } finally s.close()
+          }
+          if (!java.nio.file.Files.exists(root)) (0L, 0L)
+          else (1 to 3).view.map { i =>
+            try Some(attempt())
+            catch {
+              case _: java.io.IOException | _: java.io.UncheckedIOException
+                  if i < 3 => None
+            }
+          }.collectFirst { case Some(v) => v }.get
+        }
+        val in = MemoryStream[StatefulOps.TimedEvent](spark)
+        val q = StatefulOps
+          .timedSessionsExact(in.toDS(), gapMs = 5000L, watermark = "10 seconds")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"${name.replace('-', '_')}")
+          .option("checkpointLocation", ckpt).start()
+        val users = 200
+        val traj = (1 to triggers).map { tr =>
+          // one 4-event burst per user per trigger, bursts 30 s apart:
+          // the watermark passes burst N's close before burst N+1 lands,
+          // so sessions emit (and state drains) every trigger
+          in.addData((0 until users).flatMap(u => (0 until 4).map(k =>
+            StatefulOps.TimedEvent(
+              new java.sql.Timestamp(1000000L + tr * 30000L + k * 1000L),
+              u.toLong, tr * 10L + k, 1L))))
+          q.processAllAvailable()
+          // async maintenance does the snapshotting/deleting under test —
+          // give it its interval before sampling
+          Thread.sleep(150)
+          stats()
+        }
+        q.stop()
+        val marks = Seq(1, 5, 10, 20, 30, 40, triggers).distinct.filter(_ <= triggers)
+        val files = marks.map(m => s"t$m=${traj(m - 1)._1}").mkString(" ")
+        val mbs = marks.map(m => f"t$m=${traj(m - 1)._2 / 1048576.0}%.1f").mkString(" ")
+        val maxFiles = traj.map(_._1).max
+        val maxMb = traj.map(_._2).max / 1048576.0
+        println(f"[ab] $name%-28s files: $files  (max $maxFiles)")
+        println(f"[ab] $name%-28s MB:    $mbs  (max $maxMb%.1f)")
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    changelogSoakLeg("sessions-cl-soak-50t", 50)
     spark.stop()
   }
 }
