@@ -866,6 +866,114 @@ class BufferedExactStreamSpec extends SparkSpec {
     assert(plain.size == 2 && plain.distinct == attributionTruth(evs),
       s"the plain attribution form's documented re-emit contract changed: $plain")
   }
+
+  test("deduped composition: BOTH operators' state stays bounded by the watermark horizon") {
+    // The composition's stated cost model is "roughly doubles the state
+    // class, same horizon": dedup state O(ids in horizon) + buffer state
+    // O(events in horizon). Prove BOTH evictions on the store metrics —
+    // ten batches of fresh event ids (each id delivered TWICE in its
+    // batch, so the dedup is doing real work through the churn), event
+    // time jumping 60s per batch against a 10s delay, must plateau at
+    // O(per-batch) rows on each operator, not accumulate; and the CEP
+    // fold must count every unique event exactly once (the correctness
+    // half, mirroring SketchStateSoakSpec's row-16 pin).
+    withRocksDBProvider {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val in = MemoryStream[TimedUserEvent](spark)
+      val q = StatefulOps.patternMatchCountsExactDeduped(in.toDS(), watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("bx_dedup_soak").start()
+      val users = 5
+      val perUser = 20
+      val rowsPerOp = (0 until 10).map { b =>
+        val fresh = (0 until users).flatMap { u =>
+          (0 until perUser).map { i =>
+            TimedUserEvent(t(ts0 + b * 60000L + i), u.toLong,
+              b * 100000L + u * 1000L + i, "view", 1L)
+          }
+        }
+        in.addData(fresh ++ fresh) // every id redelivered within its batch
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        (ops.filter(_.operatorName.toLowerCase.contains("dedup"))
+            .map(_.numRowsTotal).sum,
+          ops.filterNot(_.operatorName.toLowerCase.contains("dedup"))
+            .map(_.numRowsTotal).sum)
+      }
+      // two flush batches settle the final batch's buffered events (the
+      // usual pattern: the second gives the first's timer a batch to fire)
+      in.addData(Seq(TimedUserEvent(t(ts0 + 10000000L), 999L, 1L, "s", 0L)))
+      q.processAllAvailable()
+      in.addData(Seq(TimedUserEvent(t(ts0 + 10060000L), 999L, 2L, "s", 0L)))
+      q.processAllAvailable()
+      q.stop()
+      val perBatch = users.toLong * perUser
+      assert(rowsPerOp.take(3).exists(_._1 > 0),
+        s"dedup operator not found in the composed query: $rowsPerOp")
+      rowsPerOp.drop(2).foreach { case (dedup, buffered) =>
+        assert(dedup <= 4L * perBatch,
+          s"dedup state must plateau near the horizon's $perBatch ids: $rowsPerOp")
+        assert(buffered <= 4L * perBatch + 3L * users,
+          s"buffered state must drain as batches settle: $rowsPerOp")
+      }
+      // exactly-once through churn + redelivery: every UNIQUE id folded once
+      val counts = spark.table("bx_dedup_soak").as[PatternCount].collect().toSeq
+        .groupBy(_.userId).map { case (u, rs) => u -> rs.maxBy(_.nEvents).nEvents }
+      (0 until users).foreach { u =>
+        assert(counts(u.toLong) == 10L * perUser,
+          s"user $u folded ${counts(u.toLong)} events, expected ${10 * perUser} " +
+            "(an intra-batch redelivery leaked, or a fresh id was dropped)")
+      }
+    }
+  }
+
+  test("dedup state survives a WAL restart: a purchase redelivered ACROSS the restart is absorbed") {
+    // At-least-once sources redeliver precisely at restart boundaries —
+    // the scenario the compositions exist for. The row-21 restart proof
+    // (buffer + folded + timers survive) re-run through the DEDUPED
+    // composition, with the pre-stop purchase REDELIVERED verbatim after
+    // the restart: the dedup operator's own checkpoint state must have
+    // recovered (userId, eventId) for the absorption to happen, because
+    // at redelivery time the watermark (10s) still admits ts 20s — only
+    // recovered dedup state, not the late filter, can drop it. Both the
+    // redelivered u1 purchase and u2's cross-restart claim must emit
+    // exactly once into the append parquet sink.
+    val in = newDir("graft-bxdd-in")
+    val ckpt = newDir("graft-bxdd-ckpt")
+    val out = newDir("graft-bxdd-out")
+    def put(rows: String*): Unit = putJson(in)(rows: _*)
+    def startQuery() = withRocksDBProvider {
+      StatefulOps.lastTouchAttributionExactDeduped(jsonEventSource(in), watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = startQuery()
+    put(js(1L, 10000, 0, "view"), js(1L, 20000, 1, "purchase", 700L),
+      js(2L, 20000, 11, "purchase", 900L), js(9L, 15000, 90, "s"))
+    q1.processAllAvailable()
+    put(js(9L, 16000, 91, "s")) // second batch: wm=10s timer pass folds u1's view
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    // the redelivery: u1's purchase again, byte-identical; plus u2's
+    // claiming click arriving only now (the buffered-exact half's proof)
+    put(js(1L, 20000, 1, "purchase", 700L),
+      js(2L, 19000, 12, "click"), js(9L, 200000, 92, "s"))
+    q2.processAllAvailable()
+    put(js(9L, 300000, 93, "s")) // settle everything
+    q2.processAllAvailable()
+    put(js(9L, 400000, 94, "s")) // one more advance so armed timers fire
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).as[AttributedPurchaseTs].collect()
+      .sortBy(_.userId).toSeq
+    assert(rows == Seq(
+      AttributedPurchaseTs(1L, 1L, 20000L, 700L, "view"),
+      AttributedPurchaseTs(2L, 11L, 20000L, 900L, "click")),
+      s"cross-restart redelivery leaked through (dedup state lost?) or " +
+        s"buffered-exact state broke: $rows")
+  }
 }
 
 /** The attribution-typed twin of [[OldBufferLayoutProcessor]]: same old
