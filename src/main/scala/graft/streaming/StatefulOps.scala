@@ -1196,6 +1196,18 @@ object StatefulOps {
   // state bound. The trio's inputs already carry the skeleton's
   // TimedUserEvent surface, so unlike row 22 no pre-watermark re-shape is
   // needed.
+  //
+  // Migration caveat, stated: the `*From` bootstrap path seeds only the
+  // buffered processor's state (transformWithState initial state has no
+  // analogue on dropDuplicatesWithinWatermark), so a composition
+  // restarted VIA MIGRATION begins with an empty dedup table — a
+  // redelivery of a pre-migration event inside the first watermark
+  // horizon would fold again. Within-version restarts are unaffected
+  // (the dedup operator's state lives in the same checkpoint and
+  // recovers with everything else — spec-pinned); for migration, resume
+  // the source from committed offsets (recipe step 3) so pre-offset
+  // rows are not replayed, exactly as the plain migration contract
+  // already requires.
 
   /** Replay-proof [[patternMatchCountsExact]] (PARITY row 19). */
   def patternMatchCountsExactDeduped(events: Dataset[TimedUserEvent],
