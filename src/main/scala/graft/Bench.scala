@@ -385,8 +385,10 @@ object Bench {
     *     name list overflows).
     *
     * Whatever the stage, the full maps live in target/bench.json (the main
-    * line's `detail` pointer), and any inline omission is flagged in-band
-    * with `"truncated":true`.
+    * line's `detail` pointer). Inline omission is flagged in-band with
+    * `"truncated":true` — except the names form's value deferral, which
+    * the `requeried_names` key itself marks structurally (a flag there
+    * would spend exactly the budget the form exists to save).
     */
   private[graft] def compositeJson(perQuery: Seq[(String, Double)],
       requeried: Map[String, Double], unclean: Seq[String],

@@ -717,23 +717,19 @@ object AbBench {
         import spark.implicits._
         val ckpt = java.nio.file.Files.createTempDirectory("graft-ab-clsoak").toString
         // the walk races the very maintenance under test (files vanish
-        // between listing and stat) — tolerate per-file disappearance and
-        // retry a walk the race breaks mid-iteration
-        def stats(): (Long, Long) = {
+        // between listing and stat, even briefly past q.stop() until the
+        // provider unloads) — tolerate per-file disappearance and retry a
+        // walk the race breaks mid-iteration
+        def listStateFiles(): Seq[java.nio.file.Path] = {
           val root = java.nio.file.Paths.get(ckpt, "state")
-          def attempt(): (Long, Long) = {
+          def attempt(): Seq[java.nio.file.Path] = {
             import scala.jdk.CollectionConverters._
             val s = java.nio.file.Files.walk(root)
-            try {
-              val fs = s.iterator().asScala
-                .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-              (fs.size.toLong, fs.map { f =>
-                try java.nio.file.Files.size(f)
-                catch { case _: java.io.IOException => 0L }
-              }.sum)
-            } finally s.close()
+            try s.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_)).toVector
+            finally s.close()
           }
-          if (!java.nio.file.Files.exists(root)) (0L, 0L)
+          if (!java.nio.file.Files.exists(root)) Vector.empty
           else (1 to 3).view.map { i =>
             try Some(attempt())
             catch {
@@ -741,6 +737,13 @@ object AbBench {
                   if i < 3 => None
             }
           }.collectFirst { case Some(v) => v }.get
+        }
+        def stats(): (Long, Long) = {
+          val fs = listStateFiles()
+          (fs.size.toLong, fs.map { f =>
+            try java.nio.file.Files.size(f)
+            catch { case _: java.io.IOException => 0L }
+          }.sum)
         }
         val in = MemoryStream[StatefulOps.TimedEvent](spark)
         val q = StatefulOps
@@ -764,6 +767,18 @@ object AbBench {
           stats()
         }
         q.stop()
+        // end-of-horizon breakdown by file kind: the retention claim is
+        // specifically about the per-trigger CHANGELOG files and the
+        // maintenance-uploaded snapshot zips; RocksDB working files are
+        // bounded by live state, not the horizon
+        val byKind = listStateFiles().groupBy { f =>
+          val n = f.getFileName.toString
+          if (n.endsWith(".changelog")) "changelog"
+          else if (n.endsWith(".zip")) "snapshot-zip"
+          else if (n.endsWith(".sst")) "sst"
+          else if (n.startsWith(".") && n.endsWith(".crc")) "crc"
+          else "other"
+        }.view.mapValues(_.size).toMap
         val marks = Seq(1, 5, 10, 20, 30, 40, triggers).distinct.filter(_ <= triggers)
         val files = marks.map(m => s"t$m=${traj(m - 1)._1}").mkString(" ")
         val mbs = marks.map(m => f"t$m=${traj(m - 1)._2 / 1048576.0}%.1f").mkString(" ")
@@ -771,6 +786,8 @@ object AbBench {
         val maxMb = traj.map(_._2).max / 1048576.0
         println(f"[ab] $name%-28s files: $files  (max $maxFiles)")
         println(f"[ab] $name%-28s MB:    $mbs  (max $maxMb%.1f)")
+        println(f"[ab] $name%-28s t$triggers%d by kind: " +
+          byKind.toSeq.sortBy(_._1).map { case (k, n) => s"$k=$n" }.mkString(" "))
       } finally prev.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
