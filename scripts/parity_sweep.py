@@ -9,6 +9,13 @@ points at. Contextual `:N` citations (backtick refs without a file)
 resolve against the most recently named .scala file, which is how the
 ledger reads to a human.
 
+Known limitation, stated: the check is content-agnostic — an insertion
+that shifts one named test exactly onto another cited line number still
+passes (it happened live in r17: a new test landed on the old line of
+the admission-boundary test). Exit 0 means "every cited line is code";
+the seal ritual is exit 0 PLUS an eyeball of the non-quiet output,
+where each line's content is printed next to its citation.
+
 Usage: python3 scripts/parity_sweep.py [--quiet]
 Exit 0 when every citation resolves to a plausible anchor line.
 """

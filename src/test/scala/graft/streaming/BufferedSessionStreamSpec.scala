@@ -449,6 +449,59 @@ class BufferedSessionStreamSpec extends SparkSpec {
       s"the plain form's documented double-count contract changed: $plain")
   }
 
+  test("dedup state survives a WAL restart: an event redelivered ACROSS the restart is absorbed") {
+    // The row-21 cross-restart pin's row-22 twin: at-least-once sources
+    // redeliver precisely at restart boundaries. u1's 16s event is
+    // BUFFERED (not yet folded) at the stop and REDELIVERED verbatim
+    // after the restart, while the watermark (14s) still admits ts 16s —
+    // so only the dedup operator's RECOVERED checkpoint state can drop
+    // it. If it leaked, the session would count the event twice
+    // (nEvents 4, cents 4); the batch truth is 3/3.
+    val in = newDir("graft-bsdd-in")
+    val ckpt = newDir("graft-bsdd-ckpt")
+    val out = newDir("graft-bsdd-out")
+    def put(rows: String*): Unit = {
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(in), "part", ".json")
+      java.nio.file.Files.writeString(f, rows.mkString("\n") + "\n")
+      ()
+    }
+    def js(uid: Long, ms: Long, id: Long) =
+      s"""{"tsMs":$ms,"userId":$uid,"eventId":$id,"cents":1}"""
+    def src = spark.readStream
+      .schema("tsMs bigint, userId bigint, eventId bigint, cents bigint")
+      .json(in)
+      .selectExpr("timestamp_millis(tsMs) as ts", "userId", "eventId", "cents")
+      .as[TimedEvent]
+    def startQuery() = withRocksDBProvider {
+      StatefulOps.timedSessionsExactDeduped(src, gapMs = 5000L, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = startQuery()
+    put(js(1L, 10000, 0), js(1L, 12000, 1), js(9L, 24000, 90))
+    q1.processAllAvailable()
+    // timer pass at wm 14s folds u1's pair into an OPEN fragment; the 16s
+    // event arrives in this batch and stays BUFFERED (16s > wm 14s)
+    put(js(1L, 16000, 2), js(9L, 23000, 91))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    // the redelivery, byte-identical, still inside the watermark horizon
+    put(js(1L, 16000, 2), js(9L, 40000, 92))
+    q2.processAllAvailable()
+    put(js(9L, 60000, 93)) // wm 30s: the session closes
+    q2.processAllAvailable()
+    put(js(9L, 70000, 94)) // backstop advance for any re-armed timer
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).as[SessionSummary].collect()
+      .filter(_.userId == 1L).toSeq
+    assert(rows == Seq(SessionSummary(1L, 10000L, 16000L, 3L, 3L)),
+      s"cross-restart redelivery leaked into the session (dedup state lost?): $rows")
+  }
+
   test("admission boundary: an event at exactly the watermark drops (strict >)") {
     // pusher moves wm to 20s; a boundary event at ts == 20s in the next
     // batch must DROP (strictly-late filter), one at 20.001s must fold —
