@@ -1197,17 +1197,17 @@ object StatefulOps {
   // TimedUserEvent surface, so unlike row 22 no pre-watermark re-shape is
   // needed.
   //
-  // Migration caveat, stated: the `*From` bootstrap path seeds only the
-  // buffered processor's state (transformWithState initial state has no
-  // analogue on dropDuplicatesWithinWatermark), so a composition
-  // restarted VIA MIGRATION begins with an empty dedup table — a
-  // redelivery of a pre-migration event inside the first watermark
-  // horizon would fold again. Within-version restarts are unaffected
-  // (the dedup operator's state lives in the same checkpoint and
-  // recovers with everything else — spec-pinned); for migration, resume
-  // the source from committed offsets (recipe step 3) so pre-offset
-  // rows are not replayed, exactly as the plain migration contract
-  // already requires.
+  // Migration note (caveat CLOSED in r18): dropDuplicatesWithinWatermark
+  // has no initial-state hook, so THESE compositions restarted via the
+  // plain `*From` path would begin with an empty dedup table. The
+  // `*ExactDedupedFrom` entry points at the end of this file close that
+  // with a seedable transformWithState dedup ([[SeededDedupProcessor]])
+  // whose absorption table re-arms from the same migration dump —
+  // SeededDedupStreamSpec pins a migrated composition absorbing a
+  // verbatim pre-migration redelivery, with the plain form's re-fold
+  // re-pinned alongside. Within-version restarts of the forms BELOW are
+  // unaffected either way (the dedup operator's state lives in the same
+  // checkpoint and recovers with everything else — spec-pinned).
 
   /** Replay-proof [[patternMatchCountsExact]] (PARITY row 19). */
   def patternMatchCountsExactDeduped(events: Dataset[TimedUserEvent],
@@ -1332,6 +1332,206 @@ object StatefulOps {
       .map(e => TimedUserEvent(e.ts, e.userId, e.eventId, "session", e.cents))
       .withWatermark("ts", watermark)
       .groupByKey(_.userId)
+      .transformWithState(new BufferedSessionProcessor(gapMs,
+          bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
+  }
+
+  // ===== migration × dedup: seedable dedup + *ExactDedupedFrom (r18) ===
+  //
+  // The section above (rows 19-22's compositions) stated one residual
+  // caveat: `dropDuplicatesWithinWatermark` has no initial-state hook, so
+  // a composition restarted VIA MIGRATION began with an empty dedup table
+  // and a redelivery of a pre-migration buffered event inside the first
+  // watermark horizon would fold again. These entry points close that
+  // caveat with code: the dedup stage is a transformWithState processor
+  // — which HAS an initial-state hook — keyed on the (userId, eventId)
+  // idempotency pair, seeded from the SAME migration dump the buffered
+  // operator bootstraps from. The dump's buffered events are exactly the
+  // in-horizon set (everything settled has ts <= the old watermark and
+  // everything later is still in the buffer), so seeding one dedup token
+  // per buffered event re-arms precisely the absorption the old
+  // checkpoint's dropDuplicates state provided for events that can still
+  // fold.
+  //
+  // What the seed does NOT cover, stated plainly: events the OLD query
+  // had already SETTLED are not in the dump (the fold state is
+  // aggregated), so a redelivery of a settled event is excluded the same
+  // way the plain `*From` contract excludes it — recipe step 3 (resume
+  // the source from committed offsets). What the seed ADDS over step 3
+  // alone: offset resume can be imprecise in practice (e.g. a Kafka
+  // group rewound to an earlier commit), and any replayed row that is in
+  // the dump's buffered set is now absorbed instead of double-folded —
+  // the bootstrap tolerates replay over the whole buffered window.
+  //
+  // Chaining mechanics: the dedup stage emits its survivors with their
+  // original `ts` and re-declares it as the event-time column via the
+  // `transformWithState(..., eventTimeColumnName, ...)` overload, which
+  // is Spark's supported way to run a second stateful operator
+  // downstream of a transformWithState (the engine re-derives the
+  // downstream watermark from the declared column). Emitted rows always
+  // carry ts STRICTLY past the late-filter watermark (only admitted rows
+  // are re-emitted), so the chain never trips the
+  // emitted-rows-older-than-watermark guard.
+
+  /** A dedup token to seed [[SeededDedupProcessor]] with: this (userId,
+    * eventId) pair was delivered at `tsMs` before the migration and must
+    * not fold again if redelivered. Produced from a migration dump by
+    * [[dedupSeeds]].
+    */
+  final case class DedupSeed(userId: Long, eventId: Long, tsMs: Long)
+
+  /** The seedable transformWithState twin of
+    * `dropDuplicatesWithinWatermark("userId", "eventId")` — same
+    * idempotency-token contract (eventId unique per key among LIVE events
+    * in the horizon, see [[cmsFrequencyDeduped]]), same state class (one
+    * row per (userId, eventId) inside the watermark horizon), same
+    * eviction (a token clears when the watermark passes its event's ts by
+    * the full delay — Spark's own `getDelayMs` on the same interval
+    * string the watermark was declared with, so token lifetime ==
+    * dropDuplicatesWithinWatermark's "kept for at least the delay"
+    * contract). What it adds: `handleInitialState` — a migration dump can
+    * re-arm the absorption table, which the built-in operator cannot.
+    *
+    * Keyed on the PAIR so the initial state lands exactly one call per
+    * token; the first live occurrence passes through (first-wins, like
+    * the built-in), every later one inside the horizon drops. A
+    * redelivery arriving AFTER the horizon is dropped by the downstream
+    * buffered operator's own late filter (its ts is <= the watermark by
+    * then), so absorption holds across the full timeline.
+    */
+  final class SeededDedupProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        (Long, Long), TimedUserEvent, TimedUserEvent, DedupSeed] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seenTs", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (Long, Long),
+        rows: Iterator[TimedUserEvent],
+        timerValues: TimerValues): Iterator[TimedUserEvent] = {
+      if (seen.exists() || rows.isEmpty) Iterator.empty
+      else {
+        val first = rows.next() // first-wins; the rest of the batch drops
+        seen.update(first.ts.getTime)
+        getHandle.registerTimer(first.ts.getTime + horizonMs)
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: (Long, Long),
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimedUserEvent] = {
+      seen.clear() // past the horizon the late filter takes over
+      Iterator.empty
+    }
+
+    /** Re-arm one absorption token from the migration dump — state plus
+      * its eviction timer, both derived from the seed's event ts exactly
+      * as a live first occurrence would have armed them.
+      */
+    override def handleInitialState(
+        key: (Long, Long),
+        initial: DedupSeed,
+        timerValues: TimerValues): Unit = {
+      seen.update(initial.tsMs)
+      getHandle.registerTimer(initial.tsMs + horizonMs)
+    }
+  }
+
+  /** One [[DedupSeed]] per buffered event of a migration dump — the
+    * replayable set the seeded dedup re-arms. Distributed flatMap, no
+    * driver traffic; the seeds co-partition with the stream by pair key
+    * inside `transformWithState(..., initialState)`.
+    */
+  def dedupSeeds[S](snap: Dataset[BufferedSnapshot[S]]): Dataset[DedupSeed] = {
+    import snap.sparkSession.implicits._
+    snap.flatMap(s => s.buffer.map(e => DedupSeed(s.userId, e._2, e._1)))
+  }
+
+  /** The watermark delay in ms, by Spark's own interval arithmetic — the
+    * dedup token lifetime must equal the declared watermark horizon.
+    */
+  private def delayMs(watermark: String): Long = {
+    import org.apache.spark.unsafe.types.UTF8String
+    org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.getDelayMs(
+      org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        UTF8String.fromString(watermark)))
+  }
+
+  /** The shared wiring of the four `*ExactDedupedFrom` entry points:
+    * watermark → seeded dedup (pair-keyed, event-time re-declared) →
+    * per-user grouping, ready for the buffered processor + its own
+    * initial state.
+    */
+  private def dedupedFromStream[S](events: Dataset[TimedUserEvent],
+      initial: Dataset[BufferedSnapshot[S]], watermark: String)
+      : org.apache.spark.sql.KeyValueGroupedDataset[Long, TimedUserEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.userId, e.eventId))
+      .transformWithState(new SeededDedupProcessor(delayMs(watermark)),
+        "ts", OutputMode.Append(),
+        dedupSeeds(initial).groupByKey(s => (s.userId, s.eventId)))
+      .groupByKey(_.userId)
+  }
+
+  /** [[patternMatchCountsExactDeduped]] bootstrapped from dumped state —
+    * buffer, fold state, timers AND the dedup absorption table (PARITY
+    * row 19's migration note).
+    */
+  def patternMatchCountsExactDedupedFrom(events: Dataset[TimedUserEvent],
+      initial: Dataset[BufferedSnapshot[(Long, Long, Long)]],
+      watermark: String = "10 seconds"): Dataset[PatternCount] = {
+    import events.sparkSession.implicits._
+    dedupedFromStream(events, initial, watermark)
+      .transformWithState(new BufferedPatternProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update(), initial.groupByKey(_.userId))
+  }
+
+  /** [[cusumMonitorExactDeduped]] bootstrapped from dumped state (PARITY
+    * row 20's migration note).
+    */
+  def cusumMonitorExactDedupedFrom(events: Dataset[TimedUserEvent],
+      target: Long, threshold: Long,
+      initial: Dataset[BufferedSnapshot[(Long, Long, Long)]],
+      watermark: String = "10 seconds"): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    dedupedFromStream(events, initial, watermark)
+      .transformWithState(new BufferedCusumProcessor(target, threshold,
+          bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Update(), initial.groupByKey(_.userId))
+  }
+
+  /** [[lastTouchAttributionExactDeduped]] bootstrapped from dumped state
+    * (PARITY row 21's migration note).
+    */
+  def lastTouchAttributionExactDedupedFrom(events: Dataset[TimedUserEvent],
+      initial: Dataset[BufferedSnapshot[(Long, Long, String)]],
+      watermark: String = "10 seconds"): Dataset[AttributedPurchaseTs] = {
+    import events.sparkSession.implicits._
+    dedupedFromStream(events, initial, watermark)
+      .transformWithState(new BufferedAttributionProcessor(bufferedCap(events.sparkSession)),
+        TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
+  }
+
+  /** [[timedSessionsExactDeduped]] bootstrapped from dumped state (PARITY
+    * row 22's migration note). Same pre-watermark re-shape as
+    * [[timedSessionsExactFrom]].
+    */
+  def timedSessionsExactDedupedFrom(events: Dataset[TimedEvent], gapMs: Long,
+      initial: Dataset[BufferedSnapshot[Seq[(Long, Long, Long, Long)]]],
+      watermark: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val shaped =
+      events.map(e => TimedUserEvent(e.ts, e.userId, e.eventId, "session", e.cents))
+    dedupedFromStream(shaped, initial, watermark)
       .transformWithState(new BufferedSessionProcessor(gapMs,
           bufferedCap(events.sparkSession)),
         TimeMode.EventTime(), OutputMode.Append(), initial.groupByKey(_.userId))
