@@ -126,4 +126,106 @@ class GraphPlanFenceSpec extends SparkSpec {
       assertEdgeSidesUnshuffled(df, expectedJoins = 3)
     }
   }
+
+  // ---- exchange-COUNT fences (r18 verdict task 3). The structural
+  // no-shuffle-on-the-edge-side assertions above pin WHERE exchanges may
+  // not appear; these pin HOW MANY the two most expensive headliners may
+  // execute in total, so a future Spark/AQE change that re-introduces the
+  // per-round double exchange the partition-preserving checkpoints
+  // removed fails loudly instead of silently doubling shuffle volume at
+  // 100×. Counts measured twice on this tree (stable run-to-run). ----
+
+  private def countExchanges(df: DataFrame): Int = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  /** Stages that actually wrote shuffle output while `body` ran — the
+    * executed-exchange count of a multi-job iterative operator (CC's
+    * per-round isEmpty probes split the work across jobs, so no single
+    * executed plan exists to count structurally). Safe because the suite
+    * JVM runs tests sequentially; reused (skipped) stages never complete
+    * and so are not counted.
+    */
+  private def countShuffleWriteStages(body: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        if (sc.stageInfo.taskMetrics != null &&
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          n.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // the listener bus is async; completion events for the final stage
+      // can trail the action returning
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    n.get()
+  }
+
+  test("PageRank executes exactly iters+1 exchanges: ranks in, contributions out, edges never") {
+    withConf(forceSmj: _*) {
+      // K supersteps = 1 rank-side exchange into the first join + K
+      // contribution-sum exchanges; superstep k>1 reuses superstep k-1's
+      // dst partitioning for its rank side, and the checkpointed edge
+      // side never re-shuffles. The r11 regression (bare checkpoint ->
+      // UnknownPartitioning) re-exchanges edges per superstep: 2K+1 —
+      // iters=3 would jump 4 -> 7.
+      val li = Tables(spark, sf()).lineitem
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val n1 = countExchanges(PageRank.run(edges, iters = 1))
+      assert(n1 <= 2, s"q_graph_pagerank_1step shape: $n1 exchanges, expected <= 2 " +
+        "(ranks-side + contribution sum; an edge-side re-exchange regressed)")
+      val n3 = countExchanges(PageRank.run(edges, iters = 3))
+      assert(n3 <= 4, s"3-superstep pagerank: $n3 exchanges, expected <= 4 " +
+        "(one rank exchange amortizes across supersteps; 7 = the per-round " +
+        "double-exchange regression)")
+    }
+  }
+
+  test("CC executes a bounded shuffle-stage budget per convergence (path-32 worst case)") {
+    // A 32-node path is the adversarial chain for large/small-star (max
+    // rounds for its size) and is fully deterministic: 50 shuffle-write
+    // stages on this tree, ~7 per round. The regression class this
+    // fences: a bare (non-preserving) checkpoint makes the per-round
+    // convergence probe re-exchange BOTH checkpointed sides (+2 per
+    // round) and the star joins re-hash their grouped sides — measured
+    // +12 or more over the budget.
+    val path = spark.range(31).select(col("id").as("a"), (col("id") + 1).as("b"))
+    var labels: Array[org.apache.spark.sql.Row] = Array.empty
+    val n = countShuffleWriteStages {
+      labels = ConnectedComponents.label(path, "a", "b").collect()
+    }
+    assert(labels.nonEmpty && labels.forall(_.getLong(1) == 0L),
+      "path graph must converge to component 0")
+    assert(n <= 50, s"CC path-32 executed $n shuffle-write stages, budget 50 — " +
+      "a checkpoint lost its partitioning (per-round re-exchange regression)")
+  }
+
+  test("q_dedup_cc's clustering stage stays inside its shuffle-stage budget") {
+    // The real headliner shape: LSH pairs over documents at spec SF, the
+    // pair relation materialized (cached) OUTSIDE the counting window so
+    // the budget isolates the clustering loop the fence is about.
+    val t = Tables(spark, sf())
+    val pairs = Dedup.lshNearDupPairs(t.documents, "doc_id", "text", threshold = 0.5)
+      .cache()
+    try {
+      pairs.count()
+      val n = countShuffleWriteStages {
+        ConnectedComponents.label(pairs, "a", "b").collect()
+      }
+      assert(n <= 18, s"q_dedup_cc clustering executed $n shuffle-write stages, " +
+        "budget 18 — a checkpoint lost its partitioning " +
+        "(per-round re-exchange regression)")
+    } finally { pairs.unpersist(); () }
+  }
 }
