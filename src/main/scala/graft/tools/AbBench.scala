@@ -762,8 +762,11 @@ object AbBench {
               u.toLong, tr * 10L + k, 1L))))
           q.processAllAvailable()
           // async maintenance does the snapshotting/deleting under test —
-          // give it its interval before sampling
-          Thread.sleep(150)
+          // sleep a full maintenanceInterval (500 ms, set above) so every
+          // per-trigger sample sits AFTER at least one maintenance pass;
+          // anything shorter lets samples land before the pass and noises
+          // the trajectory (r17 ADVICE)
+          Thread.sleep(550)
           stats()
         }
         q.stop()
@@ -792,6 +795,82 @@ object AbBench {
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
     changelogSoakLeg("sessions-cl-soak-50t", 50)
+
+    // r18 (r17 verdict task 4): the *ExactDeduped compositions' measured
+    // price. PARITY's cost sentence ("the dedup operator roughly doubles
+    // the state class, same horizon") gets the same measured-trajectory
+    // treatment the row 19-22 plateaus got: plain vs deduped CEP at the
+    // base and far corners of a (10× keys, 10× redelivery rate) grid —
+    // 600k unique events in 4 event-time-band triggers either way; every
+    // dupEvery-th event is delivered TWICE inside its batch (the
+    // intra-batch redelivery shape the dedup absorbs; 1% vs 10%).
+    // Reported beside the wall + shared state counters: each operator's
+    // PEAK per-trigger state rows and bytes, split dedup vs buffered, so
+    // the "roughly doubles" claim is checked against the actual ratio
+    // (the dedup table holds one row per event id in the horizon — the
+    // same class the buffer pays — and both drain with the watermark).
+    def dedupPriceLeg(name: String, users: Int, dupEvery: Int,
+        dedup: Boolean): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
+      withRocksDB {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StatefulOps
+        var rep = 0
+        val counters = Seq.newBuilder[Map[String, Long]]
+        val peaks = Seq.newBuilder[Map[String, Long]]
+        def once(warm: Boolean): Double = {
+          rep += 1
+          val t0 = System.nanoTime()
+          val in = MemoryStream[StatefulOps.TimedUserEvent](spark)
+          val wired =
+            if (dedup) StatefulOps.patternMatchCountsExactDeduped(in.toDS(), "10 seconds")
+            else StatefulOps.patternMatchCountsExact(in.toDS(), "10 seconds")
+          val q = wired.writeStream.outputMode("update").format("memory")
+            .queryName(s"${name.replace('-', '_')}_$rep").start()
+          (0 until 4).foreach { b =>
+            in.addData((0 until nEvents / 4).flatMap { i =>
+              val g = b.toLong * (nEvents / 4) + i
+              val e = StatefulOps.TimedUserEvent(
+                new java.sql.Timestamp(1000000L + (g / users) * 1000L),
+                g % users, g, streamTypes(((g * 13) % 4).toInt), 0L)
+              if (i % dupEvery == 0) Seq(e, e) else Seq(e)
+            })
+            q.processAllAvailable()
+          }
+          Seq(200000000L, 300000000L).zipWithIndex.foreach { case (off, k) =>
+            in.addData(Seq(StatefulOps.TimedUserEvent(
+              new java.sql.Timestamp(1000000L + off), 999999L, -1L - k, "s", 0L)))
+            q.processAllAvailable()
+          }
+          val progs = q.recentProgress.toSeq
+          q.stop()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!warm) {
+            counters += stateCounters(progs)
+            def peak(dedupOp: Boolean, f: org.apache.spark.sql.streaming.StateOperatorProgress => Long): Long =
+              progs.map(_.stateOperators.toSeq
+                .filter(_.operatorName.toLowerCase.contains("dedup") == dedupOp)
+                .map(f).sum).maxOption.getOrElse(0L)
+            peaks += scala.collection.immutable.ListMap(
+              "dedupRowsPeak" -> peak(dedupOp = true, _.numRowsTotal),
+              "dedupMBPeak" -> peak(dedupOp = true, _.memoryUsedBytes) / 1048576L,
+              "bufRowsPeak" -> peak(dedupOp = false, _.numRowsTotal),
+              "bufMBPeak" -> peak(dedupOp = false, _.memoryUsedBytes) / 1048576L)
+          }
+          dt
+        }
+        once(warm = true)
+        val times = Seq.fill(3)(once(warm = false)).sorted
+        println(f"[ab] $name%-28s ${times(1)}%.3f s (median of 3: ${times.map(x => f"$x%.3f").mkString(", ")})")
+        printCounters(name, counters.result())
+        printCounters(name, peaks.result())
+      }
+    }
+    dedupPriceLeg("cep-dedup-price-plain-2k-1pct", 2000, 100, dedup = false)
+    dedupPriceLeg("cep-dedup-price-dd-2k-1pct", 2000, 100, dedup = true)
+    dedupPriceLeg("cep-dedup-price-plain-20k-10pct", 20000, 10, dedup = false)
+    dedupPriceLeg("cep-dedup-price-dd-20k-10pct", 20000, 10, dedup = true)
     spark.stop()
   }
 }
