@@ -43,4 +43,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // forked tests/mains resolve repo-relative paths (e.g. the committed
+  // migration-fixture dir) against this, not the process CWD — running
+  // sbt from outside the repo root must not break them
+  s"-Dgraft.repoRoot=${baseDirectory.value}",
 )

@@ -40,35 +40,81 @@ import graft.streaming.{OldAttributionLayoutProcessor, OldBufferLayoutProcessor,
   * u1 = folded + buffer, u2 = buffer only, u3 = folded only.
   */
 object MigrationFixtureGen {
-  val FixtureRoot = "src/test/resources/migration-fixture"
+  /** Resolved against the build-injected repo root (`graft.repoRoot`,
+    * set by build.sbt for every forked test/main) so the generator and
+    * its specs work from ANY process CWD; the bare relative fallback
+    * keeps non-sbt invocations from the repo root working.
+    */
+  def FixtureRoot: String = sys.props.get("graft.repoRoot")
+    .map(r => s"$r/src/test/resources/migration-fixture")
+    .getOrElse("src/test/resources/migration-fixture")
+
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally s.close()
+  }
 
   /** The freeze guard + rebuild driver, extracted so the guard itself is
     * spec-pinned (r16 verdict task 2 — it used to live only inside
     * `main`, exercised manually): a fixture is FROZEN once committed —
     * regenerating an existing one would silently re-stamp the very bytes
     * the pinning spec exists to hold still. An existing `shape` dir is
-    * skipped unless `force` names it (or `--all`); only then are the old
-    * bytes deleted and `start` invoked on a fresh dir. Returns whether a
+    * skipped unless `force` names it (or `--all`). Returns whether a
     * checkpoint was (re)written.
+    *
+    * Crash safety (r17 ADVICE): a forced rebuild generates into a
+    * SIBLING SCRATCH dir and swaps it into place only after the
+    * generator completed — the committed bytes are either fully replaced
+    * or left exactly as they were; a generator that throws mid-run can
+    * no longer destroy the fixture it was rebuilding. (The checkpoints
+    * are location-independent — MigrationFixtureSpec already reads them
+    * through a temp copy — so generating at a different path is sound.)
     */
   private[tools] def regen(root: String, shape: String, force: Set[String])(
-      start: String => org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+      start: String => org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+    regenWith(root, shape, force) { ckpt =>
+      val q = start(ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+  /** [[regen]] with the query lifecycle abstracted away — the shape the
+    * crash-safety spec drives directly.
+    */
+  private[tools] def regenWith(root: String, shape: String, force: Set[String])(
+      generate: String => Unit): Boolean = {
     val dir = java.nio.file.Paths.get(root, shape)
     if (java.nio.file.Files.exists(dir)
         && !(force.contains(shape) || force.contains("--all"))) {
       println(s"[fixture] $shape exists — skipped (pass '$shape' or --all to rebuild)")
       false
     } else {
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(dir)
-        try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        finally s.close()
+      java.nio.file.Files.createDirectories(dir.toAbsolutePath.getParent)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        dir.toAbsolutePath.getParent, s".$shape-rebuild")
+      try generate(tmp.toString)
+      catch {
+        case e: Throwable =>
+          deleteTree(tmp)
+          throw e
       }
-      java.nio.file.Files.createDirectories(dir)
-      val q = start(dir.toString)
-      q.processAllAvailable()
-      q.stop()
+      // success — swap: old bytes aside, scratch in, old bytes gone
+      val bak = if (java.nio.file.Files.exists(dir)) {
+        val b = dir.toAbsolutePath.resolveSibling(s".$shape-old")
+        if (java.nio.file.Files.exists(b)) deleteTree(b)
+        java.nio.file.Files.move(dir, b)
+        Some(b)
+      } else None
+      try java.nio.file.Files.move(tmp, dir)
+      catch {
+        case e: Throwable =>
+          bak.foreach(b => java.nio.file.Files.move(b, dir))
+          deleteTree(tmp)
+          throw e
+      }
+      bak.foreach(deleteTree)
       println(s"[fixture] wrote $shape checkpoint to $dir")
       true
     }
