@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * micro-unit per term — irrelevant for ranking, decisive for determinism.
   *
   * Scale shape at 100 TB: the edge relation (with its static per-src degree)
-  * is materialized ONCE (eager localCheckpoint — always consumed, and lazy
-  * checkpoints re-run their backfill job per consuming action, see
-  * Bench.quiesce); each of the K iterations then shuffles the rank table
+  * is materialized ONCE when K > 1 (eager localCheckpoint — always consumed,
+  * and lazy checkpoints re-run their backfill job per consuming action, see
+  * Bench.quiesce); superstep 1 is join-free (r₀ is constant, so the
+  * contribution is InitRank div deg computed straight off the edge pass),
+  * and each of the remaining K−1 iterations shuffles the rank table
   * (O(nodes), much smaller than edges) into the join and the contribution
   * sum — edges themselves never re-shuffle after the checkpoint. Partial
   * aggregation collapses per-dst contributions map-side. Overflow headroom:
@@ -46,6 +48,8 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    if (iters == 0)
+      return deg.select(col("src").as("node"), lit(InitRank).as("pr"))
     // Hash-partition the static edge relation on the superstep join key
     // BEFORE the checkpoint: at gated scale AQE broadcasts the rank side
     // and the partitioning is moot, but at 100 TB ranks outgrow broadcast
@@ -55,16 +59,34 @@ object PageRank {
     // Checkpoints.partitioned: a plain repartition+localCheckpoint under
     // AQE records UnknownPartitioning and the contract silently breaks
     // (caught by GraphPlanFenceSpec — see Checkpoints scaladoc).
-    val withDeg = Checkpoints.partitioned(edges.join(deg, "src"), col("src"))
-    var ranks = deg.select(col("src").as("node"), lit(InitRank).as("pr"))
-    for (_ <- 1 to iters) {
-      ranks = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst"), expr("pr div deg").as("contrib"))
+    // iters == 1 skips the checkpoint outright (r18 optimization): the
+    // folded first superstep below consumes the edge relation exactly
+    // once, so materializing it buys zero reuse and costs one full write
+    // + rescan of O(edges) — at any scale, a single-consumer relation
+    // should stay pipelined.
+    val withDegRaw = edges.join(deg, "src")
+    val withDeg =
+      if (iters > 1) Checkpoints.partitioned(withDegRaw, col("src"))
+      else withDegRaw
+    def step(contribs: DataFrame): DataFrame =
+      contribs
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(850 * s) div 1000")).as("pr"))
+    // Superstep 1 folded algebraically (r18 optimization): r₀(u) is the
+    // CONSTANT InitRank for every src, so the rank-side join is the
+    // identity and c(u→v) = InitRank div deg(u) directly — the whole
+    // rank-relation build (a second pass over the edge pipeline) and the
+    // first superstep join disappear. Exact-arithmetic-identical to the
+    // joined form; at 100 TB it deletes the first O(nodes) rank shuffle
+    // and the first edges⋈ranks join pass.
+    var ranks = step(withDeg.select(col("dst"),
+      expr(s"$InitRank div deg").as("contrib")))
+    for (_ <- 2 to iters) {
+      ranks = step(withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("contrib")))
     }
     ranks
   }
