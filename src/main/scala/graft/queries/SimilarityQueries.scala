@@ -958,23 +958,35 @@ object SimilarityQueries extends Catalog {
     // pairs.
     "q_sim_covariance" -> Q(
       t => {
-        val q = transform(graft.operators.Similarity.toDouble(col("embedding")),
-          x => floor(x * 10000 + 0.5).cast("long"))
-        val pairs = t.embeddings
-          .select(q.as("qa"), posexplode(q).as(Seq("i", "m")))
+        // r18 optimization, three plan-level cuts with identical results:
+        // (1) the float→double cast and the quantize floor are ONE fused
+        //     lambda (the nested transform(transform(...)) materialized an
+        //     intermediate double array per row);
+        // (2) `qa` is projected ONCE below the first generator — the old
+        //     select(q.as("qa"), posexplode(q)) evaluated the interpreted
+        //     quantize lambda twice per row (generator input + project);
+        // (3) the moment sums need NO second/third corpus pass: vectors
+        //     share one dimension d, so every vector contributes exactly
+        //     one row to each (i, j) group — within a group, sum(m) IS
+        //     sx_i and sum(m2) IS sy_j. The old plan's two broadcast-mo
+        //     subtrees (each a full scan + explode + agg of embeddings)
+        //     and both broadcast joins disappear: 3 scans → 1, 3
+        //     exchanges → 1 (plus the final sort). Oracle-identical (the
+        //     oracle derives the same moments relationally; the gate
+        //     proves group-local sums == global moments on real data).
+        val q = transform(col("embedding"),
+          x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+        t.embeddings
+          .select(q.as("qa"))
+          .select(col("qa"), posexplode(col("qa")).as(Seq("i", "m")))
           .select(col("i"), col("m"),
             posexplode(slice(col("qa"), col("i") + 1, size(col("qa")) - col("i")))
               .as(Seq("dj", "m2")))
           .select(col("i"), (col("i") + col("dj")).as("j"),
-            (col("m") * col("m2")).as("p"))
+            col("m"), col("m2"), (col("m") * col("m2")).as("p"))
           .groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"))
-        val mo = t.embeddings
-          .select(posexplode(q).as(Seq("i", "m")))
-          .groupBy(col("i")).agg(sum(col("m")).as("s"))
-        pairs
-          .join(broadcast(mo.select(col("i"), col("s").as("sx"))), Seq("i"))
-          .join(broadcast(mo.select(col("i").as("j"), col("s").as("sy"))), Seq("j"))
+          .agg(count(lit(1)).as("n_vec"), sum(col("p")).as("sxy"),
+            sum(col("m")).as("sx"), sum(col("m2")).as("sy"))
           .select(col("i"), col("j"), col("n_vec"), col("sxy"), col("sx"), col("sy"),
             (col("n_vec") * col("sxy") - col("sx") * col("sy")).as("cov_u"))
           .orderBy(col("i"), col("j"))

@@ -116,7 +116,7 @@ object StatsQueries extends Catalog {
     // row-distance-dependent-weights that plain window frames can't
     // express becomes a bounded 21× FORWARD explode (each day pushes its
     // contribution to the next 20 row positions) + one (user, position)
-    // hash aggregate + one join back — all equi-keyed, no range join, no
+    // hash aggregate — all equi-keyed, no range join, no
     // per-row history scan; cost is linear in user-days at any scale.
     // Precondition: event values are positive (profiled min 0.01), so
     // truncating div == floor div on both engines.
@@ -126,18 +126,25 @@ object StatsQueries extends Catalog {
         val daily = t.events
           .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
           .agg(sum(cents(col("value"))).cast("long").as("v"))
+        // r18 optimization: the calendar day rides along on the k = 0
+        // self-contribution (max over the group's single non-null day0),
+        // so the join back to rn — and the rn localCheckpoint it forced —
+        // disappear; groups with target beyond the user's last rn have no
+        // k = 0 row and are dropped by the day filter, exactly the rows
+        // the old inner join excluded. Same trick as q_ts_rolling_median.
         val rn = daily.select(col("user_id"), col("day"), col("v"),
           row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))).as("rn"))
-          .localCheckpoint(true)
         val contrib = rn
-          .select(col("user_id"), col("rn"), col("v"),
+          .select(col("user_id"), col("rn"), col("v"), col("day"),
             explode(sequence(lit(0), lit(depth))).as("k"))
           .select(col("user_id"), (col("rn") + col("k")).as("target"),
             expr(s"v * shiftleft(cast(1 as bigint), $depth - k)").as("wv"),
-            expr(s"shiftleft(cast(1 as bigint), $depth - k)").as("w"))
-        val agg = contrib.groupBy(col("user_id").as("a_uid"), col("target"))
-          .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"))
-        rn.join(agg, col("user_id") === col("a_uid") && col("rn") === col("target"))
+            expr(s"shiftleft(cast(1 as bigint), $depth - k)").as("w"),
+            when(col("k") === 0, col("day")).as("day0"))
+        contrib.groupBy(col("user_id"), col("target"))
+          .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"),
+            max(col("day0")).as("day"))
+          .filter(col("day").isNotNull)
           .select(col("user_id"), col("day"), expr("num * 1000 div den").as("ewma_milli"))
           .orderBy(col("user_id"), col("day"))
       },
@@ -169,9 +176,9 @@ object StatsQueries extends Catalog {
     // MEDIAN has no distributive form, which is why engines either
     // nlogn-sort per frame or approximate). Restated scale-safely: each
     // day pushes its value forward to the next 6 row positions (bounded
-    // 7× explode), the lower median per (user, position) falls out of
-    // the q_agg_weighted_median crossing test cw·2 ≥ tw over the ≤7-row
-    // groups, and one join back attaches the calendar day. All BIGINT.
+    // 7× explode), then ONE (user, position) groupBy collects the ≤7-row
+    // frame and the lower median is the sorted frame's ⌈n/2⌉-th element;
+    // the calendar day rides along on the k = 0 self-row. All BIGINT.
     // The oracle is the BANDED SELF-JOIN formulation (b.rn BETWEEN
     // a.rn−6 AND a.rn) — a different derivation of the same frames, so
     // the gate proves the forward-explode rewrite. Scale shape: every
@@ -179,27 +186,36 @@ object StatsQueries extends Catalog {
     // ≤7 rows by construction; cost is 7·user-days at any corpus size.
     "q_ts_rolling_median" -> Q(
       t => {
+        // r18 optimization: the lower median of a ≤7-row frame does not
+        // need the grouped-weight crossing machinery (groupBy(v) + two
+        // window passes + min) nor the join-back that re-attached the
+        // calendar day. Each (user, target) group holds the ≤7 forward-
+        // pushed values, so ONE groupBy collects them, array_sort fixes
+        // the nondeterministic collect order, and the lower median is
+        // element ⌈n/2⌉ of the sorted array — the identical crossing
+        // point cw·2 ≥ tw selects (cumulative weight of the i-th sorted
+        // row is i, so min{v : 2i ≥ n} is row (n+1) div 2). The day rides
+        // along on the k = 0 self-contribution (target == rn exists iff
+        // target ≤ the user's max rn, exactly the rows the old inner join
+        // kept), deleting the join, the rn localCheckpoint, and two
+        // exchanges: 6 exchanges + checkpoint → 4 exchanges. Scale-safe:
+        // collect_list here is bounded at 7 elements by construction.
         val daily = t.events
           .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
           .agg(sum(cents(col("value"))).cast("long").as("v"))
         val rn = daily.select(col("user_id"), col("day"), col("v"),
           row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))).as("rn"))
-          .localCheckpoint(true)
         val contrib = rn
-          .select(col("user_id").as("c_uid"), col("rn"), col("v"),
+          .select(col("user_id"), col("rn"), col("v"), col("day"),
             explode(sequence(lit(0), lit(6))).as("k"))
-          .select(col("c_uid"), (col("rn") + col("k")).as("target"), col("v"))
-        val byv = contrib.groupBy(col("c_uid"), col("target"), col("v"))
-          .agg(count(lit(1)).as("w"))
-        val cum = Window.partitionBy(col("c_uid"), col("target")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val all = Window.partitionBy(col("c_uid"), col("target"))
-        val med = byv.select(col("c_uid"), col("target"), col("v"),
-            sum(col("w")).over(cum).as("cw"), sum(col("w")).over(all).as("tw"))
-          .filter(col("cw") * 2 >= col("tw"))
-          .groupBy(col("c_uid"), col("target")).agg(min(col("v")).as("med7_cents"))
-        rn.join(med, col("user_id") === col("c_uid") && col("rn") === col("target"))
-          .select(col("user_id"), col("day"), col("med7_cents"))
+          .select(col("user_id"), (col("rn") + col("k")).as("target"), col("v"),
+            when(col("k") === 0, col("day")).as("day0"))
+        contrib.groupBy(col("user_id"), col("target"))
+          .agg(max(col("day0")).as("day"),
+            sort_array(collect_list(col("v"))).as("vs"))
+          .filter(col("day").isNotNull)
+          .select(col("user_id"), col("day"),
+            expr("element_at(vs, cast((size(vs) + 1) div 2 as int))").as("med7_cents"))
           .orderBy(col("user_id"), col("day"))
       },
       Some("""WITH daily AS (

@@ -306,22 +306,26 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("EWMA forward-explode matches the direct weighted sum on generated series") {
-    // q_ts_ewma's rewrite: each row pushes v·2^(D−j) to positions
-    // rn..rn+D; the (key, position) aggregate joined back must equal the
-    // straight trailing-window weighted sum computed per row.
+    // q_ts_ewma's rewrite (r18 shape): each row pushes v·2^(D−j) to
+    // positions rn..rn+D and carries its identity on the j = 0 row (the
+    // day0 trick) — the (key, position) aggregate, with groups lacking a
+    // j = 0 self-row dropped, must equal the straight trailing-window
+    // weighted sum computed per row, with no join back.
     import org.apache.spark.sql.expressions.Window
     val D = 4
     val rows = genSeries(3, 25, 0L, 1000L)
     val df = rows.toDF("k", "rn", "v")
-    val contrib = df
+    val got = df
       .select($"k".as("ck"), $"rn", $"v",
         explode(sequence(lit(0), lit(D))).as("j"))
       .select($"ck", ($"rn" + $"j").as("target"),
         expr(s"v * shiftleft(cast(1 as bigint), $D - j)").as("wv"),
-        expr(s"shiftleft(cast(1 as bigint), $D - j)").as("w"))
-      .groupBy($"ck", $"target").agg(sum($"wv").as("num"), sum($"w").as("den"))
-    val got = df.join(contrib, $"k" === $"ck" && $"rn" === $"target")
-      .select($"k", $"rn", expr("num * 1000 div den").as("e"))
+        expr(s"shiftleft(cast(1 as bigint), $D - j)").as("w"),
+        when($"j" === 0, $"rn").as("self0"))
+      .groupBy($"ck", $"target")
+      .agg(sum($"wv").as("num"), sum($"w").as("den"), max($"self0").as("self"))
+      .filter($"self".isNotNull)
+      .select($"ck", $"self", expr("num * 1000 div den").as("e"))
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     rows.groupBy(_._1).foreach { case (k, rs) =>
       val byPos = rs.map(r => r._2 -> r._3).toMap
@@ -336,27 +340,24 @@ class PropertiesSpec extends SparkSpec {
   }
 
   test("rolling-median forward-explode matches sorted-slice lower medians") {
-    // q_ts_rolling_median's rewrite: bounded forward explode + the
-    // crossing test over ≤W-row groups must equal the lower median of
-    // each trailing W-row slice taken directly.
-    import org.apache.spark.sql.expressions.Window
+    // q_ts_rolling_median's rewrite (r18 shape): bounded forward explode +
+    // ONE (key, position) group collecting the ≤W-row frame, lower median
+    // = sorted frame's ⌈n/2⌉-th element, identity carried on the j = 0
+    // self-row — must equal the lower median of each trailing W-row slice
+    // taken directly (ties included: the generated range is small).
     val W = 3 // trailing rows: rn−2..rn
     val rows = genSeries(3, 20, 0L, 30L) // small range → ties occur
     val df = rows.toDF("k", "rn", "v")
-    val contrib = df
+    val got = df
       .select($"k".as("ck"), $"rn", $"v", explode(sequence(lit(0), lit(W - 1))).as("j"))
-      .select($"ck", ($"rn" + $"j").as("target"), $"v")
-    val byv = contrib.groupBy($"ck", $"target", $"v").agg(count(lit(1)).as("w"))
-    val cum = Window.partitionBy($"ck", $"target").orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy($"ck", $"target")
-    val med = byv
-      .select($"ck", $"target", $"v",
-        sum($"w").over(cum).as("cw"), sum($"w").over(all).as("tw"))
-      .filter($"cw" * 2 >= $"tw")
-      .groupBy($"ck", $"target").agg(min($"v").as("m"))
-    val got = df.join(med, $"k" === $"ck" && $"rn" === $"target")
-      .select($"k", $"rn", $"m").as[(Long, Long, Long)]
+      .select($"ck", ($"rn" + $"j").as("target"), $"v",
+        when($"j" === 0, $"rn").as("self0"))
+      .groupBy($"ck", $"target")
+      .agg(max($"self0").as("self"), sort_array(collect_list($"v")).as("vs"))
+      .filter($"self".isNotNull)
+      .select($"ck", $"self",
+        expr("element_at(vs, cast((size(vs) + 1) div 2 as int))").as("m"))
+      .as[(Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     rows.groupBy(_._1).foreach { case (k, rs) =>
       val byPos = rs.map(r => r._2 -> r._3).toMap
