@@ -67,13 +67,18 @@ object ConnectedComponents {
       // Large-star. Neighborhoods come from BOTH directions; m(u) =
       // min(Γ(u) ∪ {u}); every neighbor v > u re-attaches to m. Output
       // rows (v, m) always satisfy v > u ≥ m, so orientation survives.
+      // NO dedup here (r18 optimization): the large-star multiset holds
+      // EXACTLY one row per input edge (each sym row with v > u emits
+      // one), so Kiveris' never-grows invariant holds without it; the
+      // small-star min-agg below is duplicate-insensitive and `small`
+      // closes with its own distinct, so results are identical while a
+      // full O(edges) (u,v) exchange per round disappears.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val largeMin = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
       val large = sym.join(largeMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
 
       // Small-star. Edges are oriented u > v, so grouping by u sees
       // exactly the SMALLER neighbors; m = their minimum; each non-min

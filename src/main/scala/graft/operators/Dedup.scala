@@ -242,9 +242,13 @@ object Dedup {
     */
   private def prepareSignatures(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        tokenHashesFromText(col(textCol)).as("__th"))
+    // fanOutNarrowScan (r18): the token/shingle/MinHash kernels below are
+    // the whole cost of this projection; an unsplittable input (single
+    // row group) would hash the corpus on one core — see the helper's doc
+    // for why this is the identity at scale.
+    Partitioning.fanOutNarrowScan(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), tokenHashesFromText(col("__text")).as("__th"))
       .select(col("doc_id"), shingleHashesFromTokenHashes(col("__th"), k).as("shd"))
       .withColumn("sig", minhashSignature(col("shd")))
 

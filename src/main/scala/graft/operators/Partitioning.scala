@@ -144,4 +144,25 @@ object Partitioning {
       .withColumn("prev_max", greatest(col("__local_prev"), col("__prefix")))
       .drop("__pid", "__local_prev", "__prefix")
   }
+
+  /** Scale-adaptive read fan-out ahead of heavy per-row kernels
+    * (r18 optimization; the optimization guide §2.5 remedy for
+    * unsplittable inputs: "repartition immediately after the read").
+    * When the plan yields fewer partitions than the session's default
+    * parallelism — a single-row-group parquet file (the bench testdata's
+    * shape), a gzip input, one small file — the downstream per-row
+    * compute (token/shingle/MinHash/SimHash kernels) runs on ONE core
+    * while the rest idle. A round-robin repartition to defaultParallelism
+    * spreads it; the shuffled bytes are bounded by the trigger condition
+    * itself (an input too small or too unsplit to fill the cores). At
+    * 100 TB the scan arrives in thousands of splits, the condition is
+    * false, and this is the identity — never a payload shuffle at scale.
+    * Results are partitioning-independent (per-row expressions;
+    * round-robin repartition sorts-before-repartition for retry
+    * determinism, Spark's default).
+    */
+  def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

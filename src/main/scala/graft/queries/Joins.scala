@@ -33,8 +33,22 @@ object Joins extends Catalog {
 
   def queries: Map[String, Q] = Map(
     "q_join_inner" -> Q(
+      // r18 optimization: the orderkey join is hinted SHUFFLE_HASH with
+      // the orders(+customer) side as build. Unhinted, the optimizer
+      // broadcast the 150k-row joined orders side at bench scale (it
+      // squeaks under the 10 MB estimate) — a serial driver-side collect
+      // + HashedRelation build measured at ~0.5 s/run (PhaseProbe, exec
+      // 1.4 s → 0.9 s with the broadcast suppressed) — while at 100 TB
+      // that side never fits a broadcast and the plan degrades to the
+      // shuffle anyway. The hint makes bench plan == scale plan: both
+      // sides exchange on the orderkey, the smaller joined-orders side
+      // builds a per-partition hash table (guide §3.1: shuffled hash
+      // beats sort-merge when one side is moderately smaller — no sort
+      // of the fact), customer stays a broadcast dim inside the build
+      // side. Results identical (join strategy only); oracle-checked.
       t => t.customer
         .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -686,14 +700,12 @@ object Joins extends Catalog {
     // EXISTS/NOT EXISTS spelling). "Late" is l_shipdate > o_orderdate +
     // 900 days (this lineitem has no receipt/commit dates; the cutoff
     // keeps the late side ~5% selective like the original predicate).
-    // Scale shape: `late` is distinct-collapsed to (orderkey, suppkey) and
-    // eagerly checkpointed ONCE — it feeds three plan arms (probe, anti
-    // build, and the count) and is tiny relative to the fact; the semi
-    // join probes full lineitem (at bench scale AQE broadcasts the 2-col
-    // fact projection — ~10 MB — as the semi join's build side; at 100 TB
-    // that estimate blows the threshold and the plan degrades to the
-    // unavoidable both-sides l_orderkey shuffle, with the small late side
-    // broadcast instead); the anti join is late-vs-late, negligible;
+    // Scale shape (r18): `late` is distinct-collapsed to (orderkey,
+    // suppkey) and consumed by exactly one arm (its per-order count), so
+    // it stays pipelined — no checkpoint; the EXISTS correlation is a
+    // min≠max aggregate over the fact (map-side partials, exchange ≤ one
+    // row per order — never a broadcast of the fact projection); the NOT
+    // EXISTS correlation is the late group's count == 1;
     // supplier/nation close the chain as broadcast dims.
     "q_join_waiting_suppliers" -> Q(
       t => {
@@ -704,16 +716,32 @@ object Joins extends Catalog {
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 900 DAY"))
           .select(col("l_orderkey"), col("l_suppkey"))
           .distinct()
-          .localCheckpoint(true)
-        val others = t.lineitem.select(
-          col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-        val otherLate = late.select(
-          col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+        // r18 optimization, results identical (oracle keeps the
+        // EXISTS/NOT EXISTS spelling as the independent gate):
+        //  - EXISTS(another supplier in the order) ⟺ the order's distinct
+        //    supplier set has ≥ 2 members ⟺ min(l_suppkey) ≠ max(l_suppkey)
+        //    — ONE aggregate over the fact with map-side partials, so the
+        //    exchange carries ≤ one row per order instead of the old
+        //    left-semi whose build side was the full 2-col fact projection
+        //    (600k rows broadcast-built ON THE DRIVER at bench scale; both
+        //    sides shuffled at 100 TB). Aggregate-before-shuffle strictly
+        //    shrinks the exchange at any scale.
+        //  - NOT EXISTS(another LATE supplier) ⟺ the order's late group
+        //    (already distinct pairs) has exactly one row — a count over
+        //    the late relation replaces the anti self-join,
+        //    and the surviving pair is (orderkey, min suppkey) of that
+        //    1-row group.
+        val multi = t.lineitem
+          .groupBy(col("l_orderkey").as("m_orderkey"))
+          .agg((min(col("l_suppkey")) =!= max(col("l_suppkey"))).as("multi"))
+          .filter(col("multi"))
+          .select(col("m_orderkey"))
         val waiting = late
-          .join(others, col("l_orderkey") === col("o2_orderkey") &&
-            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-          .join(otherLate, col("l_orderkey") === col("o3_orderkey") &&
-            col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_late"), min(col("l_suppkey")).as("l_suppkey"))
+          .filter(col("n_late") === 1)
+          .join(multi, col("l_orderkey") === col("m_orderkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_suppkey"))
         val sn = t.supplier
           .join(broadcast(t.nation
             .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))

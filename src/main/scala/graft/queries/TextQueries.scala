@@ -1103,8 +1103,12 @@ object TextQueries extends Catalog {
     // proves the pigeonhole completeness theorem on real data at both SFs.
     "q_dedup_simhash_bands" -> Q(
       t => {
-        val sims = t.documents.select(
-          col("doc_id"), Dedup.simhash(col("text")).as("sim"))
+        // fanOutNarrowScan (r18): the SimHash kernel is the whole cost of
+        // this projection; identity at scale, spreads the single-row-group
+        // bench scan across the cores (guide §2.5).
+        val sims = graft.operators.Partitioning.fanOutNarrowScan(
+            t.documents.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
           .localCheckpoint(true)
         val bands = sims.select(col("doc_id"), col("sim"),
             explode(sequence(lit(0), lit(2))).as("bi"))
