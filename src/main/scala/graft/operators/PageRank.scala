@@ -47,27 +47,46 @@ object PageRank {
     * @return `node`, `pr` (micro-units, long)
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     if (iters == 0)
-      return deg.select(col("src").as("node"), lit(InitRank).as("pr"))
-    // Hash-partition the static edge relation on the superstep join key
-    // BEFORE the checkpoint: at gated scale AQE broadcasts the rank side
-    // and the partitioning is moot, but at 100 TB ranks outgrow broadcast
-    // and the per-superstep join plans as SMJ — without this explicit
-    // partitioning that join would re-hash the EDGES side every superstep.
-    // One upfront shuffle buys K shuffle-free edge sides. Must go through
-    // Checkpoints.partitioned: a plain repartition+localCheckpoint under
-    // AQE records UnknownPartitioning and the contract silently breaks
-    // (caught by GraphPlanFenceSpec — see Checkpoints scaladoc).
-    // iters == 1 skips the checkpoint outright (r18 optimization): the
-    // folded first superstep below consumes the edge relation exactly
-    // once, so materializing it buys zero reuse and costs one full write
-    // + rescan of O(edges) — at any scale, a single-consumer relation
-    // should stay pipelined.
-    val withDegRaw = edges.join(deg, "src")
+      return edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), lit(InitRank).as("pr"))
+    // Degree attachment as ONE window pass (r18 optimization): the old
+    // groupBy(src).count + edges⋈deg join made the edge pipeline appear
+    // TWICE in the plan (once under the aggregate, once under the join —
+    // two full passes unless exchange reuse rescues it), exchanged the
+    // barely-compressing per-src partial counts (O(edges) rows for a
+    // near-unique key), and at bench scale sometimes broadcast the
+    // O(nodes) deg relation via a serial driver-side build. A
+    // count().over(partitionBy(src)) computes the same deg in the SAME
+    // hash(src) exchange the superstep join needs anyway: one edge
+    // subtree, one O(edges) shuffle, no join, no driver build. Hub-node
+    // buffering is the same placement the join already forced (all of a
+    // src's edges in one partition); WindowExec spills gracefully.
+    // The window output is hash(src)-partitioned, so for K > 1 the eager
+    // checkpoint records that layout directly (Checkpoints.preserving —
+    // a plain localCheckpoint under AQE records UnknownPartitioning and
+    // the contract silently breaks, caught by GraphPlanFenceSpec) and
+    // every remaining superstep join consumes it shuffle-free.
+    // iters == 1 skips the checkpoint outright: the folded first
+    // superstep below consumes the edge relation exactly once, so
+    // materializing it buys zero reuse — at any scale, a single-consumer
+    // relation should stay pipelined.
+    def withDegWindow(e: DataFrame): DataFrame = e.withColumn("deg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))))
     val withDeg =
-      if (iters > 1) Checkpoints.partitioned(withDegRaw, col("src"))
-      else withDegRaw
+      if (iters > 1) {
+        // K > 1: the ONE upfront exchange is an explicit
+        // repartition(n, src) BELOW the window — it satisfies the
+        // window's clustering requirement (no second exchange) and its
+        // REPARTITION_BY_NUM origin is never AQE-coalesced, so the
+        // checkpoint records a plain HashPartitioning(src, n) and every
+        // superstep join consumes the edges shuffle-free (the bridge
+        // degrades coalesced layouts to UnknownPartitioning — see
+        // PlanBridge.checkpointPreservingHash).
+        val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        Checkpoints.preserving(withDegWindow(edges.repartition(n, col("src"))))
+      } else withDegWindow(edges)
     def step(contribs: DataFrame): DataFrame =
       contribs
         .groupBy(col("dst"))
