@@ -32,16 +32,29 @@ object GraphQueries extends Catalog {
   private def symmetrize(half: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     half.union(half.select(col("v").as("u"), col("u").as("v")))
 
+  /** The symmetrized order–part bipartite graph (order nodes even, part
+    * nodes odd) — one definition for every anchor that walks it. Dedup
+    * runs BEFORE the swap-union (r18 optimization): the two node spaces
+    * are disjoint, so a swapped row can never collide with a forward row
+    * and swapped distinct rows stay distinct — `fwd.distinct().union(swap)`
+    * is set-identical to the old `union(swap).distinct()` while the
+    * distinct exchange carries |lineitem| rows instead of 2·|lineitem| and
+    * the fact is scanned once (the two union branches share the dedup
+    * exchange via reuse) instead of twice. Holds at any scale.
+    */
+  private def bipartiteEdges(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val fwd = t.lineitem.select(
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   def queries: Map[String, Q] = Map(
 
     "q_graph_pagerank" -> Q(
       t => {
-        val fwd = t.lineitem.select(
-          (col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        val edges = bipartiteEdges(t)
         PageRank.run(edges, iters = 3)
           .orderBy(col("pr").desc, col("node"))
           .limit(100)
@@ -84,12 +97,7 @@ object GraphQueries extends Catalog {
     // with a third of the interference surface.
     "q_graph_pagerank_1step" -> Q(
       t => {
-        val fwd = t.lineitem.select(
-          (col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        val edges = bipartiteEdges(t)
         PageRank.run(edges, iters = 1)
           .orderBy(col("pr").desc, col("node"))
           .limit(100)
@@ -134,12 +142,7 @@ object GraphQueries extends Catalog {
     // degree relation, then a single-row partial-merged aggregate.
     "q_graph_assortativity" -> Q(
       t => {
-        val fwd = t.lineitem.select(
-          (col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        val edges = bipartiteEdges(t)
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         val m = edges
           .join(deg, "src").select(col("dst"), col("d").as("du"))
@@ -182,12 +185,7 @@ object GraphQueries extends Catalog {
 
     "q_graph_degree_dist" -> Q(
       t => {
-        val fwd = t.lineitem.select(
-          (col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        val edges = bipartiteEdges(t)
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("deg"), col("n_nodes"))
@@ -314,12 +312,7 @@ object GraphQueries extends Catalog {
     // are exact BIGINT hops; the oracle unrolls the three supersteps.
     "q_graph_bfs" -> Q(
       t => {
-        val fwd = t.lineitem.select(
-          (col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+        val edges = bipartiteEdges(t)
           // hash-partition on the superstep join key BEFORE the checkpoint
           // (same contract as PageRank.run, pinned by GraphPlanFenceSpec):
           // distinct() leaves the relation partitioned on (src, dst), which
