@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected edge list — the
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
   * Both steps preserve connectivity, never grow the edge multiset beyond
   * the input size, and converge in O(log n) rounds to per-component stars
   * centered at the component's minimum id. Each round is two hash shuffles
-  * (a groupBy-min and a join back) over the CURRENT edge set, which shrinks
+  * (one per star: a windowed per-neighborhood min) over the CURRENT edge set, which shrinks
   * monotonically toward one edge per non-root node — at 100 TB this is the
   * shape you want: no driver-side union-find, no whole-graph broadcast,
   * and skew on a popular root is one hot key in a groupBy-min (mergeable,
@@ -67,28 +68,36 @@ object ConnectedComponents {
       // Large-star. Neighborhoods come from BOTH directions; m(u) =
       // min(Γ(u) ∪ {u}); every neighbor v > u re-attaches to m. Output
       // rows (v, m) always satisfy v > u ≥ m, so orientation survives.
-      // NO dedup here (r18 optimization): the large-star multiset holds
-      // EXACTLY one row per input edge (each sym row with v > u emits
-      // one), so Kiveris' never-grows invariant holds without it; the
-      // small-star min-agg below is duplicate-insensitive and `small`
-      // closes with its own distinct, so results are identical while a
-      // full O(edges) (u,v) exchange per round disappears.
+      // Both stars compute their per-u minimum with a WINDOW over the
+      // neighborhood instead of a groupBy-min joined back (r18
+      // optimization): min().over(partitionBy(u)) attaches m inside the
+      // ONE hash(u) exchange the star needs anyway, deleting the
+      // min-relation exchange and the join — per round, 4 exchanges + 2
+      // joins become 2 exchanges, at any scale (the window buffers one
+      // u-neighborhood per group — the identical placement the join
+      // forced — and spills gracefully). NO mid-round dedup either: the
+      // large-star multiset holds EXACTLY one row per input edge (each
+      // sym row with v > u emits one), so Kiveris' never-grows invariant
+      // holds without it; the small-star min is duplicate-insensitive
+      // and `small` closes with its own distinct — results identical.
+      val wU = Window.partitionBy(col("u"))
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val largeMin = sym.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val large = sym.join(largeMin, "u")
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
 
-      // Small-star. Edges are oriented u > v, so grouping by u sees
+      // Small-star. Edges are oriented u > v, so the u-window sees
       // exactly the SMALLER neighbors; m = their minimum; each non-min
       // smaller neighbor and u itself re-attach to m. All outputs keep
-      // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always).
-      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = Checkpoints.preserving(large.join(smallMin, "u")
+      // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always). The union's
+      // (u, m) branch carries one row per large-row of u rather than one
+      // per u — the closing distinct (already required) collapses them.
+      val smallM = large.withColumn("m", min(col("v")).over(wU))
+      val small = Checkpoints.preserving(smallM
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(smallMin.select(col("u"), col("m").as("v")))
+        .union(smallM.select(col("u"), col("m").as("v")))
         .distinct()) // (u, v)-partitioned — see the initial checkpoint note
 
       // Fixed point: the edge set is stable. Both sets are distinct, so
