@@ -43,12 +43,21 @@ object PhaseProbe {
       val t0 = System.nanoTime()
       val df = AllQueries.all(name).run(tables)
       val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.optimizedPlan // force analysis + optimization
       val t2 = System.nanoTime()
-      val phases = df.queryExecution.tracker.phases
-        .map { case (k, v) => f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.3f" }
-        .toSeq.sorted.mkString(" ")
-      f"construct=${(t1 - t0) / 1e9}%.3f exec=${(t2 - t1) / 1e9}%.3f [$phases]"
+      df.queryExecution.executedPlan // force physical planning
+      val t3 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t4 = System.nanoTime()
+      // diagnostic alternative action: materialize every row through the
+      // ALREADY-PLANNED query execution (no new write command, no second
+      // Catalyst pass) — isolates the noop-write machinery's own cost
+      val n = df.queryExecution.toRdd.mapPartitions(
+        it => Iterator.single(it.size.toLong)).collect().sum
+      val t5 = System.nanoTime()
+      f"construct=${(t1 - t0) / 1e9}%.3f opt=${(t2 - t1) / 1e9}%.3f " +
+        f"plan=${(t3 - t2) / 1e9}%.3f exec=${(t4 - t3) / 1e9}%.3f " +
+        f"rddPass=${(t5 - t4) / 1e9}%.3f (rows=$n)"
     }
     names.foreach { name =>
       onceDetailed(name) // warm
