@@ -160,6 +160,12 @@ object Partitioning {
     * Results are partitioning-independent (per-row expressions;
     * round-robin repartition sorts-before-repartition for retry
     * determinism, Spark's default).
+    *
+    * Call ONLY on exchange-free inputs (a scan + narrow projections —
+    * every current call site): the partition-count probe goes through
+    * `df.rdd`, and under AQE that finalizes the plan, which MATERIALIZES
+    * any shuffle stages below it — harmless on a bare scan, an eager
+    * pre-execution anywhere else.
     */
   def fanOutNarrowScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -1029,9 +1029,11 @@ object TextQueries extends Catalog {
                |         j_micro NULLS FIRST, err_micro NULLS FIRST""".stripMargin)),
 
     "q_dedup_simhash" -> Q(
-      t => t.documents.select(
-        col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))
+      // fanOutNarrowScan (r18): same as q_dedup_simhash_bands — the
+      // SimHash kernel is the whole per-row cost; identity at scale.
+      t => graft.operators.Partitioning.fanOutNarrowScan(
+          t.documents.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"), col("simhash")),
       Some(s"""SELECT doc_id,
                |       CAST(list_sum(list_transform(range(0, 30), i ->
