@@ -1029,10 +1029,13 @@ object TextQueries extends Catalog {
                |         j_micro NULLS FIRST, err_micro NULLS FIRST""".stripMargin)),
 
     "q_dedup_simhash" -> Q(
-      // fanOutNarrowScan (r18): same as q_dedup_simhash_bands — the
-      // SimHash kernel is the whole per-row cost; identity at scale.
-      t => graft.operators.Partitioning.fanOutNarrowScan(
-          t.documents.select(col("doc_id"), col("text")))
+      // NO fanOutNarrowScan here (r18, measured): unlike
+      // q_dedup_simhash_bands — where the kernel feeds a banded self-join
+      // that amortizes the fan-out — this query is signature + sort only,
+      // and the fan-out's full-text shuffle LOST to the single-task kernel
+      // (TimeQuery 0.377 → 0.638 s at sf0.1). Same verdict as the layout
+      // curves: fan out only in front of kernels with heavy consumers.
+      t => t.documents
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"), col("simhash")),
       Some(s"""SELECT doc_id,
