@@ -62,7 +62,14 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
 
-    var converged = e.isEmpty
+    // No up-front emptiness probe (r18 optimization): the first round's
+    // own convergence probe answers it — an empty edge set yields empty
+    // stars and an empty-vs-empty full outer, so round 1 converges and
+    // the result is identical (ConnectedComponentsSpec's empty-edge-list
+    // pin). The old `e.isEmpty` was one extra job (plus its driver/AQE
+    // gap) on EVERY invocation, paying for the always-false case; the
+    // empty graph now costs one trivial round instead.
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // Large-star. Neighborhoods come from BOTH directions; m(u) =
