@@ -152,23 +152,68 @@ object Partitioning {
     * parallelism — a single-row-group parquet file (the bench testdata's
     * shape), a gzip input, one small file — the downstream per-row
     * compute (token/shingle/MinHash/SimHash kernels) runs on ONE core
-    * while the rest idle. A round-robin repartition to defaultParallelism
-    * spreads it; the shuffled bytes are bounded by the trigger condition
-    * itself (an input too small or too unsplit to fill the cores). At
-    * 100 TB the scan arrives in thousands of splits, the condition is
-    * false, and this is the identity — never a payload shuffle at scale.
-    * Results are partitioning-independent (per-row expressions;
-    * round-robin repartition sorts-before-repartition for retry
-    * determinism, Spark's default).
+    * while the rest idle. A round-robin repartition spreads it; the
+    * shuffled bytes are bounded by the trigger condition itself (an input
+    * too small or too unsplit to fill the cores). At 100 TB the scan
+    * arrives in thousands of splits, the condition is false, and this is
+    * the identity — never a payload shuffle at scale. Results are
+    * partitioning-independent (per-row expressions; round-robin
+    * repartition sorts-before-repartition for retry determinism, Spark's
+    * default).
     *
-    * Call ONLY on exchange-free inputs (a scan + narrow projections —
-    * every current call site): the partition-count probe goes through
-    * `df.rdd`, and under AQE that finalizes the plan, which MATERIALIZES
-    * any shuffle stages below it — harmless on a bare scan, an eager
-    * pre-execution anywhere else.
+    * BYTE-BUDGETED target (r19, the driver-confirmed r18 regression on
+    * q_dedup_simhash_bands: fanning a ~600 KB corpus to 32 round-robin
+    * partitions cost more in full-text shuffle + 32-way task scheduling
+    * than the kernel parallelism bought — the driver's 8-core run beat
+    * its 32-core run 2×). The target is now
+    * `clamp(planBytes / bytesPerTask, 1, defaultParallelism)`: partitions
+    * are never smaller than `bytesPerTask` of estimated input, so the
+    * per-task kernel work always amortizes the task overhead, and the
+    * fan-out GROWS with the input until the cores are filled — scale-
+    * adaptive in both directions instead of a constant tuned to the core
+    * count. 64 KB (compressed parquet text) per task is the measured
+    * amortization point on the bench corpus: at sf0.1 it yields ~9
+    * partitions, which times within noise of the empirical optimum
+    * (8-way: 1.16 s vs 32-way: 1.38 s vs none: 1.46 s, TimeQuery
+    * medians), and any corpus big enough to saturate the budget×cores
+    * product fans out exactly as before.
+    *
+    * Input-plan guard (r19 verdict task 7): the partition-count probe
+    * goes through `df.rdd`, and under AQE that FINALIZES the plan, which
+    * materializes any shuffle stages below it — harmless on a bare scan,
+    * an eager pre-execution anywhere else. The scaladoc restriction
+    * ("call only on exchange-free inputs") is now enforced: any logical
+    * node outside the narrow whitelist (leaf scan + per-row operators)
+    * throws before the probe can pre-execute work.
     */
-  def fanOutNarrowScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def fanOutNarrowScan(df: DataFrame,
+      bytesPerTask: Long = 64L * 1024): DataFrame = {
+    requireNarrowScan(df)
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBudget =
+      ((bytes + bytesPerTask - 1) / bytesPerTask).min(BigInt(cores)).max(BigInt(1))
+    val target = byBudget.toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Throw unless `df`'s analyzed plan is a leaf scan under per-row
+    * (narrow, exchange-free) operators — the only inputs
+    * [[fanOutNarrowScan]]'s AQE-finalizing partition probe may touch.
+    * Whitelist, not blacklist: an unknown operator fails loudly and the
+    * call site must prove it narrow before extending the list.
+    */
+  private[graft] def requireNarrowScan(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Unit = p match {
+      case _: LeafNode => ()
+      case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias) =>
+        n.children.foreach(walk)
+      case other => throw new IllegalArgumentException(
+        s"fanOutNarrowScan requires an exchange-free scan + narrow projections; " +
+          s"found ${other.nodeName} — its partition probe would pre-execute " +
+          s"shuffle stages under AQE")
+    }
+    walk(df.queryExecution.analyzed)
   }
 }

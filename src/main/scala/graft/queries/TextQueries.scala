@@ -1108,9 +1108,12 @@ object TextQueries extends Catalog {
     // proves the pigeonhole completeness theorem on real data at both SFs.
     "q_dedup_simhash_bands" -> Q(
       t => {
-        // fanOutNarrowScan (r18): the SimHash kernel is the whole cost of
-        // this projection; identity at scale, spreads the single-row-group
-        // bench scan across the cores (guide §2.5).
+        // fanOutNarrowScan (r18, re-budgeted r19): the SimHash kernel is
+        // the whole cost of this projection; identity at scale. The r18
+        // defaultParallelism target drove the driver-measured regression
+        // (1.36→1.63 s, 8 cores beating 32 by 2×) — the helper's r19
+        // byte budget caps the fan-out at ~9 partitions for this corpus
+        // (TimeQuery: 8-way 1.16 s vs 32-way 1.38 s vs none 1.46 s).
         val sims = graft.operators.Partitioning.fanOutNarrowScan(
             t.documents.select(col("doc_id"), col("text")))
           .select(col("doc_id"), Dedup.simhash(col("text")).as("sim"))
