@@ -56,4 +56,15 @@ object Checkpoints {
     */
   def preserving(df: DataFrame): DataFrame =
     PlanBridge.checkpointPreservingHash(df)
+
+  /** [[preserving]] that also returns the plan's observed metrics
+    * (`Dataset.observe` rows), read off the executed plan after the
+    * materialization job — the hook that lets an iterative operator fold
+    * its per-round convergence statistics into the checkpoint job it
+    * already pays for, instead of running a separate probe action
+    * (ConnectedComponents, r19). Keyed by observation name.
+    */
+  def preservingObserved(
+      df: DataFrame): (DataFrame, Map[String, org.apache.spark.sql.Row]) =
+    PlanBridge.checkpointPreservingHashObserved(df)
 }

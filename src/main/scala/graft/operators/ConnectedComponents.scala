@@ -63,9 +63,9 @@ object ConnectedComponents {
       .distinct())
 
     // No up-front emptiness probe (r18 optimization): the first round's
-    // own convergence probe answers it — an empty edge set yields empty
-    // stars and an empty-vs-empty full outer, so round 1 converges and
-    // the result is identical (ConnectedComponentsSpec's empty-edge-list
+    // own convergence statistics answer it — an empty edge set yields
+    // empty stars, zero observed changes, so round 1 converges and the
+    // result is identical (ConnectedComponentsSpec's empty-edge-list
     // pin). The old `e.isEmpty` was one extra job (plus its driver/AQE
     // gap) on EVERY invocation, paying for the always-false case; the
     // empty graph now costs one trivial round instead.
@@ -87,36 +87,57 @@ object ConnectedComponents {
       // sym row with v > u emits one), so Kiveris' never-grows invariant
       // holds without it; the small-star min is duplicate-insensitive
       // and `small` closes with its own distinct — results identical.
+      //
+      // Convergence rides the round's own checkpoint job (r19 verdict
+      // task 3): both stars OBSERVE their identity violations —
+      // `observe` counts accumulate as a side effect of the
+      // materialization pass, so the per-round full-outer probe job (and
+      // its driver/AQE latency) is deleted. Exactness: an emitted
+      // large-star row (v, m) rewrites e-row (v, u) iff m ≠ u, so
+      // cc_large == 0 ⟺ large == e (row-for-row, e distinct); a smallM
+      // row re-attaches iff v ≠ m, so cc_small == 0 ⟺ small emits
+      // exactly (u, m) = (u, v) per large row ⟺ small == distinct(large).
+      // Both zero ⟹ small == e — the OLD probe's criterion — so the loop
+      // never stops early; on star sets (the algorithm's fixed points,
+      // Kiveris Thm 2) both identities hold, so it stops on the same
+      // round the set-equality probe did. Accumulators only ADD under
+      // task retries, so zero cannot be a miscount.
       val wU = Window.partitionBy(col("u"))
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val large = sym
         .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
+        .observe("cc_large",
+          count(when(col("m") =!= col("u"), lit(1))).as("chg"))
         .select(col("v").as("u"), col("m").as("v"))
 
       // Small-star. Edges are oriented u > v, so the u-window sees
       // exactly the SMALLER neighbors; m = their minimum; each non-min
       // smaller neighbor and u itself re-attach to m. All outputs keep
-      // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always). The union's
-      // (u, m) branch carries one row per large-row of u rather than one
-      // per u — the closing distinct (already required) collapses them.
+      // u > v (v ≥ m and v ≠ m ⇒ v > m; u > m always). Emission is a
+      // single explode over per-row struct arrays rather than a
+      // two-branch union of smallM (r19): the union form planned the
+      // whole sym→large→smallM window pipeline TWICE — AQE reuses the
+      // exchanges but each branch recomputed its post-shuffle window
+      // pass — and a doubly-consumed subtree cannot carry an observe
+      // node (its counts would double). Identical output multiset: per
+      // smallM row, (u, m) always, plus (v, m) when v ≠ m; the closing
+      // distinct (already required) collapses duplicates.
       val smallM = large.withColumn("m", min(col("v")).over(wU))
-      val small = Checkpoints.preserving(smallM
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smallM.select(col("u"), col("m").as("v")))
+        .observe("cc_small",
+          count(when(col("v") =!= col("m"), lit(1))).as("chg"))
+      val (small, observed) = Checkpoints.preservingObserved(smallM
+        .select(explode(
+          when(col("v") =!= col("m"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u").as("u"), col("m").as("v"))))
+            .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+          .as("__r"))
+        .select(col("__r.u").as("u"), col("__r.v").as("v"))
         .distinct()) // (u, v)-partitioned — see the initial checkpoint note
 
-      // Fixed point: the edge set is stable. Both sets are distinct, so
-      // set equality ⟺ no row is missing from either side of a full outer
-      // join — ONE probe job per round (isEmpty plans a limit-1) over two
-      // checkpointed inputs, vs the 3 jobs (count + count + except) of the
-      // naive spelling.
-      converged = small.select(col("u"), col("v"), lit(1).as("__s"))
-        .join(e.select(col("u"), col("v"), lit(1).as("__e")),
-          Seq("u", "v"), "full_outer")
-        .filter(col("__s").isNull || col("__e").isNull)
-        .isEmpty
+      converged = Seq("cc_large", "cc_small").forall(
+        observed.get(_).exists(_.getLong(0) == 0L))
       e = small
       iter += 1
     }

@@ -64,7 +64,23 @@ object PlanBridge {
     * volumes where the downstream exchange is the real cost, which is
     * when the partitioning gets recorded.
     */
-  def checkpointPreservingHash(df: DataFrame): DataFrame = {
+  def checkpointPreservingHash(df: DataFrame): DataFrame =
+    checkpointPreservingHashObserved(df)._1
+
+  /** [[checkpointPreservingHash]] that ALSO returns the plan's observed
+    * metrics (`Dataset.observe` / CollectMetrics rows), read synchronously
+    * off the executed plan once the materialization job finishes — no
+    * listener race, no extra job. This is how an iterative operator folds
+    * its convergence statistics into the checkpoint job it must run
+    * anyway (ConnectedComponents' per-round probe, r19 verdict task 3):
+    * the alternative — a separate probe action per round — pays one full
+    * job + driver/AQE latency per round for information the
+    * materialization pass already saw. Metric rows are accumulator
+    * merges; task retries can only ADD, so a zero count is trustworthy
+    * (the convergence checks test counts == 0).
+    */
+  def checkpointPreservingHashObserved(
+      df: DataFrame): (DataFrame, Map[String, org.apache.spark.sql.Row]) = {
     val ds = df.asInstanceOf[Dataset[_]]
     val session = ds.sparkSession
     val qe = ds.queryExecution
@@ -77,6 +93,8 @@ object PlanBridge {
     SQLExecution.withNewExecutionId(qe, Some("checkpointPreservingHash")) {
       rdd.count()
     }
+    val observed = org.apache.spark.sql.execution.CollectMetricsExec
+      .collect(qe.executedPlan)
     val finalPlan = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
@@ -97,9 +115,9 @@ object PlanBridge {
     // plan, so no attribute rewrite is needed.
     val stats = scala.util.Try(qe.optimizedPlan.stats).toOption
     val constraints = scala.util.Try(qe.optimizedPlan.constraints).toOption
-    Dataset.ofRows(session,
+    (Dataset.ofRows(session,
       LogicalRDD(out, rdd, part, Nil, isStreaming = false)(
-        session, stats, constraints))
+        session, stats, constraints)), observed)
   }
 
   /** Idempotently add a planner strategy to an EXISTING session (the

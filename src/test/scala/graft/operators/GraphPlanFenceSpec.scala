@@ -208,12 +208,14 @@ class GraphPlanFenceSpec extends SparkSpec {
 
   test("CC executes a bounded shuffle-stage budget per convergence (path-32 worst case)") {
     // A 32-node path is the adversarial chain for large/small-star (max
-    // rounds for its size) and is fully deterministic: 50 shuffle-write
-    // stages on this tree, ~7 per round. The regression class this
-    // fences: a bare (non-preserving) checkpoint makes the per-round
-    // convergence probe re-exchange BOTH checkpointed sides (+2 per
-    // round) and the star joins re-hash their grouped sides — measured
-    // +12 or more over the budget.
+    // rounds for its size) and is fully deterministic: 20 shuffle-write
+    // stages on this tree (was 50 before r19 folded the convergence
+    // probe into the checkpoint job via observe and collapsed the
+    // small-star union into one explode pass — ~3 per round + the edge
+    // build). The regression classes this fences: a bare checkpoint
+    // re-exchanging both sides of a reintroduced probe join (+2 per
+    // round), the star joins re-hashing their grouped sides, and the
+    // union form's duplicated window pipeline coming back.
     val path = spark.range(31).select(col("id").as("a"), (col("id") + 1).as("b"))
     var labels: Array[org.apache.spark.sql.Row] = Array.empty
     val n = countShuffleWriteStages {
@@ -221,7 +223,7 @@ class GraphPlanFenceSpec extends SparkSpec {
     }
     assert(labels.nonEmpty && labels.forall(_.getLong(1) == 0L),
       "path graph must converge to component 0")
-    assert(n <= 50, s"CC path-32 executed $n shuffle-write stages, budget 50 — " +
+    assert(n <= 24, s"CC path-32 executed $n shuffle-write stages, budget 24 — " +
       "a checkpoint lost its partitioning (per-round re-exchange regression)")
   }
 
@@ -237,8 +239,9 @@ class GraphPlanFenceSpec extends SparkSpec {
       val n = countShuffleWriteStages {
         ConnectedComponents.label(pairs, "a", "b").collect()
       }
-      assert(n <= 18, s"q_dedup_cc clustering executed $n shuffle-write stages, " +
-        "budget 18 — a checkpoint lost its partitioning " +
+      assert(n <= 10, s"q_dedup_cc clustering executed $n shuffle-write stages, " +
+        "budget 10 (8 on this tree; was 18 pre-r19) — a checkpoint lost " +
+        "its partitioning " +
         "(per-round re-exchange regression)")
     } finally { pairs.unpersist(); () }
   }
