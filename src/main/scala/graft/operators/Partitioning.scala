@@ -145,6 +145,65 @@ object Partitioning {
       .drop("__pid", "__local_prev", "__prefix")
   }
 
+  /** Distributed global `row_number` over a UNIQUE total order — the
+    * two-pass range-partitioned twin of
+    * `row_number().over(Window.orderBy(...))`, which moves EVERY row to
+    * one partition (Spark warns and serializes; a 100 TB scale-killer —
+    * the r19 unpartitioned-window audit's rewrite pattern, same shape as
+    * [[prefixMax]]).
+    *
+    * Requires the `orderCols` tuple to be UNIQUE per row (callers here
+    * order by (value, unique id)): with a unique total order the global
+    * rank is partitioning-independent, so the range partitioner's
+    * run-dependent boundary sampling cannot change the RESULT.
+    *
+    * Pass 1: range-repartition on `orderCols` (ascending ranges on
+    * ascending partition ids) and compute the within-partition
+    * `row_number` with a pid-partitioned window — fully parallel. Pass 2:
+    * per-partition row counts (one row per partition — O(numPartitions),
+    * constant, never data-sized) get their exclusive prefix sum via a
+    * single-partition window and broadcast back; the global rank is
+    * prefix + local row number.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "i", numPartitions: Int = 32): DataFrame = {
+    val withPid = df.repartitionByRange(numPartitions, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val local = withPid.withColumn("__lrn", row_number().over(wLocal))
+    val wParts = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = withPid.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__prefix", coalesce(sum(col("__pn")).over(wParts), lit(0L)))
+      .select(col("__pid"), col("__prefix"))
+    local.join(broadcast(prefixes), "__pid")
+      .withColumn(rankCol, col("__prefix") + col("__lrn"))
+      .drop("__pid", "__lrn", "__prefix")
+  }
+
+  /** The bucket `ntile(n)` assigns to global rank `i` (1-based) of `total`
+    * rows — Spark's (and DuckDB's, and the SQL standard's) semantics: the
+    * first `total % n` buckets hold `total / n + 1` rows, the rest
+    * `total / n`; with fewer rows than buckets, row i lands in bucket i.
+    * Lets an ntile over a data-sized relation ride [[globalRowNumber]]'s
+    * two-pass rank instead of a single-partition window: the formula is a
+    * per-row expression once (i, total) are columns.
+    */
+  def ntileFromRank(i: Column, total: Column, n: Int): Column = {
+    // integral div via exact-dividend double division: (a - a%b) / b has a
+    // mathematically integral quotient, and for counts below 2^53 the
+    // double arithmetic is exact (same argument as Layout.binPack)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val t = total.cast("long")
+    val q = idiv(t, lit(n.toLong))
+    val r = t % n
+    val cut = r * (q + 1)
+    when(i <= cut, idiv(i - 1, q + 1) + 1)
+      .otherwise(r + idiv(i - cut - 1, q) + 1)
+  }
+
   /** Scale-adaptive read fan-out ahead of heavy per-row kernels
     * (r18 optimization; the optimization guide §2.5 remedy for
     * unsplittable inputs: "repartition immediately after the read").

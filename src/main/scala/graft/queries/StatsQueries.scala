@@ -1086,18 +1086,23 @@ object StatsQueries extends Catalog {
     // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted totals,
     // reported in integer basis points: Σi·xᵢ is invariant under tie
     // permutations (equal x within a tie block), so the (x, user_id)
-    // sort is deterministic. Scale shape: the only global window runs on
-    // the per-user COLLAPSED relation (users, not events); for
-    // billion-user tables the rank becomes the two-pass range-partitioned
-    // prefix count (Partitioning.prefixMax's plan). Overflow bound: the
-    // ×10⁴ numerator stays under int64 while n·Σx < 9·10¹⁴ — switch the
-    // two final products to DECIMAL(38,0) beyond that.
+    // sort is deterministic. Scale shape (r19 unpartitioned-window
+    // audit): the global rank runs through
+    // Partitioning.globalRowNumber's two-pass range-partitioned plan —
+    // the per-user relation is USER-sized, and the old
+    // row_number().over(Window.orderBy(...)) moved every user through
+    // ONE partition. The (x, user_id) order is unique, so the two-pass
+    // rank is bit-identical to the single-partition one (the oracle
+    // keeps the plain OVER (ORDER BY) spelling as the equivalence gate).
+    // Overflow bound: the ×10⁴ numerator stays under int64 while
+    // n·Σx < 9·10¹⁴ — switch the two final products to DECIMAL(38,0)
+    // beyond that.
     "q_events_gini" -> Q(
       t => {
         val per = t.events.groupBy(col("user_id"))
           .agg(sum(cents(col("value"))).cast("long").as("x"))
-        val ranked = per.select(col("x"),
-          row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long").as("i"))
+        val ranked = graft.operators.Partitioning.globalRowNumber(
+          per, Seq(col("x"), col("user_id")), "i")
         ranked.agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_cents"),
             sum(col("x") * col("i")).as("sxi"))
           .select(col("n_users"), col("total_cents"),
@@ -1186,16 +1191,27 @@ object StatsQueries extends Catalog {
     // ntile(10) buckets, each decile's share of total in integer ppm
     // (the "bottom 50% hold X%" readout). Ranking runs on the per-user
     // COLLAPSED relation; the total is one broadcast scalar.
+    // Scale shape (r19 unpartitioned-window audit): the ntile rides
+    // Partitioning.globalRowNumber's two-pass range-partitioned rank +
+    // the closed-form ntileFromRank bucket formula instead of
+    // ntile(10).over(Window.orderBy(...)), which moved every user
+    // through ONE partition. (x, user_id) is a unique total order and
+    // the formula reproduces SQL ntile semantics exactly (pinned in
+    // PrefixMaxSpec against Spark's own ntile; the oracle keeps the
+    // plain OVER (ORDER BY) spelling as the cross-engine gate). The
+    // total row count rides the same broadcast scalar as the sum.
     "q_events_lorenz" -> Q(
       t => {
         val per = t.events.groupBy(col("user_id"))
           .agg(sum(cents(col("value"))).cast("long").as("x"))
           .localCheckpoint(true)
-        val tot = per.agg(sum(col("x")).as("total"))
-        per.select(col("x"),
-            ntile(10).over(Window.orderBy(col("x"), col("user_id")))
-              .cast("long").as("decile"))
+        val tot = per.agg(sum(col("x")).as("total"), count(lit(1)).as("__n"))
+        graft.operators.Partitioning.globalRowNumber(
+            per, Seq(col("x"), col("user_id")), "__i")
           .crossJoin(broadcast(tot))
+          .select(col("x"), col("total"),
+            graft.operators.Partitioning.ntileFromRank(
+              col("__i"), col("__n"), 10).cast("long").as("decile"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_users"), sum(col("x")).as("decile_cents"),
             expr("sum(x) * 1000000 div max(total)").as("share_ppm"))

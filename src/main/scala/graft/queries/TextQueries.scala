@@ -871,23 +871,32 @@ object TextQueries extends Catalog {
 
     // Vocabulary coverage curve — the tokenizer-sizing question ("what
     // share of token OCCURRENCES does a top-k vocab cover?") answered in
-    // exact parts-per-million integer arithmetic: corpus term counts, one
-    // vocab-sized rank window (cnt desc, term asc — the vocab_encode
-    // order), then conditional sums at k = 16/32/64 behind a single
-    // aggregate. The rank window runs on the VOCAB (distinct terms), never
-    // the corpus, so the one global window is bounded by vocabulary size —
-    // the same manifest-scale-window argument as q_layout_binpack.
+    // exact parts-per-million integer arithmetic. Only ranks ≤ 64 ever
+    // contribute, so the rank window runs on the top-64 TERMS (an
+    // orderBy+limit = scale-safe TakeOrdered over the vocab, then a
+    // 64-row constant-size window) — the r19 unpartitioned-window audit
+    // rewrite: the old form ranked the ENTIRE vocabulary through one
+    // partition, and vocabulary size is data-dependent (web-scale corpora
+    // have billions of distinct "terms" under whitespace tokenization).
+    // orderBy+limit picks exactly the same 64 rows the full rank's
+    // r <= 64 filter kept (same unique total order: cnt desc, term asc),
+    // so results are identical — the oracle keeps the full-vocab rank
+    // spelling as the equivalence gate. The corpus-wide total rides its
+    // own aggregate and joins back as one broadcast row.
     "q_text_vocab_coverage" -> Q(
       t => {
         val counts = t.documents
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy(col("cnt").desc, col("term").asc)
-        counts.withColumn("r", row_number().over(w).cast("long"))
-          .agg(sum(col("cnt")).as("total"),
+        val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(64)
+        val w = Window.orderBy(col("cnt").desc, col("term").asc) // ≤ 64 rows
+        val covs = top.withColumn("r", row_number().over(w).cast("long"))
+          .agg(
             sum(when(col("r") <= 16, col("cnt")).otherwise(0L)).as("cov16"),
             sum(when(col("r") <= 32, col("cnt")).otherwise(0L)).as("cov32"),
             sum(when(col("r") <= 64, col("cnt")).otherwise(0L)).as("cov64"))
+        counts.agg(sum(col("cnt")).as("total"))
+          .crossJoin(covs)
           .select(col("total"), col("cov16"), col("cov32"), col("cov64"),
             expr("cov16 * 1000000 div total").as("ppm16"),
             expr("cov32 * 1000000 div total").as("ppm32"),

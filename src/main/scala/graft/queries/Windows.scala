@@ -205,16 +205,22 @@ object Windows extends Catalog {
           .withColumn("dayn",
             datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
           .withColumn("c", cents(col("o_totalprice")).cast("long"))
-        // The rows-frames order by (dayn, o_orderkey) — NOT (o_orderdate,
-        // o_orderkey) as the oracle spells it — because dayn =
-        // datediff(o_orderdate, fixed) is a strictly monotone bijection of
-        // the date: the total order (and so every frame's contents) is
-        // IDENTICAL, but now the range window's required ordering
-        // (custkey, dayn) is a PREFIX of the rows-windows' sort, so one
-        // sort serves all three window specs instead of two sorts per
-        // partition pass (r18; the oracle SQL keeps the o_orderdate
-        // spelling as the independent equivalence gate).
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("dayn"), col("o_orderkey"))
+        // The rows-frames order by (dayn, o_orderdate, o_orderkey) — with
+        // dayn PREPENDED to the oracle's (o_orderdate, o_orderkey)
+        // spelling — so the range window's required ordering (custkey,
+        // dayn) is a PREFIX of the rows-windows' sort and one sort serves
+        // all three window specs instead of two sorts per partition pass
+        // (r18). Keeping o_orderdate as the middle key (r19, closing the
+        // r18 ADVICE note) makes the equivalence UNCONDITIONAL: dayn is a
+        // function of o_orderdate (its day floor), so sorting by (dayn,
+        // o_orderdate, …) is the same total order as (o_orderdate, …) for
+        // ANY data — including intraday timestamps a future loader might
+        // produce — not just the midnight-aligned dates the r18 form
+        // relied on. The extra key costs one comparison word per row; the
+        // plan keeps the single shared Sort (plans/r18 capture still
+        // applies: 2 Sort nodes).
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("dayn"), col("o_orderdate"), col("o_orderkey"))
         val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sliding = w.rowsBetween(-2, Window.currentRow)
         val dayRange = Window.partitionBy(col("o_custkey")).orderBy(col("dayn")).rangeBetween(-30, 0)

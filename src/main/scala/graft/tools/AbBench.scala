@@ -871,6 +871,64 @@ object AbBench {
     dedupPriceLeg("cep-dedup-price-dd-2k-1pct", 2000, 100, dedup = true)
     dedupPriceLeg("cep-dedup-price-plain-20k-10pct", 20000, 10, dedup = false)
     dedupPriceLeg("cep-dedup-price-dd-20k-10pct", 20000, 10, dedup = true)
+
+    // r19 (verdict task 8): the STORAGE-BACKED LSH signature table — the
+    // documented 100 TB shape for the dedup family (Dedup scaladoc: "At
+    // corpus scale, write the signature table to storage") — measured
+    // instead of asserted. Three legs, same corpus, same band join:
+    //   lsh-ckpt       the shipped query-path form (signatures eagerly
+    //                  localCheckpoint'ed, pairs in the same job);
+    //   lsh-store-cold signature computation + parquet WRITE + read-back
+    //                  pairs — the full first-pass cost a storage-backed
+    //                  pipeline pays once per corpus;
+    //   lsh-store-warm pairs over an ALREADY-WRITTEN signature table —
+    //                  the steady-state cost every downstream pass
+    //                  (pairing, clustering, re-threshold sweeps) pays,
+    //                  with the shingle/minhash kernels amortized away.
+    // The cost model the restructure rides on: checkpoint ≈ store-cold
+    // (same kernel work, parquet write vs block-manager write), while
+    // store-warm drops the kernel entirely — if store-warm is NOT
+    // materially cheaper than ckpt, writing the table buys nothing.
+    val sigDir = s"${System.getProperty("java.io.tmpdir")}/graft-ab-sig.parquet"
+    def sigTable = graft.operators.Partitioning.fanOutNarrowScan(
+        t.documents.select(col("doc_id"), col("text").as("__text")))
+      .select(col("doc_id"),
+        graft.operators.Dedup.tokenHashesFromText(col("__text")).as("__th"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.shingleHashesFromTokenHashes(col("__th"), 3).as("shd"))
+      .withColumn("sig", graft.operators.Dedup.minhashSignature(col("shd")))
+    def pairsOver(prepared: org.apache.spark.sql.DataFrame) = {
+      val bands = prepared.select(col("doc_id"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"))).as("band_key"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .join(prepared.select(col("doc_id").as("a"), col("shd").as("shd_a")), "a")
+        .join(prepared.select(col("doc_id").as("b"), col("shd").as("shd_b")), "b")
+        .withColumn("j", graft.operators.Dedup.jaccard(col("shd_a"), col("shd_b")))
+        .filter(col("j") >= 0.5).select(col("a"), col("b"), col("j"))
+    }
+    run("lsh-ckpt") {
+      graft.operators.Dedup.lshNearDupPairs(t.documents, "doc_id", "text", 0.5)
+    }
+    if (only.isEmpty || only.exists("lsh-store-cold".contains)) {
+      // the write is part of the measured first pass, so this leg times
+      // it inline (run()'s noop sink would skip the write cost)
+      def coldOnce(): Double = {
+        val t0 = System.nanoTime()
+        sigTable.write.mode("overwrite").parquet(sigDir)
+        pairsOver(spark.read.parquet(sigDir))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      coldOnce(); graft.Bench.quiesce(spark); System.gc()
+      val times = Seq.fill(5)(coldOnce()).sorted
+      println(f"[ab] ${"lsh-store-cold"}%-28s ${times(2)}%.3f s (median of 5: ${times.map(x => f"$x%.3f").mkString(", ")})")
+    }
+    run("lsh-store-warm") {
+      pairsOver(spark.read.parquet(sigDir))
+    }
     spark.stop()
   }
 }

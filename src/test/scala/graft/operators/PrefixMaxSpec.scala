@@ -42,4 +42,46 @@ class PrefixMaxSpec extends SparkSpec {
     assert(windows.exists(_.contains("__pid")),
       s"the data-sized pass must partition by __pid:\n$plan")
   }
+
+  // ---- globalRowNumber / ntileFromRank (r19 unpartitioned-window audit
+  // rewrites: q_events_gini's rank, q_events_lorenz's ntile) ----
+
+  test("globalRowNumber matches the single-partition row_number on a unique order") {
+    // non-monotone values with heavy ties on v — uniqueness comes from the
+    // (v, k) pair, exactly the (x, user_id) shape the gini/lorenz callers use
+    val rows = (1 to 1000).map { k => (k.toLong, ((k * 7919) % 13).toLong) }
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = Partitioning.globalRowNumber(df, Seq(col("v"), col("k")), "i",
+        numPartitions = 7)
+      .select(col("k"), col("i")).as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("v"), col("k"))
+    val want = df.withColumn("i", row_number().over(w).cast("long"))
+      .select(col("k"), col("i")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // and the data-sized window pass is pid-partitioned (same pin as
+    // prefixMax: only the O(numPartitions) prefix pass may be global)
+    val plan = Partitioning.globalRowNumber(df, Seq(col("v"), col("k")))
+      .queryExecution.optimizedPlan.toString
+    val windows = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toList
+    assert(windows.exists(_.contains("__pid")),
+      s"the data-sized rank pass must partition by __pid:\n$plan")
+  }
+
+  test("ntileFromRank reproduces SQL ntile semantics at every remainder shape") {
+    // n < buckets, n == buckets, even split, every remainder class, and a
+    // large size — the formula must match Spark's own ntile exactly
+    for (size <- Seq(1, 5, 9, 10, 11, 19, 20, 100, 101, 997)) {
+      val df = (1 to size).map(_.toLong).toDF("k")
+      val want = df.select(col("k"),
+          ntile(10).over(Window.orderBy(col("k"))).cast("long").as("d"))
+        .as[(Long, Long)].collect().toMap
+      val got = df
+        .select(col("k"), col("k").as("i"))
+        .withColumn("d", Partitioning.ntileFromRank(col("i"), lit(size.toLong), 10)
+          .cast("long"))
+        .select(col("k"), col("d")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"ntile mismatch at size=$size")
+    }
+  }
 }
