@@ -58,8 +58,11 @@ object Relational extends Catalog {
 
     // ---- aggregations ------------------------------------------------------
     "q_agg_pricing_summary" -> Q(
-      t => t.lineitem
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      t => graft.operators.Partitioning.fanOutNarrowScan(
+          t.lineitem
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))
+            .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           // msum/mavg/psum: fixed-point exact, order-independent aggregation
