@@ -266,7 +266,10 @@ object Partitioning {
     import org.apache.spark.sql.catalyst.plans.logical._
     def walk(p: LogicalPlan): Unit = p match {
       case _: LeafNode => ()
-      case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias) =>
+      // Union is narrow too (it concatenates partitions, no exchange) —
+      // the ScaleProbe's factor×-replicated corpus is a Union of
+      // per-replica projections and flows through the dedup call site
+      case n @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias | _: Union) =>
         n.children.foreach(walk)
       case other => throw new IllegalArgumentException(
         s"fanOutNarrowScan requires an exchange-free scan + narrow projections; " +
